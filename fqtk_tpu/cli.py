@@ -1,0 +1,125 @@
+"""Flag-compatible command line: ``fqtk-tpu <demux|subsample> [flags]``.
+
+Mirrors the reference CLI surface (``/root/reference/src/bin/main.rs`` plus
+the clap derives at ``demux.rs:597-652`` and ``subsample.rs:57-90``): same
+subcommands, flags, short options, and defaults.  Engine-specific extensions
+(batch size, compute engine) are added under ``--`` long names that do not
+collide with the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+from . import __version__
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="fqtk-tpu", description="TPU-native FASTQ toolkit"
+    )
+    parser.add_argument("--version", action="version", version=f"fqtk-tpu {__version__}")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    demux = sub.add_parser(
+        "demux", help="Performs sample demultiplexing on FASTQs."
+    )
+    demux.add_argument("--inputs", "-i", nargs="+", required=True, type=Path)
+    demux.add_argument("--read-structures", "-r", nargs="+", required=True)
+    demux.add_argument("--output-types", "-b", nargs="+", default=["T"])
+    demux.add_argument("--sample-metadata", "-s", required=True, type=Path)
+    demux.add_argument("--output", "-o", required=True, type=Path)
+    demux.add_argument("--unmatched-prefix", "-u", default="unmatched")
+    demux.add_argument("--max-mismatches", type=int, default=1)
+    demux.add_argument("--min-mismatch-delta", "-d", type=int, default=2)
+    demux.add_argument("--threads", "-t", type=int, default=8)
+    demux.add_argument("--compression-level", "-c", type=int, default=5)
+    demux.add_argument("--skip-reasons", "-S", nargs="*", default=[])
+    # engine extensions
+    demux.add_argument("--batch-size", type=int, default=1 << 16)
+    demux.add_argument(
+        "--engine", choices=["auto", "jax", "numpy"], default="auto"
+    )
+
+    ss = sub.add_parser(
+        "subsample", help="Subsamples reads from one or more synchronized FASTQ files."
+    )
+    ss.add_argument("--inputs", "-i", nargs="+", required=True, type=Path)
+    ss.add_argument("--output", "-o", required=True, type=Path)
+    ss.add_argument("--fraction", "-f", type=float, required=True)
+    ss.add_argument("--threads", "-t", type=int, default=8)
+    ss.add_argument("--compression-level", "-c", type=int, default=5)
+    ss.add_argument(
+        "--seed",
+        "-s",
+        type=int,
+        default=None,
+        help=(
+            "Explicit RNG seed for reproducibility; with a seed the keep/drop "
+            "mask matches fqtk bit-for-bit.  When omitted a deterministic "
+            "seed is derived from the parameters (SHA-256; differs from "
+            "fqtk's Rust-internal hash derivation)."
+        ),
+    )
+    ss.add_argument("--disable-read-name-checking", action="store_true")
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] %(levelname)s %(name)s: %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+    args = _build_parser().parse_args(argv)
+    try:
+        return _dispatch(args)
+    except Exception as e:  # clean operator-facing errors, like the reference CLI
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args) -> int:
+    if args.command == "demux":
+        from .runtime.demux import DemuxConfig, run_demux
+
+        cfg = DemuxConfig(
+            inputs=list(args.inputs),
+            read_structures=list(args.read_structures),
+            sample_metadata=args.sample_metadata,
+            output=args.output,
+            output_types=list(args.output_types),
+            unmatched_prefix=args.unmatched_prefix,
+            max_mismatches=args.max_mismatches,
+            min_mismatch_delta=args.min_mismatch_delta,
+            threads=args.threads,
+            compression_level=args.compression_level,
+            skip_reasons=list(args.skip_reasons),
+            batch_size=args.batch_size,
+            engine=args.engine,
+        )
+        run_demux(cfg)
+        return 0
+    if args.command == "subsample":
+        from .runtime.subsample import SubsampleConfig, run_subsample
+
+        cfg = SubsampleConfig(
+            inputs=list(args.inputs),
+            output=args.output,
+            fraction=args.fraction,
+            threads=args.threads,
+            compression_level=args.compression_level,
+            seed=args.seed,
+            disable_read_name_checking=args.disable_read_name_checking,
+        )
+        run_subsample(cfg)
+        return 0
+    return 2  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,251 @@
+"""Batched barcode matching: the TPU-native core of demultiplexing.
+
+Reference semantics being reproduced (``/root/reference/src/lib/barcode_matching.rs``
+and ``src/lib/bitenc.rs:432-459``):
+
+- mismatch(obs_base, exp_base) = 1 iff ``obs_mask & ~exp_mask != 0``
+  (asymmetric IUPAC containment; expected ``N`` matches everything, observed
+  ``N`` only matches expected bases whose mask contains all 4 bits).
+- per-read result = index of the sample with the fewest mismatches; a read is
+  assigned iff ``best <= max_mismatches`` and
+  ``next_best - best >= min_mismatch_delta`` (``barcode_matching.rs:149-159``)
+  where ``next_best`` is 255 when there is a single sample (u8 init value).
+- prefilter: reads whose no-call count exceeds
+  ``max_mismatches + max_ns_in_barcodes`` are unassigned
+  (``barcode_matching.rs:170-172``).
+- mismatch counts saturate at 255 (u8 semantics of the reference).
+
+TPU mapping: rather than the reference's scalar ``u32``-block popcount loop
+with memoization, we batch ``B`` reads and compute ALL pairwise mismatch
+counts with one int8 matrix multiplication on the MXU:
+
+- observed bytes -> 4-bit masks via a 256-entry LUT -> one-hot over the 16
+  possible mask values: ``obs16[B, L*16]``.
+- expected side: ``compat[L*16, K]`` with ``compat[l*16+c, k] = 1`` iff mask
+  value ``c`` mismatches expected base ``(k, l)``.
+- ``counts[B, K] = obs16 @ compat`` accumulated in int32 — an exact mismatch
+  count, since each (read, position) contributes exactly one nonzero column.
+
+The per-read memo cache of the reference is subsumed by batching.  Top-2 with
+first-index tie-breaking is computed by scanning K in chunks with an
+associative (best, idx, next) merge, which also serves as the cross-device
+monoid when the whitelist is sharded over K (see ``fqtk_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence, Tuple
+
+import numpy as np
+
+from ..core.encoding import ENCODE_LUT, NOCALL_LUT, count_nocalls
+
+UNMATCHED = -1  # sentinel in *logical* output; device uses index K
+MAX_COUNT = 255  # u8 saturation of the reference
+
+
+@dataclass(frozen=True)
+class ExpectedSet:
+    """Pre-encoded expected-barcode whitelist (device-ready constants)."""
+
+    masks: np.ndarray  # [K, L] uint8 4-bit masks of uppercased barcodes
+    compat: np.ndarray  # [L*16, K] int8 mismatch-indicator table
+    max_ns_in_barcodes: int
+    length: int
+    count: int
+
+    @classmethod
+    def from_barcodes(cls, barcodes: Sequence[str]) -> "ExpectedSet":
+        if not barcodes:
+            raise ValueError("Must provide at least one sample")
+        if any(len(b) == 0 for b in barcodes):
+            raise ValueError("Sample barcode cannot be empty string")
+        upper = [b.upper().encode("ascii") for b in barcodes]
+        length = len(upper[0])
+        if any(len(b) != length for b in upper):
+            raise ValueError("All barcodes must have the same length")
+        max_ns = max(count_nocalls(b) for b in upper)
+        arr = np.frombuffer(b"".join(upper), dtype=np.uint8).reshape(len(upper), length)
+        masks = ENCODE_LUT[arr]  # [K, L]
+        # compat[l, c, k] = 1 iff mask value c has a bit outside masks[k, l]
+        c = np.arange(16, dtype=np.uint8)  # all possible observed mask values
+        viol = (c[None, None, :] & ~masks.T[:, :, None]) & 0xF  # [L, K, 16]
+        compat = (viol != 0).astype(np.int8).transpose(0, 2, 1).reshape(length * 16, len(upper))
+        return cls(
+            masks=masks,
+            compat=np.ascontiguousarray(compat),
+            max_ns_in_barcodes=max_ns,
+            length=length,
+            count=len(upper),
+        )
+
+
+def mismatch_counts_np(obs_bytes: np.ndarray, expected: ExpectedSet) -> np.ndarray:
+    """NumPy executable spec: exact mismatch counts [B, K], saturated at 255."""
+    obs_masks = ENCODE_LUT[np.asarray(obs_bytes, dtype=np.uint8)]  # [B, L]
+    # obs & ~exp per (b, k, l) without one-hot (fine at test scale)
+    diff = (obs_masks[:, None, :] & ~expected.masks[None, :, :]) & 0xF
+    counts = (diff != 0).sum(axis=2)
+    return np.minimum(counts, MAX_COUNT).astype(np.int32)
+
+
+def assign_batch_np(
+    obs_bytes: np.ndarray,
+    expected: ExpectedSet,
+    max_mismatches: int,
+    min_mismatch_delta: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """NumPy spec of the full assignment: (assigned_idx, best_mm, next_mm).
+
+    ``assigned_idx`` is ``UNMATCHED`` (-1) for unassigned reads.
+    """
+    obs_bytes = np.asarray(obs_bytes, dtype=np.uint8)
+    counts = mismatch_counts_np(obs_bytes, expected)
+    b = counts.shape[0]
+    best_idx = counts.argmin(axis=1).astype(np.int32)
+    best = counts[np.arange(b), best_idx]
+    masked = counts.copy()
+    masked[np.arange(b), best_idx] = MAX_COUNT
+    if expected.count == 1:
+        next_best = np.full(b, MAX_COUNT, dtype=np.int32)
+    else:
+        next_best = np.minimum(masked.min(axis=1), MAX_COUNT)
+    nocalls = NOCALL_LUT[obs_bytes].sum(axis=1)
+    ok = (
+        (nocalls <= max_mismatches + expected.max_ns_in_barcodes)
+        & (best <= max_mismatches)
+        & (next_best - best >= min_mismatch_delta)
+    )
+    assigned = np.where(ok, best_idx, UNMATCHED).astype(np.int32)
+    return assigned, best.astype(np.int32), next_best.astype(np.int32)
+
+
+# ----------------------------------------------------------------------------
+# JAX / XLA path
+# ----------------------------------------------------------------------------
+
+
+def merge_top2(a, b):
+    """Associative merge of (best, idx, next) triples.
+
+    All indices in ``a`` must precede all indices in ``b`` (first-index
+    tie-break: on equal best counts the earlier candidate wins, matching the
+    reference's strict ``<`` update at ``barcode_matching.rs:132``).
+    Also the cross-shard monoid for K-sharded whitelists.
+    """
+    import jax.numpy as jnp
+
+    a_best, a_idx, a_next = a
+    b_best, b_idx, b_next = b
+    take_b = b_best < a_best
+    best = jnp.where(take_b, b_best, a_best)
+    idx = jnp.where(take_b, b_idx, a_idx)
+    nxt = jnp.where(take_b, jnp.minimum(a_best, b_next), jnp.minimum(a_next, b_best))
+    return best, idx, nxt
+
+
+def _chunk_top2(counts):
+    """Top-2 (best, argmin-first, next) over the last axis of ``counts``."""
+    import jax.numpy as jnp
+
+    best_idx = jnp.argmin(counts, axis=-1).astype(jnp.int32)
+    best = jnp.min(counts, axis=-1)
+    k = counts.shape[-1]
+    col = jnp.arange(k, dtype=jnp.int32)
+    masked = jnp.where(col[None, :] == best_idx[:, None], MAX_COUNT, counts)
+    nxt = jnp.min(masked, axis=-1) if k > 1 else jnp.full_like(best, MAX_COUNT)
+    return best, best_idx, nxt
+
+
+def make_assign_fn(
+    expected: ExpectedSet,
+    max_mismatches: int,
+    min_mismatch_delta: int,
+    k_chunk: int = 16384,
+    accum_dtype=None,
+):
+    """Build a jitted ``obs_bytes[B, L] -> (assigned, best, next)`` function.
+
+    ``assigned[b] == expected.count`` denotes unmatched (dense sentinel so the
+    result can index a ``K+1``-row routing table on device).
+
+    K is processed in chunks of ``k_chunk`` via ``lax.scan`` so the [B, K]
+    mismatch matrix is never materialized — required for huge single-cell
+    whitelists (737K barcodes) and HBM-friendly for all sizes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k = expected.count
+    length = expected.length
+    kc = min(k_chunk, k)
+    n_chunks = -(-k // kc)
+    k_pad = n_chunks * kc
+    compat = expected.compat
+    if k_pad != k:
+        # Padding columns get "every position mismatches" so they never win
+        # (count = L, and if L < delta gates they still lose to real columns;
+        # to be safe, force them to MAX_COUNT after the matmul via index mask).
+        pad = np.ones((compat.shape[0], k_pad - k), dtype=np.int8)
+        compat = np.concatenate([compat, pad], axis=1)
+    # [n_chunks, L*16, kc] so scan slices are contiguous
+    compat_chunks = np.ascontiguousarray(
+        compat.reshape(length * 16, n_chunks, kc).transpose(1, 0, 2)
+    )
+    nocall_budget = max_mismatches + expected.max_ns_in_barcodes
+    acc = accum_dtype or jnp.int32
+
+    encode_lut = jnp.asarray(ENCODE_LUT)
+    nocall_lut = jnp.asarray(NOCALL_LUT.astype(np.int32))
+
+    @jax.jit
+    def assign(obs_bytes):
+        obs_bytes = obs_bytes.astype(jnp.uint8)
+        b = obs_bytes.shape[0]
+        obs_masks = encode_lut[obs_bytes.astype(jnp.int32)]  # [B, L] uint8
+        onehot = (
+            obs_masks[:, :, None] == jnp.arange(16, dtype=jnp.uint8)[None, None, :]
+        ).astype(jnp.int8)
+        obs16 = onehot.reshape(b, length * 16)
+
+        cc = jnp.asarray(compat_chunks)
+
+        def scan_body(carry, xs):
+            chunk_i, chunk_compat = xs
+            counts = jax.lax.dot_general(
+                obs16,
+                chunk_compat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            counts = jnp.minimum(counts, MAX_COUNT).astype(jnp.int32)
+            # mask out padding columns (global index >= k)
+            col = jnp.arange(kc, dtype=jnp.int32) + chunk_i * kc
+            counts = jnp.where(col[None, :] < k, counts, MAX_COUNT)
+            cb, ci, cn = _chunk_top2(counts)
+            ci = ci + chunk_i * kc
+            return merge_top2(carry, (cb, ci, cn)), None
+
+        init = (
+            jnp.full((b,), MAX_COUNT, dtype=jnp.int32),
+            jnp.full((b,), k, dtype=jnp.int32),
+            jnp.full((b,), MAX_COUNT, dtype=jnp.int32),
+        )
+        if n_chunks == 1:
+            (best, bidx, nxt), _ = scan_body(init, (jnp.int32(0), cc[0]))
+        else:
+            (best, bidx, nxt), _ = jax.lax.scan(
+                scan_body, init, (jnp.arange(n_chunks, dtype=jnp.int32), cc)
+            )
+
+        nocalls = jnp.sum(nocall_lut[obs_bytes.astype(jnp.int32)], axis=1)
+        ok = (
+            (nocalls <= nocall_budget)
+            & (best <= max_mismatches)
+            & (nxt - best >= min_mismatch_delta)
+        )
+        assigned = jnp.where(ok, bidx, k).astype(jnp.int32)
+        return assigned, best, nxt
+
+    return assign

@@ -1,0 +1,467 @@
+"""The demux pipeline: host streaming + device batch matching + routed output.
+
+TPU-native re-design of the reference's ``Demux::execute``
+(``/root/reference/src/bin/commands/demux.rs:881-1001``).  The reference is a
+record-at-a-time loop (parse -> extract -> match via scalar hamming with a
+memo cache -> write).  Here the pipeline is batch-oriented:
+
+1. host parses FASTQ records and extracts read-structure segments,
+2. observed sample barcodes are packed into a fixed-shape ``[B, L]`` uint8
+   byte matrix (too-short/too-long rows handled host-side, matching the
+   reference's gates),
+3. one jitted device call computes all assignments for the batch
+   (:func:`fqtk_tpu.ops.matcher.make_assign_fn`),
+4. assignments come back as an index vector and records are routed to
+   per-sample BGZF writers; metrics are accumulated with ``np.bincount``.
+
+Behavioral contract (error strings, skip-reason accounting, header rewriting,
+output naming ``{sample_id}.{R|I|U|C}{n}.fq.gz``, ``demux-metrics.txt``)
+follows the reference exactly; see the assertions cited inline.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.encoding import count_nocalls, decode, encode
+from ..core.headers import rewrite_header
+from ..core.read_structure import (
+    FILE_TYPE_CODE,
+    ReadStructure,
+    ReadStructureError,
+    SegmentType,
+)
+from ..core.samples import SampleGroup
+from ..io.fastq import BgzfWriter, FastqReader, open_reader
+from ..ops.matcher import ExpectedSet, assign_batch_np
+from ..utils.floatfmt import format_f64
+
+logger = logging.getLogger("fqtk")
+
+#: fixed iteration order of segment-type writers (reference ``demux.rs:397-402``)
+_TYPE_ORDER = (
+    SegmentType.Template,
+    SegmentType.SampleBarcode,
+    SegmentType.MolecularBarcode,
+    SegmentType.CellularBarcode,
+)
+
+
+class DemuxError(RuntimeError):
+    pass
+
+
+@dataclass
+class DemuxConfig:
+    inputs: List[Path]
+    read_structures: List[str]
+    sample_metadata: Path
+    output: Path
+    output_types: List[str] = field(default_factory=lambda: ["T"])
+    unmatched_prefix: str = "unmatched"
+    max_mismatches: int = 1
+    min_mismatch_delta: int = 2
+    threads: int = 8
+    compression_level: int = 5
+    skip_reasons: List[str] = field(default_factory=list)
+    # engine extensions (not in the reference CLI)
+    batch_size: int = 1 << 16
+    engine: str = "auto"  # auto | jax | numpy
+
+
+@dataclass
+class DemuxResult:
+    metrics: List[dict]
+    skip_counts: Dict[str, int]
+    total_templates: int
+
+
+class SampleWriters:
+    """Per-sample writers, one per (requested output type, segment index)."""
+
+    def __init__(
+        self,
+        name: str,
+        output_dir: Path,
+        read_structures: Sequence[ReadStructure],
+        output_types: Sequence[SegmentType],
+        compression_level: int,
+    ):
+        self.name = name
+        self.writers: Dict[SegmentType, List[BgzfWriter]] = {}
+        for seg_type in output_types:
+            count = sum(len(rs.segments_by_type(seg_type)) for rs in read_structures)
+            code = FILE_TYPE_CODE[seg_type]
+            ws = [
+                BgzfWriter(
+                    output_dir / f"{name}.{code}{idx}.fq.gz", compression_level
+                )
+                for idx in range(1, count + 1)
+            ]
+            self.writers[seg_type] = ws
+
+    def write(
+        self,
+        header: bytes,
+        segs_by_type: Dict[SegmentType, List[Tuple[bytes, bytes]]],
+        barcode_seqs: List[bytes],
+        umi_seqs: List[bytes],
+    ) -> None:
+        for seg_type in _TYPE_ORDER:
+            writers = self.writers.get(seg_type)
+            if writers is None:
+                continue
+            segs = segs_by_type.get(seg_type, ())
+            for read_idx, (writer, (seq, qual)) in enumerate(zip(writers, segs)):
+                head = rewrite_header(header, read_idx + 1, barcode_seqs, umi_seqs)
+                writer.write(head + b"\n" + seq + b"\n+\n" + qual + b"\n")
+
+    def close(self) -> None:
+        for ws in self.writers.values():
+            for w in ws:
+                w.close()
+
+
+def _parse_output_types(chars: Sequence[str]) -> List[SegmentType]:
+    types: List[SegmentType] = []
+    for c in chars:
+        types.append(SegmentType.from_char(c))
+    # de-dup, stable order
+    seen = set()
+    out = []
+    for t in types:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def validate_and_prepare(cfg: DemuxConfig):
+    """Input validation, mirroring ``demux.rs:806-875`` (messages included)."""
+    errors: List[str] = []
+
+    if len(cfg.inputs) != len(cfg.read_structures):
+        errors.append(
+            "The same number of read structures should be given as FASTQs "
+            f"{len(cfg.read_structures)} read-structures provided for "
+            f"{len(cfg.inputs)} FASTQs"
+        )
+
+    output = Path(cfg.output)
+    if not output.exists():
+        logger.info('Output directory "%s" didn\'t exist, creating it.', output)
+        output.mkdir(parents=True, exist_ok=True)
+
+    if not os.access(output, os.W_OK):
+        # NB: "Ouput" typo is the reference's operator-facing text (demux.rs:826)
+        errors.append(f'Ouput directory "{output}" cannot be read-only')
+
+    output_types: Optional[List[SegmentType]] = None
+    try:
+        output_types = _parse_output_types(cfg.output_types)
+    except ReadStructureError as e:
+        errors.append(f"Error parsing segment types to report: {e}")
+
+    for inp in cfg.inputs:
+        if not Path(inp).exists():
+            errors.append(f'Provided input file "{inp}" doesn\'t exist')
+
+    if cfg.threads < 5:
+        errors.append(
+            f"Threads provided {cfg.threads} was too low! Must be 5 or more."
+        )
+
+    if not errors and output_types is not None and not output_types:
+        errors.append(
+            "No output types requested, must request at least one output segment type."
+        )
+
+    if errors:
+        details = "Inputs failed validation!\n"
+        for e in errors:
+            details += f"    - {e}\n"
+        raise DemuxError(
+            f"The following errors with the input(s) were detected:\n{details}"
+        )
+    assert output_types is not None
+    return output, output_types
+
+
+def _too_few_bases_allowed(cfg: DemuxConfig) -> bool:
+    allowed = set()
+    for s in cfg.skip_reasons:
+        if s in ("too few bases", "too-few-bases", "toofewbases"):
+            allowed.add("TooFewBases")
+        else:
+            raise DemuxError(f"Invalid skip reason: {s}")
+    return "TooFewBases" in allowed
+
+
+def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet):
+    """Return a ``obs[B, L] uint8 -> assigned[B] int32`` callable.
+
+    ``assigned == K`` denotes unmatched.
+    """
+    engine = cfg.engine
+    if engine == "auto":
+        try:
+            import jax  # noqa: F401
+
+            engine = "jax"
+        except Exception:  # pragma: no cover
+            engine = "numpy"
+    if engine == "jax":
+        from ..ops.matcher import make_assign_fn
+
+        fn = make_assign_fn(expected, cfg.max_mismatches, cfg.min_mismatch_delta)
+
+        def assign(obs: np.ndarray) -> np.ndarray:
+            idx, _, _ = fn(obs)
+            return np.asarray(idx)
+
+        return assign
+
+    def assign_np(obs: np.ndarray) -> np.ndarray:
+        idx, _, _ = assign_batch_np(
+            obs, expected, cfg.max_mismatches, cfg.min_mismatch_delta
+        )
+        return np.where(idx < 0, expected.count, idx).astype(np.int32)
+
+    return assign_np
+
+
+def run_demux(cfg: DemuxConfig) -> DemuxResult:
+    output, output_types = validate_and_prepare(cfg)
+    skip_too_few = _too_few_bases_allowed(cfg)
+
+    sample_group = SampleGroup.from_file(cfg.sample_metadata)
+    logger.info(
+        "%d samples loaded from file %s", len(sample_group.samples), cfg.sample_metadata
+    )
+
+    structures = [ReadStructure.from_str(s) for s in cfg.read_structures]
+    min_lens = [rs.min_length() for rs in structures]
+
+    expected = ExpectedSet.from_barcodes([s.barcode for s in sample_group.samples])
+    bc_len = expected.length
+    k = expected.count
+    nocall_budget = cfg.max_mismatches + expected.max_ns_in_barcodes
+    assign = _make_assigner(cfg, expected)
+
+    readers = [
+        FastqReader(open_reader(p), str(p)) for p in cfg.inputs
+    ]
+
+    writer_sets = [
+        SampleWriters(s.sample_id, output, structures, output_types, cfg.compression_level)
+        for s in sample_group.samples
+    ]
+    writer_sets.append(
+        SampleWriters(
+            cfg.unmatched_prefix, output, structures, output_types, cfg.compression_level
+        )
+    )
+    logger.info("Created sample and %s writers.", cfg.unmatched_prefix)
+
+    counts = np.zeros(k + 1, dtype=np.int64)
+    skip_counts: Dict[str, int] = {}
+    total = 0
+    batch_size = cfg.batch_size
+
+    # batch buffers
+    headers: List[bytes] = []
+    seg_lists: List[list] = []  # per template: [(kind, seq, qual), ...]
+    barcodes: List[bytes] = []
+
+    def flush_batch() -> None:
+        nonlocal total
+        b = len(headers)
+        if b == 0:
+            return
+        obs = np.full((batch_size, bc_len), ord("A"), dtype=np.uint8)
+        override = {}  # row -> forced index (K = unmatched)
+        for row, bc in enumerate(barcodes):
+            if len(bc) == bc_len:
+                obs[row] = np.frombuffer(bc, dtype=np.uint8)
+            elif len(bc) < bc_len:
+                override[row] = k  # reference: assign() -> None (demux len gate)
+            else:
+                # reference order: no-call gate fires before the length panic
+                # (barcode_matching.rs:165-186)
+                if count_nocalls(bc) > nocall_budget:
+                    override[row] = k
+                else:
+                    s0 = sample_group.samples[0]
+                    obs_str = decode(encode(bc))
+                    raise DemuxError(
+                        f"Read barcode ({obs_str}) length ({len(bc)}) differs from "
+                        f"expected barcode ({s0.barcode.upper()}) length ({bc_len}) "
+                        f"for sample {s0.sample_id}"
+                    )
+        assigned = assign(obs)[:b]
+        for row, forced in override.items():
+            if row < b:
+                assigned[row] = forced
+        counts[: k + 1] += np.bincount(assigned, minlength=k + 1)
+
+        for row in range(b):
+            idx = int(assigned[row])
+            segs = seg_lists[row]
+            segs_by_type: Dict[SegmentType, List[Tuple[bytes, bytes]]] = {}
+            bc_seqs: List[bytes] = []
+            umi_seqs: List[bytes] = []
+            for kind, seq, qual in segs:
+                segs_by_type.setdefault(kind, []).append((seq, qual))
+                if kind == SegmentType.SampleBarcode:
+                    bc_seqs.append(seq)
+                elif kind == SegmentType.MolecularBarcode:
+                    umi_seqs.append(seq)
+            writer_sets[idx].write(headers[row], segs_by_type, bc_seqs, umi_seqs)
+            total += 1
+            if total % 1_000_000 == 0:
+                logger.info("fqtk: %s records demultiplexed", f"{total:,}")
+        headers.clear()
+        seg_lists.clear()
+        barcodes.clear()
+
+    while True:
+        recs = []
+        for r in readers:
+            rec = next(r, None)
+            if rec is not None:
+                recs.append(rec)
+        if not recs:
+            break
+
+        # per-input min-length gate (reference demux.rs:298-314)
+        skip_template = False
+        for rec, rs, min_len in zip(recs, structures, min_lens):
+            if len(rec.seq) < min_len:
+                if skip_too_few:
+                    skip_template = True
+                else:
+                    raise DemuxError(
+                        f"Read {rec.head.decode('utf-8', 'replace')} had too few bases "
+                        f"to demux {len(rec.seq)} vs. {min_len} needed in read "
+                        f"structure {rs}."
+                    )
+        # reference order: skip-reason check precedes the sync assert
+        # (demux.rs:954-966)
+        if skip_template:
+            skip_counts["TooFewBases"] = skip_counts.get("TooFewBases", 0) + 1
+            continue
+        if len(recs) != len(readers):
+            raise DemuxError(
+                f"FASTQ sources out of sync at records: {[r.head for r in recs]}"
+            )
+
+        segs: list = []
+        bc_parts: List[bytes] = []
+        for rec, rs in zip(recs, structures):
+            for seg_index, seg in enumerate(rs):
+                try:
+                    seq, qual = seg.extract_bases_and_quals(rec.seq, rec.qual)
+                except ReadStructureError as e:
+                    raise DemuxError(
+                        f"Error extracting bases (len: {len(rec.seq)}) or quals "
+                        f"(len: {len(rec.qual)}) for the {seg_index}th read segment "
+                        f"({seg}) in read structure ({rs}) from FASTQ record with "
+                        f"name {rec.head.decode('utf-8', 'replace')}; {e}"
+                    ) from None
+                segs.append((seg.kind, seq, qual))
+                if seg.kind == SegmentType.SampleBarcode:
+                    bc_parts.append(seq)
+
+        headers.append(recs[0].head)
+        seg_lists.append(segs)
+        barcodes.append(b"".join(bc_parts))
+        if len(headers) >= batch_size:
+            flush_batch()
+
+    flush_batch()
+
+    logger.info("Finished reading input FASTQs.")
+    for ws in writer_sets:
+        ws.close()
+    for r in readers:
+        r.close()
+    logger.info("Output FASTQ writing complete.")
+
+    if not skip_counts:
+        logger.info("No records were skipped.")
+    else:
+        for reason, count in sorted(skip_counts.items(), key=lambda kv: kv[1]):
+            logger.info("%d records were skipped due to Too few bases", count)
+
+    metrics = compute_metrics(sample_group, counts, cfg.unmatched_prefix)
+    write_metrics(output / "demux-metrics.txt", metrics)
+    return DemuxResult(
+        metrics=metrics, skip_counts=skip_counts, total_templates=int(counts.sum())
+    )
+
+
+def compute_metrics(
+    sample_group: SampleGroup, counts: np.ndarray, unmatched_prefix: str
+) -> List[dict]:
+    """Derived metrics per sample (reference ``demux.rs:481-496``)."""
+    n = len(sample_group.samples)
+    templates = counts[:n].astype(np.float64)
+    unmatched = np.float64(counts[n])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sample_total = templates.sum()
+        total = sample_total + unmatched
+        mean = sample_total / np.float64(n)
+        best = np.float64(templates.max() if n else 0.0)
+        rows = []
+        for i, s in enumerate(sample_group.samples):
+            t = templates[i]
+            rows.append(
+                dict(
+                    sample_id=s.sample_id,
+                    barcode=s.barcode,
+                    templates=int(t),
+                    frac_templates=float(t / total),
+                    ratio_to_mean=float(t / mean),
+                    ratio_to_best=float(t / best),
+                )
+            )
+        rows.append(
+            dict(
+                sample_id=unmatched_prefix,
+                barcode=".",
+                templates=int(unmatched),
+                frac_templates=float(unmatched / total),
+                ratio_to_mean=float(unmatched / mean),
+                ratio_to_best=float(unmatched / best),
+            )
+        )
+    return rows
+
+
+def write_metrics(path: Path, metrics: List[dict]) -> None:
+    cols = [
+        "sample_id",
+        "barcode",
+        "templates",
+        "frac_templates",
+        "ratio_to_mean",
+        "ratio_to_best",
+    ]
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\t".join(cols) + "\n")
+        for row in metrics:
+            fields = [
+                str(row["sample_id"]),
+                str(row["barcode"]),
+                str(row["templates"]),
+                format_f64(row["frac_templates"]),
+                format_f64(row["ratio_to_mean"]),
+                format_f64(row["ratio_to_best"]),
+            ]
+            fh.write("\t".join(fields) + "\n")

@@ -1,0 +1,243 @@
+"""Synchronized Bernoulli subsampling of parallel FASTQ files.
+
+Equivalent of the reference's ``subsample`` command
+(``/root/reference/src/bin/commands/subsample.rs``): one ChaCha8 ``f64`` draw
+per record set (drawn BEFORE reading, ``subsample.rs:232``), lockstep
+iteration over all inputs, read-name sync checking against file 0, and
+verbatim pass-through of kept records to BGZF outputs named
+``{output}.R{i}.fq.gz``.
+
+Seed semantics: with ``--seed``, the keep/drop mask is bit-identical to the
+reference (same ChaCha8 stream, see :mod:`fqtk_tpu.utils.chacha`).  Without a
+seed the reference derives one by Rust's ``DefaultHasher`` over its CLI
+struct (``subsample.rs:122-129``) — a Rust-std-internal encoding we do not
+reproduce; instead we derive a deterministic seed by SHA-256 over the same
+parameter tuple.  Both are deterministic for identical inputs; the streams
+differ.  This deviation is documented in the CLI help.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional
+
+from ..io.fastq import BUFFER_SIZE, BgzfWriter, open_reader
+
+logger = logging.getLogger("fqtk")
+
+
+class SubsampleError(RuntimeError):
+    pass
+
+
+def fmt_count(n: int) -> str:
+    """Comma-grouped count formatting (reference ``subsample.rs:21-31``)."""
+    return f"{n:,}"
+
+
+def base_read_name(head: bytes) -> bytes:
+    """Name portion of a FASTQ header: strip comment (space/tab) and a
+    trailing ``/1`` or ``/2`` (reference ``subsample.rs:106-117``)."""
+    name_end = len(head)
+    for i, b in enumerate(head):
+        if b in (0x20, 0x09):
+            name_end = i
+            break
+    name = head[:name_end]
+    if len(name) >= 2 and name[-2:-1] == b"/" and name[-1:] in (b"1", b"2"):
+        return name[:-2]
+    return name
+
+
+@dataclass
+class SubsampleConfig:
+    inputs: List[Path]
+    output: Path
+    fraction: float
+    threads: int = 8
+    compression_level: int = 5
+    seed: Optional[int] = None
+    disable_read_name_checking: bool = False
+
+
+@dataclass
+class SubsampleResult:
+    total_read: int
+    total_kept: int
+    seed: int
+
+
+def effective_seed(cfg: SubsampleConfig) -> int:
+    if cfg.seed is not None:
+        return cfg.seed
+    # deterministic derivation over the full parameter tuple (documented
+    # deviation from the reference's Rust DefaultHasher; see module docstring)
+    h = hashlib.sha256()
+    for p in cfg.inputs:
+        h.update(str(p).encode())
+        h.update(b"\x00")
+    h.update(str(cfg.output).encode())
+    h.update(b"\x00")
+    import struct
+
+    h.update(struct.pack("<d", cfg.fraction))
+    h.update(struct.pack("<qqq", cfg.threads, cfg.compression_level, -1))
+    h.update(b"\x01" if cfg.disable_read_name_checking else b"\x00")
+    return int.from_bytes(h.digest()[:8], "little")
+
+
+def validate(cfg: SubsampleConfig) -> None:
+    """Collected validation errors (reference ``subsample.rs:132-172``)."""
+    errors: List[str] = []
+    if not cfg.inputs:
+        errors.append("At least one input file is required.")
+    for inp in cfg.inputs:
+        if not Path(inp).exists():
+            errors.append(f'Input file "{inp}" does not exist.')
+    if not (0.0 <= cfg.fraction <= 1.0):
+        errors.append(f"Fraction must be in [0.0, 1.0], got {cfg.fraction}.")
+    if cfg.threads < 2:
+        errors.append(f"Threads must be at least 2, got {cfg.threads}.")
+    if not (1 <= cfg.compression_level <= 12):
+        errors.append(
+            f"Compression level must be 1-12, got {cfg.compression_level}."
+        )
+    parent = Path(cfg.output).parent
+    if str(parent) and not parent.exists():
+        errors.append(f'Output parent directory "{parent}" does not exist.')
+    if errors:
+        details = "".join(f"    - {e}\n" for e in errors)
+        raise SubsampleError(
+            f"The following errors with the input(s) were detected:\n{details}"
+        )
+
+
+class _RawFastqReader:
+    """4-line record reader that keeps the separator line verbatim so kept
+    records pass through byte-identically (``rec.write_unchanged``,
+    reference ``subsample.rs:256``).  Line endings are normalized to LF."""
+
+    def __init__(self, stream, name: str):
+        self._stream = stream
+        self._name = name
+
+    def next_record(self):
+        head = self._stream.readline()
+        if not head:
+            return None
+        seq = self._stream.readline()
+        plus = self._stream.readline()
+        qual = self._stream.readline()
+        if not qual:
+            raise SubsampleError(f"{self._name}: truncated FASTQ record {head!r}")
+        if head[:1] != b"@" or plus[:1] != b"+":
+            raise SubsampleError(f"{self._name}: malformed FASTQ record {head!r}")
+        return (
+            head.rstrip(b"\r\n"),
+            seq.rstrip(b"\r\n"),
+            plus.rstrip(b"\r\n"),
+            qual.rstrip(b"\r\n"),
+        )
+
+    def close(self):
+        self._stream.close()
+
+
+def run_subsample(cfg: SubsampleConfig) -> SubsampleResult:
+    validate(cfg)
+
+    seed = effective_seed(cfg)
+    logger.info("Using random seed: %d", seed)
+    from ..utils.chacha import ChaCha8Rng
+
+    rng = ChaCha8Rng(seed)
+
+    sources = [_RawFastqReader(open_reader(p), str(p)) for p in cfg.inputs]
+    writers = [
+        BgzfWriter(f"{cfg.output}.R{i + 1}.fq.gz", cfg.compression_level)
+        for i in range(len(cfg.inputs))
+    ]
+
+    logger.info(
+        "Subsampling %d input file(s) at fraction %.4f to %s",
+        len(cfg.inputs),
+        cfg.fraction,
+        cfg.output,
+    )
+
+    log_unit = 5_000_000
+    num_inputs = len(sources)
+    check_names = not cfg.disable_read_name_checking and num_inputs > 1
+    expected_name = b""
+    total_read = 0
+    total_kept = 0
+
+    # Draw batches of f64s up front (one per record set, in stream order) —
+    # equivalent to the reference's per-iteration draw since draws happen
+    # before reads and exactly once per loop iteration.
+    draw_buf = rng.random_f64_batch(65536)
+    draw_pos = 0
+
+    while True:
+        if draw_pos >= len(draw_buf):
+            draw_buf = rng.random_f64_batch(65536)
+            draw_pos = 0
+        keep = draw_buf[draw_pos] < cfg.fraction
+        draw_pos += 1
+
+        records_found = 0
+        for i, source in enumerate(sources):
+            rec = source.next_record()
+            if rec is None:
+                continue
+            records_found += 1
+            if keep:
+                head, seq, plus, qual = rec
+                if check_names:
+                    name = base_read_name(head[1:])
+                    if i == 0:
+                        expected_name = name
+                    elif name != expected_name:
+                        raise SubsampleError(
+                            f"Read name mismatch at read {total_read + 1}: "
+                            f'file 0="{expected_name.decode("utf-8", "replace")}", '
+                            f'file {i}="{name.decode("utf-8", "replace")}"'
+                        )
+                writers[i].write(head + b"\n" + seq + b"\n" + plus + b"\n" + qual + b"\n")
+
+        if records_found == 0:
+            break
+        if records_found != num_inputs:
+            raise SubsampleError(
+                f"FASTQ files are out of sync: {records_found} of {num_inputs} "
+                f"files had a record at read {total_read + 1}"
+            )
+        total_read += 1
+        if keep:
+            total_kept += 1
+        if total_read % log_unit == 0:
+            pct = total_kept / total_read * 100.0
+            logger.info(
+                "[fqtk subsample] Read %s record sets and wrote %s (%.1f%%).",
+                fmt_count(total_read),
+                fmt_count(total_kept),
+                pct,
+            )
+
+    logger.info("Finished reading input FASTQs.")
+    for w in writers:
+        w.close()
+    for s in sources:
+        s.close()
+
+    pct = total_kept / total_read * 100.0 if total_read > 0 else 0.0
+    logger.info(
+        "[fqtk subsample] Read %s record sets and wrote %s (%.1f%%).",
+        fmt_count(total_read),
+        fmt_count(total_kept),
+        pct,
+    )
+    return SubsampleResult(total_read=total_read, total_kept=total_kept, seed=seed)

@@ -1,0 +1,464 @@
+"""End-to-end demux tests mirroring the reference's integration scenarios
+(``/root/reference/src/bin/commands/demux.rs:1099-2073``), run through both
+the numpy and jax engines."""
+
+import gzip
+
+import pytest
+
+from fqtk_tpu.runtime.demux import DemuxConfig, DemuxError, run_demux
+
+from .util import (
+    SAMPLE1_BARCODE,
+    assert_records,
+    fastq_file,
+    metadata,
+    metadata_file,
+)
+
+ENGINES = ["numpy", "jax"]
+
+
+def _cfg(tmp_path, inputs, read_structures, sample_metadata, output, engine, **kw):
+    defaults = dict(
+        output_types=["T"],
+        unmatched_prefix="unmatched",
+        max_mismatches=1,
+        min_mismatch_delta=2,
+        threads=5,
+        compression_level=5,
+        skip_reasons=[],
+        batch_size=7,  # small to exercise batching paths
+        engine=engine,
+    )
+    defaults.update(kw)
+    return DemuxConfig(
+        inputs=inputs,
+        read_structures=read_structures,
+        sample_metadata=sample_metadata,
+        output=output,
+        **defaults,
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_validate_inputs_can_succeed(tmp_path, engine):
+    inputs = [
+        fastq_file(tmp_path, "read1", "ex", ["GATTACA"]),
+        fastq_file(tmp_path, "read2", "ex", ["TAGGATTA"]),
+        fastq_file(tmp_path, "index1", "ex", [SAMPLE1_BARCODE[0:3]]),
+        fastq_file(tmp_path, "index2", "ex", [SAMPLE1_BARCODE[3:]]),
+    ]
+    cfg = _cfg(
+        tmp_path,
+        inputs,
+        ["+T", "+T", "+B", "+B"],
+        metadata(tmp_path),
+        tmp_path,
+        engine,
+    )
+    run_demux(cfg)
+
+
+def test_different_number_of_read_structs_and_inputs_fails(tmp_path):
+    inputs = [
+        fastq_file(tmp_path, "read1", "ex", ["GATTACA"]),
+        fastq_file(tmp_path, "read2", "ex", ["TAGGATTA"]),
+        fastq_file(tmp_path, "index1", "ex", [SAMPLE1_BARCODE[0:3]]),
+        fastq_file(tmp_path, "index2", "ex", [SAMPLE1_BARCODE[3:]]),
+    ]
+    cfg = _cfg(
+        tmp_path, inputs, ["+T", "+T", "+B"], metadata(tmp_path), tmp_path, "numpy"
+    )
+    with pytest.raises(
+        DemuxError, match="The same number of read structures should be given as FASTQs"
+    ):
+        run_demux(cfg)
+
+
+def test_inputs_doesnt_exist_fails(tmp_path):
+    inputs = [
+        tmp_path / "this_file_does_not_exist.fq",
+        fastq_file(tmp_path, "read2", "ex", ["TAGGATTA"]),
+    ]
+    cfg = _cfg(tmp_path, inputs, ["+T", "+T"], metadata(tmp_path), tmp_path, "numpy")
+    with pytest.raises(DemuxError, match="doesn't exist"):
+        run_demux(cfg)
+
+
+def test_too_few_threads_fails(tmp_path):
+    inputs = [fastq_file(tmp_path, "read1", "ex", ["GATTACA"])]
+    cfg = _cfg(
+        tmp_path, inputs, ["+T"], metadata(tmp_path), tmp_path, "numpy", threads=2
+    )
+    with pytest.raises(DemuxError, match="Threads provided 2 was too low!"):
+        run_demux(cfg)
+
+
+def test_no_output_types_fails(tmp_path):
+    inputs = [fastq_file(tmp_path, "read1", "ex", ["GATTACA"])]
+    cfg = _cfg(
+        tmp_path, inputs, ["+T"], metadata(tmp_path), tmp_path, "numpy", output_types=[]
+    )
+    with pytest.raises(DemuxError, match="No output types requested"):
+        run_demux(cfg)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_fragment_reads(tmp_path, engine):
+    s1_barcode = "AAAAAAAAGATTACAGA"
+    sample_metadata = metadata_file(
+        tmp_path,
+        [s1_barcode, "CCCCCCCCGATTACAGA", "GGGGGGGGGATTACAGA", "GGGGGGTTGATTACAGA"],
+    )
+    inputs = [fastq_file(tmp_path, "ex", "ex", [s1_barcode + "A" * 100])]
+    out = tmp_path / "output"
+    run_demux(_cfg(tmp_path, inputs, ["17B100T"], sample_metadata, out, engine))
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [(b"ex_0 1:N:0:AAAAAAAAGATTACAGA", b"A" * 100, b";" * 100)],
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_output_type_reads(tmp_path, engine):
+    sample_metadata = metadata_file(
+        tmp_path, ["AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT"]
+    )
+    inputs = [
+        fastq_file(
+            tmp_path, "ex", "ex", ["ATCGATCGAT" + "AAAAAAAA" + "GATTACA" + "A" * 100]
+        )
+    ]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["10M8B7C100T"],
+            sample_metadata,
+            out,
+            engine,
+            output_types=["T", "B", "M", "C"],
+        )
+    )
+    head = b"ex_0:ATCGATCGAT 1:N:0:AAAAAAAA"
+    assert_records(out / "Sample0000.R1.fq.gz", [(head, b"A" * 100, b";" * 100)])
+    assert_records(out / "Sample0000.I1.fq.gz", [(head, b"AAAAAAAA", b";" * 8)])
+    assert_records(out / "Sample0000.U1.fq.gz", [(head, b"ATCGATCGAT", b";" * 10)])
+    assert_records(out / "Sample0000.C1.fq.gz", [(head, b"GATTACA", b";" * 7)])
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_with_catchall_barcode(tmp_path, engine):
+    sample_metadata = metadata_file(tmp_path, ["NNNNNNN"])
+    inputs = [fastq_file(tmp_path, "ex", "ex", ["NNNNNNN" + "A" * 100])]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(tmp_path, inputs, ["7B+T"], sample_metadata, out, engine, max_mismatches=0)
+    )
+    assert_records(out / "unmatched.R1.fq.gz", [])
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [(b"ex_0 1:N:0:NNNNNNN", b"A" * 100, b";" * 100)],
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_with_iupac_bases_in_barcode(tmp_path, engine):
+    sample_metadata = metadata_file(tmp_path, ["MMMMMMM", "KKKKKKK"])
+    inputs = [
+        fastq_file(
+            tmp_path,
+            "ex",
+            "ex",
+            [
+                "AAAAAAA" + "A" * 5,
+                "CCCCCCC" + "A" * 5,
+                "ACACACA" + "A" * 5,
+                "GTGTGTG" + "C" * 5,
+                "TGTGTGT" + "C" * 5,
+                "CGCGCGC" + "T" * 5,
+            ],
+        )
+    ]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["7B+T"],
+            sample_metadata,
+            out,
+            engine,
+            max_mismatches=0,
+            min_mismatch_delta=0,
+        )
+    )
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [
+            (b"ex_0 1:N:0:AAAAAAA", b"A" * 5, b";" * 5),
+            (b"ex_1 1:N:0:CCCCCCC", b"A" * 5, b";" * 5),
+            (b"ex_2 1:N:0:ACACACA", b"A" * 5, b";" * 5),
+        ],
+    )
+    assert_records(
+        out / "Sample0001.R1.fq.gz",
+        [
+            (b"ex_3 1:N:0:GTGTGTG", b"C" * 5, b";" * 5),
+            (b"ex_4 1:N:0:TGTGTGT", b"C" * 5, b";" * 5),
+        ],
+    )
+    assert_records(
+        out / "unmatched.R1.fq.gz",
+        [(b"ex_5 1:N:0:CGCGCGC", b"T" * 5, b";" * 5)],
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_with_ns_in_barcode(tmp_path, engine):
+    sample_metadata = metadata_file(tmp_path, ["NNAAAAA", "NNCCCCC"])
+    inputs = [
+        fastq_file(
+            tmp_path,
+            "ex",
+            "ex",
+            ["ANAAAAA" + "A" * 5, "ANCCCCC" + "C" * 5, "NNNAAAA" + "T" * 5],
+        )
+    ]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["7B+T"],
+            sample_metadata,
+            out,
+            engine,
+            max_mismatches=0,
+            min_mismatch_delta=0,
+        )
+    )
+    assert_records(
+        out / "Sample0000.R1.fq.gz", [(b"ex_0 1:N:0:ANAAAAA", b"A" * 5, b";" * 5)]
+    )
+    assert_records(
+        out / "Sample0001.R1.fq.gz", [(b"ex_1 1:N:0:ANCCCCC", b"C" * 5, b";" * 5)]
+    )
+    assert_records(
+        out / "unmatched.R1.fq.gz", [(b"ex_2 1:N:0:NNNAAAA", b"T" * 5, b";" * 5)]
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_paired_reads_with_in_line_sample_barcodes(tmp_path, engine):
+    s1 = "AAAAAAAAGATTACAGA"
+    sample_metadata = metadata_file(
+        tmp_path, [s1, "CCCCCCCCGATTACAGA", "GGGGGGGGGATTACAGA", "GGGGGGTTGATTACAGA"]
+    )
+    inputs = [
+        fastq_file(tmp_path, "ex_R1", "ex", [s1[:8] + "A" * 100]),
+        fastq_file(tmp_path, "ex_R2", "ex", [s1[8:] + "T" * 100]),
+    ]
+    out = tmp_path / "output"
+    run_demux(_cfg(tmp_path, inputs, ["8B100T", "9B100T"], sample_metadata, out, engine))
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [(b"ex_0 1:N:0:AAAAAAAA+GATTACAGA", b"A" * 100, b";" * 100)],
+    )
+    assert_records(
+        out / "Sample0000.R2.fq.gz",
+        [(b"ex_0 2:N:0:AAAAAAAA+GATTACAGA", b"T" * 100, b";" * 100)],
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_dual_indexed_paired_end_reads(tmp_path, engine):
+    s1 = "AAAAAAAAGATTACAGA"
+    sample_metadata = metadata_file(
+        tmp_path, [s1, "CCCCCCCCGATTACAGA", "GGGGGGGGGATTACAGA", "GGGGGGTTGATTACAGA"]
+    )
+    inputs = [
+        fastq_file(tmp_path, "ex_I1", "ex", [s1[:8]]),
+        fastq_file(tmp_path, "ex_R1", "ex", ["A" * 100]),
+        fastq_file(tmp_path, "ex_R2", "ex", ["T" * 100]),
+        fastq_file(tmp_path, "ex_I2", "ex", [s1[8:]]),
+    ]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(tmp_path, inputs, ["8B", "100T", "100T", "9B"], sample_metadata, out, engine)
+    )
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [(b"ex_0 1:N:0:AAAAAAAA+GATTACAGA", b"A" * 100, b";" * 100)],
+    )
+    assert_records(
+        out / "Sample0000.R2.fq.gz",
+        [(b"ex_0 2:N:0:AAAAAAAA+GATTACAGA", b"T" * 100, b";" * 100)],
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_a_wierd_set_of_reads(tmp_path, engine):
+    s1 = "AAAAAAAAGATTACAGA"
+    sample_metadata = metadata_file(
+        tmp_path, [s1, "CCCCCCCCGATTACAGA", "GGGGGGGGGATTACAGA", "GGGGGGTTGATTACAGA"]
+    )
+    inputs = [
+        fastq_file(tmp_path, "example_1", "ex", ["AAAACCCCGGGGTTTT"]),
+        fastq_file(tmp_path, "example_2", "ex", ["A" * 104]),
+        fastq_file(tmp_path, "example_3", "ex", ["T" * 100 + "GAT"]),
+        fastq_file(tmp_path, "example_4", "ex", ["TACAGAAAT"]),
+    ]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["4B4M8S", "4B100T", "100S3B", "6B1S1M1T"],
+            sample_metadata,
+            out,
+            engine,
+        )
+    )
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [(b"ex_0:CCCC+A 1:N:0:AAAA+AAAA+GAT+TACAGA", b"A" * 100, b";" * 100)],
+    )
+    assert_records(
+        out / "Sample0000.R2.fq.gz",
+        [(b"ex_0:CCCC+A 2:N:0:AAAA+AAAA+GAT+TACAGA", b"T", b";")],
+    )
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_multiple_templates_in_one_read(tmp_path, engine):
+    s1 = "AAAAAAAAGATTACAGA"
+    sample_metadata = metadata_file(
+        tmp_path, [s1, "CCCCCCCCGATTACAGA", "GGGGGGGGGATTACAGA", "GGGGGGTTGATTACAGA"]
+    )
+    read = s1 + "A" * 20 + "C" * 20 + "T" * 20 + "C" * 20 + "G" * 20
+    inputs = [fastq_file(tmp_path, "ex", "ex", [read])]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(tmp_path, inputs, ["17B20T20S20T20S20T"], sample_metadata, out, engine)
+    )
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [(b"ex_0 1:N:0:AAAAAAAAGATTACAGA", b"A" * 20, b";" * 20)],
+    )
+    assert_records(
+        out / "Sample0000.R2.fq.gz",
+        [(b"ex_0 2:N:0:AAAAAAAAGATTACAGA", b"T" * 20, b";" * 20)],
+    )
+    assert_records(
+        out / "Sample0000.R3.fq.gz",
+        [(b"ex_0 3:N:0:AAAAAAAAGATTACAGA", b"G" * 20, b";" * 20)],
+    )
+
+
+def test_fails_if_reads_too_short(tmp_path):
+    inputs = [
+        fastq_file(tmp_path, "read1", "ex", ["AAAAAAA", "CCCCCCC", ""]),
+        fastq_file(
+            tmp_path,
+            "index1",
+            "ex",
+            [SAMPLE1_BARCODE[0:7], SAMPLE1_BARCODE, SAMPLE1_BARCODE],
+        ),
+    ]
+    cfg = _cfg(
+        tmp_path,
+        inputs,
+        ["+T", "7B"],
+        metadata(tmp_path),
+        tmp_path / "output",
+        "numpy",
+        output_types=["T", "B"],
+    )
+    with pytest.raises(
+        DemuxError,
+        match=r"Read ex_2 had too few bases to demux 0 vs. 1 needed in read structure \+T.",
+    ):
+        run_demux(cfg)
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_skip_reads_too_short(tmp_path, engine):
+    inputs = [
+        fastq_file(tmp_path, "read1", "ex", ["AAAAAAA", "CCCCCCC", ""]),
+        fastq_file(
+            tmp_path,
+            "index1",
+            "ex",
+            [SAMPLE1_BARCODE[0:7], SAMPLE1_BARCODE, SAMPLE1_BARCODE],
+        ),
+    ]
+    out = tmp_path / "output"
+    result = run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["+T", "7B"],
+            metadata(tmp_path),
+            out,
+            engine,
+            output_types=["T", "B"],
+            skip_reasons=["too-few-bases"],
+        )
+    )
+    assert result.skip_counts == {"TooFewBases": 1}
+    metrics = {m["sample_id"]: m for m in result.metrics}
+    assert sum(m["templates"] for m in result.metrics) == 2
+    assert metrics["Sample0000"]["templates"] == 2
+    from fqtk_tpu.io.fastq import read_fastq
+
+    assert len(read_fastq(out / "Sample0000.R1.fq.gz")) == 2
+    assert len(read_fastq(out / "Sample0000.I1.fq.gz")) == 2
+
+
+def test_metrics_file_contents(tmp_path):
+    sample_metadata = metadata_file(tmp_path, ["AAAA", "CCCC"])
+    inputs = [
+        fastq_file(
+            tmp_path,
+            "ex",
+            "ex",
+            ["AAAA" + "G" * 10, "AAAA" + "G" * 10, "CCCC" + "G" * 10, "TTTT" + "G" * 10],
+        )
+    ]
+    out = tmp_path / "output"
+    run_demux(_cfg(tmp_path, inputs, ["4B+T"], sample_metadata, out, "numpy"))
+    lines = (out / "demux-metrics.txt").read_text().splitlines()
+    assert lines[0] == "sample_id\tbarcode\ttemplates\tfrac_templates\tratio_to_mean\tratio_to_best"
+    # Sample0000: 2 templates; Sample0001: 1; unmatched: 1; total 4; mean 1.5; best 2
+    assert lines[1] == "Sample0000\tAAAA\t2\t0.5\t1.3333333333333333\t1.0"
+    assert lines[2] == "Sample0001\tCCCC\t1\t0.25\t0.6666666666666666\t0.5"
+    assert lines[3] == "unmatched\t.\t1\t0.25\t0.6666666666666666\t0.5"
+
+
+def test_outputs_are_gzip_readable(tmp_path):
+    sample_metadata = metadata_file(tmp_path, ["AAAA"])
+    inputs = [fastq_file(tmp_path, "ex", "ex", ["AAAA" + "G" * 10])]
+    out = tmp_path / "output"
+    run_demux(_cfg(tmp_path, inputs, ["4B+T"], sample_metadata, out, "numpy"))
+    with gzip.open(out / "Sample0000.R1.fq.gz", "rb") as fh:
+        data = fh.read()
+    assert data == b"@ex_0 1:N:0:AAAA\nGGGGGGGGGG\n+\n;;;;;;;;;;\n"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_gzip_inputs(tmp_path, engine):
+    import gzip as gz
+
+    sample_metadata = metadata_file(tmp_path, ["AAAA"])
+    raw = fastq_file(tmp_path, "ex", "ex", ["AAAA" + "G" * 10])
+    gz_path = tmp_path / "ex.fastq.gz"
+    with gz.open(gz_path, "wb") as fh:
+        fh.write(raw.read_bytes())
+    out = tmp_path / "output"
+    run_demux(_cfg(tmp_path, [gz_path], ["4B+T"], sample_metadata, out, engine))
+    assert_records(
+        out / "Sample0000.R1.fq.gz", [(b"ex_0 1:N:0:AAAA", b"G" * 10, b";" * 10)]
+    )

@@ -1,0 +1,73 @@
+"""Encoding tests mirroring the reference's ``mod.rs`` test block
+(``/root/reference/src/lib/mod.rs:94-169``)."""
+
+import numpy as np
+import pytest
+
+from fqtk_tpu.core.encoding import (
+    DNA_BASES,
+    IUPAC_BASES,
+    IUPAC_MASKS,
+    byte_is_nocall,
+    count_nocalls,
+    decode,
+    encode,
+    is_valid_iupac,
+)
+
+
+def test_byte_is_no_call():
+    for b in b"Nn.":
+        assert byte_is_nocall(b)
+    for b in b"ACGTacgt":
+        assert not byte_is_nocall(b)
+
+
+def test_is_valid_iupac():
+    for b in b"Nn.":
+        assert is_valid_iupac(b)
+    for b in b"acgt":
+        assert not is_valid_iupac(b)
+    for b in IUPAC_BASES:
+        assert is_valid_iupac(b)
+
+
+def test_encode_dna_bases():
+    for b in DNA_BASES:
+        assert encode(bytes([b]))[0] == IUPAC_MASKS[b]
+
+
+def test_decode_dna_bases():
+    assert decode(encode(DNA_BASES)).encode() == DNA_BASES
+
+
+def test_encode_iupac_bases():
+    for b in IUPAC_BASES:
+        assert encode(bytes([b]))[0] == IUPAC_MASKS[b]
+
+
+def test_decode_iupac_bases():
+    assert decode(encode(IUPAC_BASES)).encode() == IUPAC_BASES
+
+
+def test_encode_no_calls():
+    for b in b"Nn.":
+        assert encode(bytes([b]))[0] == 15
+
+
+def test_decode_no_calls():
+    assert decode(encode(b"Nn.")) == "NNN"
+
+
+def test_lowercase_encodes_like_uppercase():
+    assert np.array_equal(encode(b"acgtu"), encode(b"ACGTU"))
+
+
+def test_invalid_bytes_encode_to_zero():
+    assert encode(b"XZ@!")[0] == 0
+    with pytest.raises(ValueError, match="Invalid bit mask"):
+        decode(encode(b"X"))
+
+
+def test_count_nocalls():
+    assert count_nocalls(b"AN.nT") == 3

@@ -1,0 +1,113 @@
+"""FASTQ reader and BGZF writer tests."""
+
+import gzip
+import struct
+
+import pytest
+
+from fqtk_tpu.io.fastq import (
+    _BGZF_EOF,
+    BgzfWriter,
+    FastqParseError,
+    FastqReader,
+    open_reader,
+    read_fastq,
+)
+
+
+def test_bgzf_roundtrip(tmp_path):
+    p = tmp_path / "x.gz"
+    data = b"hello bgzf world\n" * 1000
+    with BgzfWriter(p, 5) as w:
+        w.write(data)
+    with gzip.open(p, "rb") as fh:
+        assert fh.read() == data
+
+
+def test_bgzf_empty_file_has_eof_block(tmp_path):
+    p = tmp_path / "x.gz"
+    BgzfWriter(p, 5).close()
+    raw = p.read_bytes()
+    assert raw == _BGZF_EOF
+    with gzip.open(p, "rb") as fh:
+        assert fh.read() == b""
+
+
+def test_bgzf_blocks_are_valid(tmp_path):
+    p = tmp_path / "x.gz"
+    data = bytes(range(256)) * 2000  # > one block
+    with BgzfWriter(p, 5) as w:
+        w.write(data)
+    raw = p.read_bytes()
+    # walk BGZF members via BSIZE fields
+    pos = 0
+    members = 0
+    while pos < len(raw):
+        assert raw[pos : pos + 2] == b"\x1f\x8b"
+        bsize = struct.unpack("<H", raw[pos + 16 : pos + 18])[0]
+        pos += bsize + 1
+        members += 1
+    assert pos == len(raw)
+    assert members >= 3  # >= 2 data blocks + EOF
+    with gzip.open(p, "rb") as fh:
+        assert fh.read() == data
+
+
+def test_bgzf_compresses_incompressible(tmp_path):
+    import random
+
+    random.seed(0)
+    data = bytes(random.getrandbits(8) for _ in range(200_000))
+    p = tmp_path / "x.gz"
+    with BgzfWriter(p, 1) as w:
+        w.write(data)
+    with gzip.open(p, "rb") as fh:
+        assert fh.read() == data
+
+
+def test_fastq_reader_plain(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@r1 comment\nACGT\n+\nIIII\n@r2\nGG\n+r2\n##\n")
+    recs = read_fastq(p)
+    assert recs[0].head == b"r1 comment"
+    assert recs[0].seq == b"ACGT"
+    assert recs[0].qual == b"IIII"
+    assert recs[1].head == b"r2"
+    assert recs[1].seq == b"GG"
+
+
+def test_fastq_reader_gzip(tmp_path):
+    p = tmp_path / "t.fq.gz"
+    with gzip.open(p, "wb") as fh:
+        fh.write(b"@r1\nACGT\n+\nIIII\n")
+    recs = read_fastq(p)
+    assert recs[0].seq == b"ACGT"
+
+
+def test_fastq_reader_crlf(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@r1\r\nACGT\r\n+\r\nIIII\r\n")
+    recs = read_fastq(p)
+    assert recs[0].head == b"r1"
+    assert recs[0].seq == b"ACGT"
+
+
+def test_fastq_reader_malformed_header(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"r1\nACGT\n+\nIIII\n")
+    with pytest.raises(FastqParseError, match="must start with '@'"):
+        read_fastq(p)
+
+
+def test_fastq_reader_truncated(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@r1\nACGT\n+\n")
+    with pytest.raises(FastqParseError, match="truncated"):
+        read_fastq(p)
+
+
+def test_fastq_reader_length_mismatch(tmp_path):
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@r1\nACGT\n+\nII\n")
+    with pytest.raises(FastqParseError, match="lengths differ"):
+        read_fastq(p)

@@ -1,0 +1,177 @@
+"""Subsample tests mirroring ``/root/reference/src/bin/commands/subsample.rs:307-841``
+plus ChaCha8 stream verification."""
+
+import numpy as np
+import pytest
+
+from fqtk_tpu.io.fastq import read_fastq
+from fqtk_tpu.runtime.subsample import (
+    SubsampleConfig,
+    SubsampleError,
+    base_read_name,
+    effective_seed,
+    fmt_count,
+    run_subsample,
+)
+from fqtk_tpu.utils.chacha import ChaCha8Rng, chacha_blocks, seed_from_u64
+
+from .util import fastq_file
+
+
+def test_fmt_count():
+    assert fmt_count(0) == "0"
+    assert fmt_count(999) == "999"
+    assert fmt_count(1000) == "1,000"
+    assert fmt_count(1234567) == "1,234,567"
+
+
+def test_base_read_name():
+    assert base_read_name(b"read1/1") == b"read1"
+    assert base_read_name(b"read1/2") == b"read1"
+    assert base_read_name(b"read1/3") == b"read1/3"
+    assert base_read_name(b"read1 comment") == b"read1"
+    assert base_read_name(b"read1\tcomment") == b"read1"
+    assert base_read_name(b"read1/1 comment") == b"read1"
+    assert base_read_name(b"r") == b"r"
+
+
+def test_chacha8_zero_key_known_answer():
+    """ChaCha8 keystream for the all-zero key/nonce (ECRYPT test vector)."""
+    key = np.zeros(8, dtype=np.uint32)
+    block = chacha_blocks(key, 0, 1, rounds=8)[0]
+    stream = block.astype("<u4").tobytes()
+    assert stream[:16].hex() == "3e00ef2f895f40d67f5bb8e81f09a5a1"
+    assert stream[16:32].hex() == "2c840ec3ce9a7f3b181be188ef711a1e"
+
+
+def test_chacha20_rfc_vector():
+    """Same core with 20 rounds must match the original DJB/ECRYPT ChaCha20
+    zero-key vector (sanity check of the round function)."""
+    key = np.zeros(8, dtype=np.uint32)
+    block = chacha_blocks(key, 0, 1, rounds=20)[0]
+    stream = block.astype("<u4").tobytes()
+    assert stream[:16].hex() == "76b8e0ada0f13d90405d6ae55386bd28"
+
+
+def test_seed_from_u64_deterministic():
+    a = seed_from_u64(42)
+    b = seed_from_u64(42)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, seed_from_u64(43))
+
+
+def test_rng_streams_contiguous():
+    r1 = ChaCha8Rng(7)
+    r2 = ChaCha8Rng(7)
+    a = r1.next_u64_batch(1000)
+    b = np.concatenate([r2.next_u64_batch(333), r2.next_u64_batch(667)])
+    assert np.array_equal(a, b)
+
+
+def test_f64_in_unit_interval():
+    r = ChaCha8Rng(1)
+    x = r.random_f64_batch(10000)
+    assert (x >= 0).all() and (x < 1).all()
+    assert abs(x.mean() - 0.5) < 0.02
+
+
+def _run(tmp_path, inputs, fraction, seed=None, **kw):
+    cfg = SubsampleConfig(
+        inputs=inputs,
+        output=tmp_path / "out",
+        fraction=fraction,
+        threads=2,
+        compression_level=5,
+        seed=seed,
+        **kw,
+    )
+    return run_subsample(cfg)
+
+
+def test_subsample_all(tmp_path):
+    bases = [f"{'ACGT' * 3}" for _ in range(10)]
+    fq = fastq_file(tmp_path, "in", "r", bases)
+    res = _run(tmp_path, [fq], 1.0, seed=42)
+    assert res.total_read == 10 and res.total_kept == 10
+    recs = read_fastq(tmp_path / "out.R1.fq.gz")
+    assert len(recs) == 10
+    assert recs[0].head == b"r_0"
+
+
+def test_subsample_none(tmp_path):
+    fq = fastq_file(tmp_path, "in", "r", ["ACGT"] * 10)
+    res = _run(tmp_path, [fq], 0.0, seed=42)
+    assert res.total_kept == 0
+    assert read_fastq(tmp_path / "out.R1.fq.gz") == []
+
+
+def test_subsample_deterministic_with_seed(tmp_path):
+    fq = fastq_file(tmp_path, "in", "r", ["ACGT"] * 100)
+    r1 = _run(tmp_path, [fq], 0.5, seed=42)
+    k1 = [r.head for r in read_fastq(tmp_path / "out.R1.fq.gz")]
+    r2 = _run(tmp_path, [fq], 0.5, seed=42)
+    k2 = [r.head for r in read_fastq(tmp_path / "out.R1.fq.gz")]
+    assert k1 == k2
+    assert 0 < r1.total_kept < 100
+    assert r1.total_kept == r2.total_kept
+
+
+def test_subsample_deterministic_without_seed(tmp_path):
+    fq = fastq_file(tmp_path, "in", "r", ["ACGT"] * 100)
+    r1 = _run(tmp_path, [fq], 0.5)
+    r2 = _run(tmp_path, [fq], 0.5)
+    assert r1.seed == r2.seed
+    assert r1.total_kept == r2.total_kept
+
+
+def test_subsample_paired_lockstep(tmp_path):
+    n = 50
+    fq1 = fastq_file(tmp_path, "r1", "q", ["AAAA"] * n)
+    fq2 = fastq_file(tmp_path, "r2", "q", ["CCCC"] * n)
+    _run(tmp_path, [fq1, fq2], 0.5, seed=1)
+    k1 = [r.head for r in read_fastq(tmp_path / "out.R1.fq.gz")]
+    k2 = [r.head for r in read_fastq(tmp_path / "out.R2.fq.gz")]
+    assert k1 == k2
+
+
+def test_subsample_name_mismatch_fails(tmp_path):
+    fq1 = fastq_file(tmp_path, "r1", "qa", ["AAAA"] * 5)
+    fq2 = fastq_file(tmp_path, "r2", "qb", ["CCCC"] * 5)
+    with pytest.raises(SubsampleError, match="Read name mismatch"):
+        _run(tmp_path, [fq1, fq2], 1.0, seed=1)
+
+
+def test_subsample_name_mismatch_ok_when_disabled(tmp_path):
+    fq1 = fastq_file(tmp_path, "r1", "qa", ["AAAA"] * 5)
+    fq2 = fastq_file(tmp_path, "r2", "qb", ["CCCC"] * 5)
+    _run(tmp_path, [fq1, fq2], 1.0, seed=1, disable_read_name_checking=True)
+
+
+def test_subsample_out_of_sync_fails(tmp_path):
+    fq1 = fastq_file(tmp_path, "r1", "q", ["AAAA"] * 5)
+    fq2 = fastq_file(tmp_path, "r2", "q", ["CCCC"] * 3)
+    with pytest.raises(SubsampleError, match="out of sync"):
+        _run(tmp_path, [fq1, fq2], 1.0, seed=1, disable_read_name_checking=True)
+
+
+def test_validation_errors_collected(tmp_path):
+    cfg = SubsampleConfig(
+        inputs=[tmp_path / "nope.fq"],
+        output=tmp_path / "missing_dir" / "out",
+        fraction=1.5,
+        threads=1,
+        compression_level=0,
+    )
+    with pytest.raises(SubsampleError) as exc:
+        run_subsample(cfg)
+    msg = str(exc.value)
+    assert "does not exist." in msg
+    assert "Fraction must be in [0.0, 1.0], got 1.5." in msg
+    assert "Threads must be at least 2, got 1." in msg
+    assert "Compression level must be 1-12, got 0." in msg
+    assert "Output parent directory" in msg
+
+
+def test_effective_seed_explicit():
+    cfg = SubsampleConfig(inputs=[], output="x", fraction=0.5, seed=99)
+    assert effective_seed(cfg) == 99
