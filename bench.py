@@ -1,0 +1,181 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: end-to-end ``demux`` reads/sec on the dual-index paired-end config
+(BASELINE.json config #2: I1+I2+R1+R2, 8B+9B, 96 samples, max-mismatches=1,
+min-delta=2) with the native engine (C++ host I/O + JAX/XLA matcher),
+measured on this machine's default JAX backend (the real TPU chip under the
+driver).  Also reports the device-side assignment-kernel throughput.
+
+Methodology notes:
+- A warmup pass with identical program shapes runs first so cold XLA
+  compiles (1-2 min via the axon remote-compile relay) are excluded; the
+  persistent compilation cache is enabled as well.
+- Kernel timing rotates between distinct device inputs: the axon relay
+  memoizes executions on identical buffers, which otherwise inflates
+  numbers ~1000x.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md) and this
+image has no Rust toolchain to measure the 16-thread fqtk baseline, so the
+ratio is computed against a documented estimate of 1.5M reads/s for
+16-thread ``fqtk demux`` on dual-index PE data (gzip-bound Rust pipeline).
+Replace with a measured value when available.
+"""
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+RUST_BASELINE_READS_PER_SEC_ESTIMATE = 1.5e6
+
+N_READS = 1_000_000
+WARMUP_READS = 2_000
+K = 96
+BC1, BC2 = 8, 9
+L = BC1 + BC2
+TEMPLATE_LEN = 100
+BATCH = 1 << 17
+
+
+def make_whitelist(k, length):
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out, seen = [], set()
+    while len(out) < k:
+        bc = bytes(rng.choice(bases, size=length))
+        if bc not in seen:
+            seen.add(bc)
+            out.append(bc.decode())
+    return out
+
+
+def write_inputs(tmp: Path, barcodes, n_reads=N_READS, name=""):
+    import gzip
+
+    rng = np.random.default_rng(11)
+    meta = tmp / "metadata.tsv"
+    with open(meta, "w") as fh:
+        fh.write("sample_id\tbarcode\n")
+        for i, b in enumerate(barcodes):
+            fh.write(f"S{i:04d}\t{b}\n")
+    choices = rng.integers(0, K, size=n_reads)
+    mism = rng.integers(0, 10, size=n_reads) == 0
+    tmpl = ("ACGT" * 25).encode()
+    qual = b"I" * TEMPLATE_LEN
+    qb1, qb2 = b"I" * BC1, b"I" * BC2
+    paths = {n: tmp / f"{name}{n}.fq.gz" for n in ("i1", "r1", "r2", "i2")}
+    fhs = {n: gzip.open(p, "wb", compresslevel=1) for n, p in paths.items()}
+    heads = [b"@inst:1:AB:1:2:%d:3 1:N:0:0" % i for i in range(n_reads)]
+    bcs = [barcodes[c].encode() for c in range(K)]
+    chunk = 100_000
+    for lo in range(0, n_reads, chunk):
+        hi = min(lo + chunk, n_reads)
+        p1, p2, pr = [], [], []
+        for i in range(lo, hi):
+            bc = bcs[choices[i]]
+            b1, b2 = bc[:BC1], bc[BC1:]
+            if mism[i]:
+                b1 = (b"T" if b1[:1] != b"T" else b"G") + b1[1:]
+            h = heads[i]
+            p1.append(h + b"\n" + b1 + b"\n+\n" + qb1 + b"\n")
+            p2.append(h + b"\n" + b2 + b"\n+\n" + qb2 + b"\n")
+            pr.append(h + b"\n" + tmpl + b"\n+\n" + qual + b"\n")
+        fhs["i1"].write(b"".join(p1))
+        fhs["i2"].write(b"".join(p2))
+        block = b"".join(pr)
+        fhs["r1"].write(block)
+        fhs["r2"].write(block)
+    for fh in fhs.values():
+        fh.close()
+    return paths, meta
+
+
+def bench_kernel(barcodes):
+    """Device-side assignment throughput (reads/s) on resident data,
+    rotating inputs to defeat relay-level execution memoization."""
+    import jax
+
+    from fqtk_tpu.ops.matcher import ExpectedSet, make_assign_fn
+
+    expected = ExpectedSet.from_barcodes(barcodes)
+    assign = make_assign_fn(expected, 1, 2)
+    batch = 1 << 20
+    iters = 10
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # every timed call gets a DISTINCT input buffer: the axon relay memoizes
+    # repeat executions on identical inputs, which inflates rates ~100x
+    inputs = [
+        jax.device_put(rng.choice(bases, size=(batch, L)).astype(np.uint8))
+        for _ in range(iters)
+    ]
+    warm = jax.device_put(rng.choice(bases, size=(batch, L)).astype(np.uint8))
+    jax.block_until_ready(assign(warm))  # compile
+    del warm
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = assign(inputs[i])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def _demux_cfg(paths, meta, out_dir):
+    from fqtk_tpu.runtime.demux import DemuxConfig
+
+    return DemuxConfig(
+        inputs=[paths["i1"], paths["r1"], paths["r2"], paths["i2"]],
+        read_structures=["8B", "100T", "100T", "9B"],
+        sample_metadata=meta,
+        output=out_dir,
+        max_mismatches=1,
+        min_mismatch_delta=2,
+        batch_size=BATCH,
+        engine="auto",
+    )
+
+
+def bench_e2e(tmp: Path, barcodes):
+    from fqtk_tpu.runtime.demux import run_demux
+
+    # warmup: identical program shapes, tiny input -> pays the cold compile
+    wpaths, wmeta = write_inputs(tmp, barcodes, n_reads=WARMUP_READS, name="w_")
+    run_demux(_demux_cfg(wpaths, wmeta, tmp / "warm_out"))
+
+    paths, meta = write_inputs(tmp, barcodes, n_reads=N_READS)
+    t0 = time.perf_counter()
+    result = run_demux(_demux_cfg(paths, meta, tmp / "out"))
+    dt = time.perf_counter() - t0
+    assert result.total_templates == N_READS
+    return N_READS / dt
+
+
+def main():
+    from fqtk_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    barcodes = make_whitelist(K, L)
+    kernel_rps = bench_kernel(barcodes)
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        e2e_rps = bench_e2e(tmp, barcodes)
+    print(
+        json.dumps(
+            {
+                "metric": "demux_e2e_reads_per_sec",
+                "value": round(e2e_rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(e2e_rps / RUST_BASELINE_READS_PER_SEC_ESTIMATE, 4),
+                "kernel_assign_reads_per_sec": round(kernel_rps, 1),
+                "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2, native engine",
+                "baseline_note": "vs est. 1.5M reads/s 16-thread Rust fqtk (unmeasured; no Rust toolchain in image)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

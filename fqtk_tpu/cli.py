@@ -76,6 +76,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         datefmt="%Y-%m-%d %H:%M:%S",
     )
     args = _build_parser().parse_args(argv)
+    from .utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     try:
         return _dispatch(args)
     except Exception as e:  # clean operator-facing errors, like the reference CLI

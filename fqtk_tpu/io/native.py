@@ -1,0 +1,250 @@
+"""ctypes bindings for the native host-I/O engine (``native/fqtk_io.cpp``).
+
+The native engine owns the demux host pipeline: FASTQ parsing (gzip-aware),
+segment extraction, header rewriting, and routed BGZF output with a
+compressor thread pool.  Python orchestrates batches and runs the TPU
+matcher between ``next_batch`` and ``route_batch``.
+
+Falls back gracefully (``available() -> False``) when the shared library is
+missing; the pure-Python path in :mod:`fqtk_tpu.io.fastq` is the behavioral
+reference and the two must produce identical decompressed bytes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parent.parent.parent / "native" / "libfqtk_io.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _try_build() -> None:
+    makefile = _LIB_PATH.parent / "Makefile"
+    if makefile.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_LIB_PATH.parent)],
+                capture_output=True,
+                timeout=120,
+                check=False,
+            )
+        except Exception:
+            pass
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not _LIB_PATH.exists():
+        _try_build()
+    if not _LIB_PATH.exists():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        _load_failed = True
+        return None
+
+    lib.fqtk_demux_new.restype = ctypes.c_void_p
+    lib.fqtk_demux_new.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.fqtk_demux_add_input.restype = ctypes.c_int
+    lib.fqtk_demux_add_input.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.fqtk_demux_add_sample_writer.restype = ctypes.c_int
+    lib.fqtk_demux_add_sample_writer.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.fqtk_demux_end_sample.argtypes = [ctypes.c_void_p]
+    lib.fqtk_demux_configure.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+    lib.fqtk_demux_next_batch.restype = ctypes.c_int64
+    lib.fqtk_demux_next_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fqtk_demux_route_batch.restype = ctypes.c_int64
+    lib.fqtk_demux_route_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    lib.fqtk_demux_finish.restype = ctypes.c_int
+    lib.fqtk_demux_finish.argtypes = [ctypes.c_void_p]
+    lib.fqtk_demux_error.restype = ctypes.c_char_p
+    lib.fqtk_demux_error.argtypes = [ctypes.c_void_p]
+    lib.fqtk_demux_free.argtypes = [ctypes.c_void_p]
+
+    lib.fqtk_bgzf_open.restype = ctypes.c_void_p
+    lib.fqtk_bgzf_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.fqtk_bgzf_write.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.fqtk_bgzf_close.argtypes = [ctypes.c_void_p]
+
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+class NativeDemuxError(RuntimeError):
+    pass
+
+
+class NativeDemuxEngine:
+    """Thin wrapper over the C engine; one instance per demux run."""
+
+    def __init__(self, threads: int, compression_level: int):
+        lib = get_lib()
+        if lib is None:
+            raise NativeDemuxError("native library unavailable")
+        self._lib = lib
+        self._h = lib.fqtk_demux_new(threads, compression_level)
+        self._finished = False
+
+    def _check(self, rc) -> None:
+        if rc < 0:
+            msg = self._lib.fqtk_demux_error(self._h).decode("utf-8", "replace")
+            raise NativeDemuxError(msg or "native demux error")
+
+    def add_input(
+        self,
+        path: str,
+        structure_str: str,
+        segments: Sequence[Tuple[int, Optional[int], str]],
+    ) -> None:
+        n = len(segments)
+        offs = (ctypes.c_int32 * n)(*[s[0] for s in segments])
+        lens = (ctypes.c_int32 * n)(
+            *[-1 if s[1] is None else s[1] for s in segments]
+        )
+        kinds = "".join(s[2] for s in segments).encode()
+        self._check(
+            self._lib.fqtk_demux_add_input(
+                self._h, str(path).encode(), structure_str.encode(), offs, lens, kinds, n
+            )
+        )
+
+    def add_sample(self, writer_paths: List[str]) -> None:
+        for p in writer_paths:
+            self._check(
+                self._lib.fqtk_demux_add_sample_writer(self._h, str(p).encode())
+            )
+        self._lib.fqtk_demux_end_sample(self._h)
+
+    def configure(
+        self,
+        bc_len: int,
+        nocall_budget: int,
+        skip_too_few: bool,
+        first_sample_id: str,
+        first_barcode: str,
+        out_types: str,
+    ) -> None:
+        self._lib.fqtk_demux_configure(
+            self._h,
+            bc_len,
+            nocall_budget,
+            1 if skip_too_few else 0,
+            first_sample_id.encode(),
+            first_barcode.encode(),
+            out_types.encode(),
+            len(out_types),
+        )
+
+    def next_batch(self, bc_out: np.ndarray, flags: np.ndarray) -> Tuple[int, int]:
+        """Fill ``bc_out[BATCH, L]`` / ``flags[BATCH]``; returns
+        (n_templates, n_skipped).  n == 0 means EOF."""
+        skipped = ctypes.c_int64(0)
+        n = self._lib.fqtk_demux_next_batch(
+            self._h,
+            bc_out.shape[0],
+            bc_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(skipped),
+        )
+        self._check(n)
+        return int(n), int(skipped.value)
+
+    def route_batch(self, assigned: np.ndarray) -> None:
+        assigned = np.ascontiguousarray(assigned, dtype=np.int32)
+        self._check(
+            self._lib.fqtk_demux_route_batch(
+                self._h,
+                assigned.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                assigned.shape[0],
+            )
+        )
+
+    def finish(self) -> None:
+        if not self._finished:
+            self._finished = True
+            rc = self._lib.fqtk_demux_finish(self._h)
+            self._check(rc)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fqtk_demux_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeBgzfWriter:
+    """BGZF writer backed by the native compressor pool."""
+
+    def __init__(self, path, compression_level: int = 5, threads: int = 4):
+        lib = get_lib()
+        if lib is None:
+            raise NativeDemuxError("native library unavailable")
+        self._lib = lib
+        self._h = lib.fqtk_bgzf_open(str(path).encode(), compression_level, threads)
+        if not self._h:
+            raise NativeDemuxError(f"cannot open {path}")
+
+    def write(self, data: bytes) -> None:
+        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+        self._lib.fqtk_bgzf_write(self._h, buf, len(data))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fqtk_bgzf_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

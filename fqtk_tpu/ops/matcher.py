@@ -196,20 +196,21 @@ def make_assign_fn(
     nocall_budget = max_mismatches + expected.max_ns_in_barcodes
     acc = accum_dtype or jnp.int32
 
-    encode_lut = jnp.asarray(ENCODE_LUT)
-    nocall_lut = jnp.asarray(NOCALL_LUT.astype(np.int32))
+    from .device_encoding import byte_is_nocall, byte_to_mask
+
+    # Device-resident whitelist passed as an argument (constants this large
+    # bloat the compiled program; see pallas_matcher for the same pattern).
+    compat_chunks_dev = jax.device_put(compat_chunks)
 
     @jax.jit
-    def assign(obs_bytes):
+    def _assign(obs_bytes, cc):
         obs_bytes = obs_bytes.astype(jnp.uint8)
         b = obs_bytes.shape[0]
-        obs_masks = encode_lut[obs_bytes.astype(jnp.int32)]  # [B, L] uint8
+        obs_masks = byte_to_mask(obs_bytes)  # [B, L] int32 (no gathers)
         onehot = (
-            obs_masks[:, :, None] == jnp.arange(16, dtype=jnp.uint8)[None, None, :]
+            obs_masks[:, :, None] == jnp.arange(16, dtype=jnp.int32)[None, None, :]
         ).astype(jnp.int8)
         obs16 = onehot.reshape(b, length * 16)
-
-        cc = jnp.asarray(compat_chunks)
 
         def scan_body(carry, xs):
             chunk_i, chunk_compat = xs
@@ -239,7 +240,7 @@ def make_assign_fn(
                 scan_body, init, (jnp.arange(n_chunks, dtype=jnp.int32), cc)
             )
 
-        nocalls = jnp.sum(nocall_lut[obs_bytes.astype(jnp.int32)], axis=1)
+        nocalls = jnp.sum(byte_is_nocall(obs_bytes), axis=1)
         ok = (
             (nocalls <= nocall_budget)
             & (best <= max_mismatches)
@@ -247,5 +248,8 @@ def make_assign_fn(
         )
         assigned = jnp.where(ok, bidx, k).astype(jnp.int32)
         return assigned, best, nxt
+
+    def assign(obs_bytes):
+        return _assign(obs_bytes, compat_chunks_dev)
 
     return assign

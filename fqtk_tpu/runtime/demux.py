@@ -203,13 +203,13 @@ def _too_few_bases_allowed(cfg: DemuxConfig) -> bool:
     return "TooFewBases" in allowed
 
 
-def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet):
+def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None):
     """Return a ``obs[B, L] uint8 -> assigned[B] int32`` callable.
 
     ``assigned == K`` denotes unmatched.
     """
-    engine = cfg.engine
-    if engine == "auto":
+    engine = engine_override or cfg.engine
+    if engine in ("auto", "native"):
         try:
             import jax  # noqa: F401
 
@@ -236,7 +236,131 @@ def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet):
     return assign_np
 
 
+def _resolve_engine(engine: str) -> str:
+    """auto -> native (C++ IO + JAX matcher) when both are available, else
+    jax (Python IO + JAX matcher), else numpy."""
+    if engine != "auto":
+        return engine
+    try:
+        import jax  # noqa: F401
+    except Exception:  # pragma: no cover
+        return "numpy"
+    from ..io import native as native_io
+
+    return "native" if native_io.available() else "jax"
+
+
 def run_demux(cfg: DemuxConfig) -> DemuxResult:
+    engine = _resolve_engine(cfg.engine)
+    if engine == "native":
+        return _run_demux_native(cfg)
+    return _run_demux_python(cfg, engine)
+
+
+def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
+    """Hot path: C++ engine does parse/extract/route/compress; the device
+    does assignment; Python only moves batch handles."""
+    from ..io import native as native_io
+
+    output, output_types = validate_and_prepare(cfg)
+    skip_too_few = _too_few_bases_allowed(cfg)
+
+    sample_group = SampleGroup.from_file(cfg.sample_metadata)
+    logger.info(
+        "%d samples loaded from file %s", len(sample_group.samples), cfg.sample_metadata
+    )
+
+    structures = [ReadStructure.from_str(s) for s in cfg.read_structures]
+    expected = ExpectedSet.from_barcodes([s.barcode for s in sample_group.samples])
+    bc_len = expected.length
+    k = expected.count
+    assign = _make_assigner(cfg, expected, engine_override="jax")
+
+    engine = native_io.NativeDemuxEngine(
+        threads=max(1, cfg.threads - 2), compression_level=cfg.compression_level
+    )
+    try:
+        for path, rs in zip(cfg.inputs, structures):
+            engine.add_input(
+                str(path),
+                str(rs),
+                [(s.offset, s.length, s.kind.value) for s in rs],
+            )
+
+        requested = [t for t in _TYPE_ORDER if t in output_types]
+        names = [s.sample_id for s in sample_group.samples] + [cfg.unmatched_prefix]
+        for name in names:
+            paths = []
+            for seg_type in requested:
+                count = sum(
+                    len(rs.segments_by_type(seg_type)) for rs in structures
+                )
+                code = FILE_TYPE_CODE[seg_type]
+                paths += [
+                    str(output / f"{name}.{code}{idx}.fq.gz")
+                    for idx in range(1, count + 1)
+                ]
+            engine.add_sample(paths)
+        logger.info("Created sample and %s writers.", cfg.unmatched_prefix)
+
+        engine.configure(
+            bc_len=bc_len,
+            nocall_budget=cfg.max_mismatches + expected.max_ns_in_barcodes,
+            skip_too_few=skip_too_few,
+            first_sample_id=sample_group.samples[0].sample_id,
+            first_barcode=sample_group.samples[0].barcode.upper(),
+            out_types="".join(t.value for t in requested),
+        )
+
+        counts = np.zeros(k + 1, dtype=np.int64)
+        skip_counts: Dict[str, int] = {}
+        total = 0
+        next_log = 1_000_000
+        batch = cfg.batch_size
+        bc = np.full((batch, bc_len), ord("A"), dtype=np.uint8)
+        flags = np.zeros(batch, dtype=np.uint8)
+
+        while True:
+            n, skipped = engine.next_batch(bc, flags)
+            if skipped:
+                skip_counts["TooFewBases"] = (
+                    skip_counts.get("TooFewBases", 0) + skipped
+                )
+            if n == 0:
+                break
+            assigned = np.asarray(assign(bc))[:n].copy()
+            forced = flags[:n] == 1
+            if forced.any():
+                assigned[forced] = k
+            engine.route_batch(assigned)
+            counts += np.bincount(assigned, minlength=k + 1)
+            total += n
+            while total >= next_log:
+                logger.info("fqtk: %s records demultiplexed", f"{next_log:,}")
+                next_log += 1_000_000
+
+        logger.info("Finished reading input FASTQs.")
+        engine.finish()
+        logger.info("Output FASTQ writing complete.")
+    except native_io.NativeDemuxError as e:
+        raise DemuxError(str(e)) from None
+    finally:
+        engine.close()
+
+    if not skip_counts:
+        logger.info("No records were skipped.")
+    else:
+        for reason, count in sorted(skip_counts.items(), key=lambda kv: kv[1]):
+            logger.info("%d records were skipped due to Too few bases", count)
+
+    metrics = compute_metrics(sample_group, counts, cfg.unmatched_prefix)
+    write_metrics(output / "demux-metrics.txt", metrics)
+    return DemuxResult(
+        metrics=metrics, skip_counts=skip_counts, total_templates=int(counts.sum())
+    )
+
+
+def _run_demux_python(cfg: DemuxConfig, engine: str) -> DemuxResult:
     output, output_types = validate_and_prepare(cfg)
     skip_too_few = _too_few_bases_allowed(cfg)
 
@@ -252,7 +376,7 @@ def run_demux(cfg: DemuxConfig) -> DemuxResult:
     bc_len = expected.length
     k = expected.count
     nocall_budget = cfg.max_mismatches + expected.max_ns_in_barcodes
-    assign = _make_assigner(cfg, expected)
+    assign = _make_assigner(cfg, expected, engine_override=engine)
 
     readers = [
         FastqReader(open_reader(p), str(p)) for p in cfg.inputs

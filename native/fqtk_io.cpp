@@ -1,0 +1,976 @@
+// fqtk-tpu native host I/O engine.
+//
+// TPU-native replacement for the reference's host-side crates (SURVEY.md §2b):
+//   - seq_io FASTQ parsing            -> chunked memchr scanner over inflate
+//   - fgoxide gzip readers            -> zlib multi-member inflate
+//   - pooled-writer + bgzf            -> BGZF writer pool (worker threads,
+//                                        per-writer in-order reorder buffer)
+//   - ReadSet header rewriting        -> rewrite_header (byte-identical to
+//                                        fqtk_tpu/core/headers.py, tested)
+//
+// The demux hot loop becomes two C calls per batch:
+//   fqtk_demux_next_batch():  parse + extract segments + pack barcodes [B, L]
+//   fqtk_demux_route_batch(): rewrite headers + route records to per-sample
+//                             BGZF writers given device-computed assignments
+// Between them, Python ships the barcode matrix to the TPU matcher.
+//
+// Build: make -C native   (produces libfqtk_io.so; loaded via ctypes)
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdarg>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+#define FQTK_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// error plumbing
+// ---------------------------------------------------------------------------
+
+struct ErrorState {
+  std::string msg;
+  bool failed = false;
+  void set(const std::string& m) {
+    if (!failed) {
+      msg = m;
+      failed = true;
+    }
+  }
+};
+
+std::string str_printf(const char* fmt, ...) {
+  va_list args;
+  va_start(args, fmt);
+  char buf[4096];
+  vsnprintf(buf, sizeof(buf), fmt, args);
+  va_end(args);
+  return std::string(buf);
+}
+
+// ---------------------------------------------------------------------------
+// input stream: plain or (multi-member) gzip, 1 MiB buffered
+// ---------------------------------------------------------------------------
+
+class InputStream {
+ public:
+  explicit InputStream(const std::string& path) : path_(path) {
+    file_ = fopen(path.c_str(), "rb");
+    if (!file_) {
+      ok_ = false;
+      return;
+    }
+    unsigned char magic[2];
+    size_t n = fread(magic, 1, 2, file_);
+    gzipped_ = (n == 2 && magic[0] == 0x1f && magic[1] == 0x8b);
+    fseek(file_, 0, SEEK_SET);
+    if (gzipped_) {
+      memset(&strm_, 0, sizeof(strm_));
+      // 15+32: zlib/gzip auto-detect; loop handles concatenated members
+      if (inflateInit2(&strm_, 15 + 32) != Z_OK) ok_ = false;
+      in_buf_.resize(1 << 20);
+    }
+  }
+
+  ~InputStream() {
+    if (gzipped_ && ok_) inflateEnd(&strm_);
+    if (file_) fclose(file_);
+  }
+
+  bool ok() const { return ok_; }
+
+  // Read up to `len` decompressed bytes; returns bytes read (0 == EOF).
+  size_t read(uint8_t* dst, size_t len) {
+    if (!ok_) return 0;
+    if (!gzipped_) return fread(dst, 1, len, file_);
+    size_t total = 0;
+    while (total < len) {
+      if (strm_.avail_in == 0 && !feof(file_)) {
+        size_t n = fread(in_buf_.data(), 1, in_buf_.size(), file_);
+        strm_.next_in = in_buf_.data();
+        strm_.avail_in = static_cast<unsigned>(n);
+      }
+      if (strm_.avail_in == 0) break;  // true EOF
+      strm_.next_out = dst + total;
+      strm_.avail_out = static_cast<unsigned>(len - total);
+      int ret = inflate(&strm_, Z_NO_FLUSH);
+      total = len - strm_.avail_out;
+      if (ret == Z_STREAM_END) {
+        // concatenated member boundary (BGZF files are many members)
+        if (inflateReset2(&strm_, 15 + 32) != Z_OK) {
+          ok_ = false;
+          break;
+        }
+      } else if (ret != Z_OK && ret != Z_BUF_ERROR) {
+        ok_ = false;
+        break;
+      }
+      if (ret == Z_BUF_ERROR && strm_.avail_in == 0 && feof(file_)) break;
+    }
+    return total;
+  }
+
+  const std::string& path() const { return path_; }
+
+ private:
+  std::string path_;
+  FILE* file_ = nullptr;
+  bool gzipped_ = false;
+  bool ok_ = true;
+  z_stream strm_;
+  std::vector<uint8_t> in_buf_;
+};
+
+// ---------------------------------------------------------------------------
+// FASTQ record scanner (strict 4-line records, CR-tolerant)
+// ---------------------------------------------------------------------------
+
+struct RecordView {
+  // offsets into the parser's line buffer; valid until next fill
+  const uint8_t* head;  // without '@'
+  size_t head_len;
+  const uint8_t* seq;
+  size_t seq_len;
+  const uint8_t* qual;
+  size_t qual_len;
+};
+
+class FastqScanner {
+ public:
+  FastqScanner(std::unique_ptr<InputStream> in) : in_(std::move(in)) {
+    buf_.resize(1 << 20);
+  }
+
+  bool ok() const { return in_->ok() && !error_; }
+  const std::string& error_msg() const { return error_msg_; }
+  const std::string& path() const { return in_->path(); }
+
+  // Returns: 1 = record, 0 = EOF, -1 = error.  The returned views point into
+  // the scanner's buffer and stay valid until the next call to next().
+  int next(RecordView* out) {
+    record_start_ = pos_;  // compaction keeps data from here on
+    size_t offs[4], lens[4];
+    for (int i = 0; i < 4; i++) {
+      size_t shift = 0;
+      int r = next_line(&offs[i], &lens[i], &shift);
+      if (shift) {
+        // compaction moved the record's bytes; earlier offsets shift too
+        for (int j = 0; j < i; j++) offs[j] -= shift;
+      }
+      if (r == 0) {
+        if (i == 0) return 0;
+        error_ = true;
+        error_msg_ =
+            str_printf("%s: truncated FASTQ record", in_->path().c_str());
+        return -1;
+      }
+      if (r < 0) return -1;
+    }
+    const uint8_t* base = buf_.data();
+    if (lens[0] < 1 || base[offs[0]] != '@') {
+      error_ = true;
+      error_msg_ = str_printf(
+          "%s: FASTQ record header must start with '@'", in_->path().c_str());
+      return -1;
+    }
+    if (lens[2] < 1 || base[offs[2]] != '+') {
+      error_ = true;
+      error_msg_ = str_printf(
+          "%s: FASTQ separator line must start with '+'", in_->path().c_str());
+      return -1;
+    }
+    if (lens[1] != lens[3]) {
+      error_ = true;
+      error_msg_ = str_printf(
+          "%s: sequence and quality lengths differ (%zu vs %zu)",
+          in_->path().c_str(), lens[1], lens[3]);
+      return -1;
+    }
+    out->head = base + offs[0] + 1;
+    out->head_len = lens[0] - 1;
+    out->seq = base + offs[1];
+    out->seq_len = lens[1];
+    out->qual = base + offs[3];
+    out->qual_len = lens[3];
+    return 1;
+  }
+
+ private:
+  // Fetch the next line (without newline / trailing CR) as an offset into
+  // buf_.  If the buffer was compacted during the call, *shift_out reports
+  // how far previously returned offsets moved down.
+  int next_line(size_t* off_out, size_t* len_out, size_t* shift_out) {
+    for (;;) {
+      uint8_t* nl = static_cast<uint8_t*>(
+          memchr(buf_.data() + pos_, '\n', end_ - pos_));
+      if (nl) {
+        size_t start = pos_;
+        size_t l = nl - (buf_.data() + pos_);
+        *off_out = start;
+        *len_out = (l > 0 && buf_[start + l - 1] == '\r') ? l - 1 : l;
+        pos_ = (nl - buf_.data()) + 1;
+        return 1;
+      }
+      size_t remaining = end_ - pos_;
+      if (record_start_ > 0) {
+        // keep bytes from the current record's start
+        size_t keep = end_ - record_start_;
+        memmove(buf_.data(), buf_.data() + record_start_, keep);
+        *shift_out += record_start_;
+        pos_ -= record_start_;
+        end_ = keep;
+        record_start_ = 0;
+      } else if (end_ == buf_.size()) {
+        buf_.resize(buf_.size() * 2);  // record longer than buffer
+      }
+      size_t n = in_->read(buf_.data() + end_, buf_.size() - end_);
+      if (!in_->ok()) {
+        error_ = true;
+        error_msg_ =
+            str_printf("%s: read/decompress error", in_->path().c_str());
+        return -1;
+      }
+      if (n == 0) {
+        if (remaining == 0) return 0;
+        // final line without newline
+        *off_out = pos_;
+        size_t l = remaining;
+        *len_out = (l > 0 && buf_[pos_ + l - 1] == '\r') ? l - 1 : l;
+        pos_ = end_;
+        return 1;
+      }
+      end_ += n;
+    }
+  }
+
+  std::unique_ptr<InputStream> in_;
+  std::vector<uint8_t> buf_;
+  size_t pos_ = 0, end_ = 0, record_start_ = 0;
+  bool error_ = false;
+  std::string error_msg_;
+};
+
+// ---------------------------------------------------------------------------
+// BGZF writer pool
+// ---------------------------------------------------------------------------
+
+constexpr size_t kBgzfBlockInput = 0xff00;
+const uint8_t kBgzfEof[28] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff,
+                              0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00,
+                              0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+                              0x00, 0x00};
+
+struct CompressJob {
+  class BgzfWriter* writer;
+  uint64_t seq;
+  std::vector<uint8_t> data;
+};
+
+class CompressorPool;
+
+class BgzfWriter {
+ public:
+  BgzfWriter(const std::string& path, int level, CompressorPool* pool)
+      : level_(level), pool_(pool) {
+    file_ = fopen(path.c_str(), "wb");
+    ok_ = file_ != nullptr;
+    buf_.reserve(kBgzfBlockInput);
+  }
+
+  bool ok() const { return ok_; }
+
+  void write(const uint8_t* data, size_t len);
+  void close();
+  ~BgzfWriter() { close(); }
+
+  // called by pool threads
+  void deliver(uint64_t seq, std::vector<uint8_t> compressed);
+
+  int level() const { return level_; }
+
+ private:
+  void submit_block();
+
+  FILE* file_ = nullptr;
+  bool ok_ = true;
+  bool closed_ = false;
+  int level_;
+  CompressorPool* pool_;
+  std::vector<uint8_t> buf_;
+  uint64_t next_submit_ = 0;
+
+  std::mutex mu_;  // guards out-of-order delivery
+  uint64_t next_write_ = 0;
+  std::map<uint64_t, std::vector<uint8_t>> pending_;
+  std::condition_variable drained_;
+};
+
+class CompressorPool {
+ public:
+  explicit CompressorPool(int threads, size_t max_queue)
+      : max_queue_(max_queue) {
+    for (int i = 0; i < std::max(1, threads); i++) {
+      workers_.emplace_back([this] { worker(); });
+    }
+  }
+
+  ~CompressorPool() { stop(); }
+
+  void submit(CompressJob job) {
+    std::unique_lock<std::mutex> lk(mu_);
+    not_full_.wait(lk, [&] { return queue_.size() < max_queue_ || stopping_; });
+    queue_.push_back(std::move(job));
+    not_empty_.notify_one();
+  }
+
+  void stop() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      if (stopping_) return;
+      stopping_ = true;
+    }
+    not_empty_.notify_all();
+    not_full_.notify_all();
+    for (auto& t : workers_) t.join();
+    workers_.clear();
+  }
+
+  static std::vector<uint8_t> compress_block(const std::vector<uint8_t>& in,
+                                             int level) {
+    // deflate raw with headroom; BGZF framing around it
+    z_stream s;
+    memset(&s, 0, sizeof(s));
+    deflateInit2(&s, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    std::vector<uint8_t> out(18 + deflateBound(&s, in.size()) + 8);
+    s.next_in = const_cast<uint8_t*>(in.data());
+    s.avail_in = static_cast<unsigned>(in.size());
+    s.next_out = out.data() + 18;
+    s.avail_out = static_cast<unsigned>(out.size() - 26);
+    deflate(&s, Z_FINISH);
+    size_t body = out.size() - 26 - s.avail_out;
+    deflateEnd(&s);
+    size_t total = 18 + body + 8;
+    uint16_t bsize = static_cast<uint16_t>(total - 1);
+    uint8_t* h = out.data();
+    h[0] = 0x1f; h[1] = 0x8b; h[2] = 8; h[3] = 4;
+    memset(h + 4, 0, 4);          // mtime
+    h[8] = 0; h[9] = 0xff;        // xfl, os
+    h[10] = 6; h[11] = 0;         // xlen
+    h[12] = 'B'; h[13] = 'C'; h[14] = 2; h[15] = 0;
+    h[16] = bsize & 0xff; h[17] = bsize >> 8;
+    uint32_t crc = crc32(0, in.data(), in.size());
+    uint32_t isize = static_cast<uint32_t>(in.size());
+    uint8_t* t = out.data() + 18 + body;
+    memcpy(t, &crc, 4);
+    memcpy(t + 4, &isize, 4);
+    out.resize(total);
+    return out;
+  }
+
+ private:
+  void worker() {
+    for (;;) {
+      CompressJob job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        not_empty_.wait(lk, [&] { return !queue_.empty() || stopping_; });
+        if (queue_.empty()) {
+          if (stopping_) return;
+          continue;
+        }
+        job = std::move(queue_.front());
+        queue_.pop_front();
+        not_full_.notify_one();
+      }
+      auto compressed =
+          compress_block(job.data, job.writer->level());
+      job.writer->deliver(job.seq, std::move(compressed));
+    }
+  }
+
+  size_t max_queue_;
+  std::mutex mu_;
+  std::condition_variable not_empty_, not_full_;
+  std::deque<CompressJob> queue_;
+  bool stopping_ = false;
+  std::vector<std::thread> workers_;
+};
+
+void BgzfWriter::write(const uint8_t* data, size_t len) {
+  while (len > 0) {
+    size_t take = std::min(len, kBgzfBlockInput - buf_.size());
+    buf_.insert(buf_.end(), data, data + take);
+    data += take;
+    len -= take;
+    if (buf_.size() == kBgzfBlockInput) submit_block();
+  }
+}
+
+void BgzfWriter::submit_block() {
+  CompressJob job;
+  job.writer = this;
+  job.seq = next_submit_++;
+  job.data = std::move(buf_);
+  buf_.clear();
+  buf_.reserve(kBgzfBlockInput);
+  pool_->submit(std::move(job));
+}
+
+void BgzfWriter::deliver(uint64_t seq, std::vector<uint8_t> compressed) {
+  std::unique_lock<std::mutex> lk(mu_);
+  pending_[seq] = std::move(compressed);
+  while (!pending_.empty() && pending_.begin()->first == next_write_) {
+    auto it = pending_.begin();
+    fwrite(it->second.data(), 1, it->second.size(), file_);
+    pending_.erase(it);
+    next_write_++;
+  }
+  if (pending_.empty()) drained_.notify_all();
+}
+
+void BgzfWriter::close() {
+  if (closed_ || !file_) return;
+  closed_ = true;
+  if (!buf_.empty()) submit_block();
+  {
+    std::unique_lock<std::mutex> lk(mu_);
+    drained_.wait(lk, [&] { return next_write_ == next_submit_; });
+  }
+  fwrite(kBgzfEof, 1, sizeof(kBgzfEof), file_);
+  fclose(file_);
+  file_ = nullptr;
+}
+
+// ---------------------------------------------------------------------------
+// header rewriting (byte-identical to fqtk_tpu/core/headers.py)
+// ---------------------------------------------------------------------------
+
+// Appends the rewritten header (including '@') to `out`. Returns false and
+// sets err on contract violations.
+bool rewrite_header(std::vector<uint8_t>& out, const uint8_t* header,
+                    size_t header_len, int read_num,
+                    const std::vector<std::pair<const uint8_t*, size_t>>& bc,
+                    const std::vector<std::pair<const uint8_t*, size_t>>& umi,
+                    std::string* err) {
+  const uint8_t* space = static_cast<const uint8_t*>(
+      memchr(header, ' ', header_len));
+  const uint8_t* name = header;
+  size_t name_len = space ? (space - header) : header_len;
+  const uint8_t* comment = space ? space + 1 : nullptr;
+  size_t comment_len = space ? header_len - name_len - 1 : 0;
+
+  out.push_back('@');
+
+  if (!umi.empty()) {
+    int sep_count = 0;
+    for (size_t i = 0; i < name_len; i++)
+      if (name[i] == ':') sep_count++;
+    if (sep_count > 7) {
+      *err = "Can't handle read name with more than 8 segments: " +
+             std::string(reinterpret_cast<const char*>(header), header_len);
+      return false;
+    }
+    out.insert(out.end(), name, name + name_len);
+    out.push_back(sep_count == 7 ? '+' : ':');
+    for (size_t i = 0; i < umi.size(); i++) {
+      if (i > 0) out.push_back('+');
+      out.insert(out.end(), umi[i].first, umi[i].first + umi[i].second);
+    }
+  } else {
+    out.insert(out.end(), name, name + name_len);
+  }
+
+  out.push_back(' ');
+
+  if (!comment) {
+    char tmp[32];
+    int n = snprintf(tmp, sizeof(tmp), "%d:N:0:", read_num);
+    out.insert(out.end(), tmp, tmp + n);
+  } else {
+    int sep_count = 0;
+    for (size_t i = 0; i < comment_len; i++)
+      if (comment[i] == ':') sep_count++;
+    if (sep_count < 3) {
+      out.insert(out.end(), comment, comment + comment_len);
+      if (comment_len == 0 || comment[comment_len - 1] != ':')
+        out.push_back(':');
+    } else {
+      if (sep_count != 3) {
+        *err = "Comment in did not have 4 segments: " +
+               std::string(reinterpret_cast<const char*>(header), header_len);
+        return false;
+      }
+      const uint8_t* fc = static_cast<const uint8_t*>(
+          memchr(comment, ':', comment_len));
+      size_t first_colon = fc - comment;
+      const uint8_t* rem = comment + first_colon + 1;
+      size_t rem_len = comment_len - first_colon - 1;
+      // drop Illumina's single trailing digit index placeholder
+      if (rem_len > 0 && comment[comment_len - 1] >= '0' &&
+          comment[comment_len - 1] <= '9')
+        rem_len -= 1;
+      char tmp[16];
+      int n = snprintf(tmp, sizeof(tmp), "%d:", read_num);
+      out.insert(out.end(), tmp, tmp + n);
+      out.insert(out.end(), rem, rem + rem_len);
+      if (rem_len == 0 || rem[rem_len - 1] != ':') out.push_back('+');
+    }
+  }
+
+  for (size_t i = 0; i < bc.size(); i++) {
+    if (i > 0) out.push_back('+');
+    out.insert(out.end(), bc[i].first, bc[i].first + bc[i].second);
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// IUPAC tables (mirrors fqtk_tpu/core/encoding.py)
+// ---------------------------------------------------------------------------
+
+struct IupacTables {
+  uint8_t encode[256];   // byte -> 4-bit mask (nocall -> 15)
+  uint8_t nocall[256];   // byte -> 1 if N/n/.
+  char decode[16];       // mask -> IUPAC letter ('\0' if invalid)
+  IupacTables() {
+    memset(encode, 0, sizeof(encode));
+    memset(nocall, 0, sizeof(nocall));
+    memset(decode, 0, sizeof(decode));
+    auto set = [&](char c, uint8_t m) {
+      encode[static_cast<uint8_t>(c)] = m;
+      encode[static_cast<uint8_t>(c) + 32] = m;  // lowercase
+    };
+    set('A', 1); set('C', 2); set('G', 4); set('T', 8); set('U', 8);
+    set('M', 3); set('R', 5); set('W', 9); set('S', 6); set('Y', 10);
+    set('K', 12); set('V', 7); set('H', 11); set('D', 13); set('B', 14);
+    set('N', 15);
+    nocall['N'] = nocall['n'] = nocall['.'] = 1;
+    encode['.'] = 15;
+    const char* letters = "ACGTMRWSYKVHDBN";
+    for (const char* p = letters; *p; p++)
+      decode[encode[static_cast<uint8_t>(*p)]] = *p;
+  }
+};
+const IupacTables kIupac;
+
+// ---------------------------------------------------------------------------
+// demux engine
+// ---------------------------------------------------------------------------
+
+struct SegmentDef {
+  int32_t offset;
+  int32_t length;  // -1 = variable
+  char kind;       // T/B/M/C/S
+};
+
+struct InputDef {
+  std::string path;
+  std::string structure_str;
+  std::vector<SegmentDef> segments;
+  int32_t min_len;
+};
+
+// one extracted segment (offsets into the batch arena)
+struct SegRef {
+  uint32_t seq_off;
+  uint32_t qual_off;
+  uint32_t len;
+  char kind;
+};
+
+struct TemplateRec {
+  uint32_t head_off;
+  uint32_t head_len;
+  uint32_t seg_begin;  // range into segs_
+  uint32_t seg_end;
+  uint8_t flag;  // 0 = ok, 1 = force-unmatched, 2 = skipped (not routed)
+};
+
+class DemuxEngine {
+ public:
+  ErrorState err;
+
+  bool init(int n_threads, int compression_level) {
+    pool_ = std::make_unique<CompressorPool>(n_threads,
+                                             std::max(8, n_threads * 50));
+    level_ = compression_level;
+    return true;
+  }
+
+  bool add_input(const char* path, const char* structure_str,
+                 const SegmentDef* segs, int n_segs) {
+    InputDef def;
+    def.path = path;
+    def.structure_str = structure_str;
+    def.min_len = 0;
+    for (int i = 0; i < n_segs; i++) {
+      def.segments.push_back(segs[i]);
+      def.min_len += segs[i].length < 0 ? 1 : segs[i].length;
+    }
+    auto in = std::make_unique<InputStream>(path);
+    if (!in->ok()) {
+      err.set(str_printf("Error opening input file for reading: %s", path));
+      return false;
+    }
+    scanners_.push_back(std::make_unique<FastqScanner>(std::move(in)));
+    inputs_.push_back(std::move(def));
+    return true;
+  }
+
+  // writers are created per (sample, output file); Python passes the paths
+  // in routing order: for sample s, files ordered [T..., B..., M..., C...]
+  // (only requested types), matching the per-record write order.
+  bool add_sample_writer(const char* path) {
+    auto w = std::make_unique<BgzfWriter>(path, level_, pool_.get());
+    if (!w->ok()) {
+      err.set(str_printf("Error opening output file for writing: %s", path));
+      return false;
+    }
+    current_sample_.push_back(std::move(w));
+    return true;
+  }
+
+  void end_sample() {
+    writers_.push_back(std::move(current_sample_));
+    current_sample_.clear();
+  }
+
+  void configure(int bc_len, int nocall_budget, int skip_too_few,
+                 const char* first_sample_id, const char* first_barcode,
+                 const char* out_types, int n_out_types) {
+    bc_len_ = bc_len;
+    nocall_budget_ = nocall_budget;
+    skip_too_few_ = skip_too_few != 0;
+    first_sample_id_ = first_sample_id;
+    first_barcode_ = first_barcode;
+    // out_types must come in the reference's fixed write order (T, B, M, C
+    // filtered to the requested set; demux.rs:397-402)
+    out_types_.assign(out_types, out_types + n_out_types);
+  }
+
+  // Parse up to `max_templates`; fill bc_out [max_templates, bc_len] and
+  // per-row flags. Returns number of templates parsed, 0 on EOF, -1 error.
+  int64_t next_batch(int64_t max_templates, uint8_t* bc_out, uint8_t* flags,
+                     int64_t* skipped_out) {
+    if (err.failed) return -1;
+    arena_.clear();
+    segs_.clear();
+    templates_.clear();
+    int64_t count = 0;
+    int64_t skipped = 0;
+    const size_t n_in = scanners_.size();
+    std::vector<RecordView> recs(n_in);
+
+    while (count < max_templates) {
+      size_t got = 0;
+      bool record_err = false;
+      bool too_short = false;
+      for (size_t i = 0; i < n_in; i++) {
+        int r = scanners_[i]->next(&recs[i]);
+        if (r < 0) {
+          err.set(scanners_[i]->error_msg());
+          return -1;
+        }
+        if (r == 0) continue;
+        got++;
+        const InputDef& def = inputs_[i];
+        if (static_cast<int32_t>(recs[i].seq_len) < def.min_len) {
+          if (skip_too_few_) {
+            too_short = true;
+          } else {
+            err.set(str_printf(
+                "Read %.*s had too few bases to demux %zu vs. %d needed in "
+                "read structure %s.",
+                static_cast<int>(recs[i].head_len), recs[i].head,
+                recs[i].seq_len, def.min_len, def.structure_str.c_str()));
+            record_err = true;
+          }
+        }
+      }
+      if (record_err) return -1;
+      if (got == 0) break;  // EOF everywhere
+      if (too_short) {
+        skipped++;
+        continue;
+      }
+      if (got != n_in) {
+        err.set(str_printf(
+            "FASTQ sources out of sync at records: %zu of %zu files had a "
+            "record",
+            got, n_in));
+        return -1;
+      }
+
+      // copy into arena + extract segments + build barcode row
+      TemplateRec t;
+      t.head_off = arena_put(recs[0].head, recs[0].head_len);
+      t.head_len = static_cast<uint32_t>(recs[0].head_len);
+      t.seg_begin = static_cast<uint32_t>(segs_.size());
+      t.flag = 0;
+
+      uint8_t* bc_row = bc_out + count * bc_len_;
+      int bc_pos = 0;
+      bool bc_overflow = false;
+      int nocalls = 0;
+
+      for (size_t i = 0; i < n_in; i++) {
+        const InputDef& def = inputs_[i];
+        uint32_t seq_off = arena_put(recs[i].seq, recs[i].seq_len);
+        uint32_t qual_off = arena_put(recs[i].qual, recs[i].qual_len);
+        for (const SegmentDef& sd : def.segments) {
+          uint32_t off = static_cast<uint32_t>(sd.offset);
+          uint32_t len = sd.length < 0
+                             ? static_cast<uint32_t>(recs[i].seq_len) - off
+                             : static_cast<uint32_t>(sd.length);
+          SegRef ref{seq_off + off, qual_off + off, len, sd.kind};
+          segs_.push_back(ref);
+          if (sd.kind == 'B') {
+            const uint8_t* p = arena_.data() + ref.seq_off;
+            for (uint32_t j = 0; j < len; j++) {
+              uint8_t b = p[j];
+              nocalls += kIupac.nocall[b];
+              if (bc_pos < bc_len_) {
+                bc_row[bc_pos++] = b;
+              } else {
+                bc_overflow = true;
+              }
+            }
+            if (bc_overflow) {
+              // keep scanning to count nocalls over the full barcode
+            }
+          }
+        }
+      }
+      t.seg_end = static_cast<uint32_t>(segs_.size());
+
+      if (bc_overflow || bc_pos > bc_len_) {
+        // longer than expected: reference panics unless the no-call gate
+        // fires first (barcode_matching.rs:165-186)
+        if (nocalls > nocall_budget_) {
+          t.flag = 1;
+          memset(bc_row, 'A', bc_len_);
+        } else {
+          // build the decoded observed string for the exact panic message
+          std::string obs;
+          for (uint32_t si = t.seg_begin; si < t.seg_end; si++) {
+            if (segs_[si].kind != 'B') continue;
+            const uint8_t* p = arena_.data() + segs_[si].seq_off;
+            for (uint32_t j = 0; j < segs_[si].len; j++) {
+              char c = kIupac.decode[kIupac.encode[p[j]]];
+              obs += c ? c : '?';
+            }
+          }
+          err.set(str_printf(
+              "Read barcode (%s) length (%zu) differs from expected barcode "
+              "(%s) length (%d) for sample %s",
+              obs.c_str(), obs.size(), first_barcode_.c_str(), bc_len_,
+              first_sample_id_.c_str()));
+          return -1;
+        }
+      } else if (bc_pos < bc_len_) {
+        t.flag = 1;  // too short: assign() -> None
+        memset(bc_row + bc_pos, 'A', bc_len_ - bc_pos);
+      } else if (nocalls > nocall_budget_) {
+        // also gate here (device does the same; belt-and-braces for flags)
+        t.flag = 0;  // device computes this identically; leave to device
+      }
+
+      flags[count] = t.flag;
+      templates_.push_back(t);
+      count++;
+    }
+    *skipped_out = skipped;
+    return count;
+  }
+
+  // Route templates of the last batch given final assignments (index K =
+  // unmatched = last writer set).
+  int64_t route_batch(const int32_t* assigned, int64_t n) {
+    if (err.failed) return -1;
+    if (n != static_cast<int64_t>(templates_.size())) {
+      err.set("route_batch: assignment count mismatch");
+      return -1;
+    }
+    std::vector<uint8_t> rec_buf;
+    std::vector<std::pair<const uint8_t*, size_t>> bc_segs, umi_segs;
+    for (int64_t i = 0; i < n; i++) {
+      const TemplateRec& t = templates_[i];
+      int32_t idx = assigned[i];
+      if (idx < 0 || idx >= static_cast<int32_t>(writers_.size())) {
+        err.set(str_printf("route_batch: assignment %d out of range", idx));
+        return -1;
+      }
+      auto& wset = writers_[idx];
+      bc_segs.clear();
+      umi_segs.clear();
+      for (uint32_t si = t.seg_begin; si < t.seg_end; si++) {
+        const SegRef& s = segs_[si];
+        if (s.kind == 'B')
+          bc_segs.emplace_back(arena_.data() + s.seq_off, s.len);
+        else if (s.kind == 'M')
+          umi_segs.emplace_back(arena_.data() + s.seq_off, s.len);
+      }
+      size_t w = 0;
+      for (char ot : out_types_) {
+        int read_num = 0;
+        for (uint32_t si = t.seg_begin; si < t.seg_end; si++) {
+          const SegRef& s = segs_[si];
+          if (s.kind != ot) continue;
+          read_num++;
+          rec_buf.clear();
+          std::string herr;
+          if (!rewrite_header(rec_buf, arena_.data() + t.head_off, t.head_len,
+                              read_num, bc_segs, umi_segs, &herr)) {
+            err.set(herr);
+            return -1;
+          }
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), arena_.data() + s.seq_off,
+                         arena_.data() + s.seq_off + s.len);
+          rec_buf.push_back('\n');
+          rec_buf.push_back('+');
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), arena_.data() + s.qual_off,
+                         arena_.data() + s.qual_off + s.len);
+          rec_buf.push_back('\n');
+          if (w < wset.size())
+            wset[w]->write(rec_buf.data(), rec_buf.size());
+          w++;
+        }
+      }
+    }
+    return n;
+  }
+
+  bool finish() {
+    for (auto& ws : writers_)
+      for (auto& w : ws) w->close();
+    if (pool_) pool_->stop();
+    return !err.failed;
+  }
+
+ private:
+  uint32_t arena_put(const uint8_t* data, size_t len) {
+    uint32_t off = static_cast<uint32_t>(arena_.size());
+    arena_.insert(arena_.end(), data, data + len);
+    return off;
+  }
+
+  std::vector<InputDef> inputs_;
+  std::vector<std::unique_ptr<FastqScanner>> scanners_;
+  std::unique_ptr<CompressorPool> pool_;
+  int level_ = 5;
+  std::vector<std::unique_ptr<BgzfWriter>> current_sample_;
+  std::vector<std::vector<std::unique_ptr<BgzfWriter>>> writers_;
+  int bc_len_ = 0;
+  int nocall_budget_ = 0;
+  bool skip_too_few_ = false;
+  std::string first_sample_id_, first_barcode_;
+  std::string out_types_;
+
+  std::vector<uint8_t> arena_;
+  std::vector<SegRef> segs_;
+  std::vector<TemplateRec> templates_;
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+FQTK_API DemuxEngine* fqtk_demux_new(int n_threads, int compression_level) {
+  auto* e = new DemuxEngine();
+  e->init(n_threads, compression_level);
+  return e;
+}
+
+FQTK_API int fqtk_demux_add_input(DemuxEngine* e, const char* path,
+                                  const char* structure_str,
+                                  const int32_t* offsets,
+                                  const int32_t* lengths, const char* kinds,
+                                  int n_segs) {
+  std::vector<SegmentDef> segs(n_segs);
+  for (int i = 0; i < n_segs; i++)
+    segs[i] = SegmentDef{offsets[i], lengths[i], kinds[i]};
+  return e->add_input(path, structure_str, segs.data(), n_segs) ? 0 : -1;
+}
+
+FQTK_API int fqtk_demux_add_sample_writer(DemuxEngine* e, const char* path) {
+  return e->add_sample_writer(path) ? 0 : -1;
+}
+
+FQTK_API void fqtk_demux_end_sample(DemuxEngine* e) { e->end_sample(); }
+
+FQTK_API void fqtk_demux_configure(DemuxEngine* e, int bc_len,
+                                   int nocall_budget, int skip_too_few,
+                                   const char* first_sample_id,
+                                   const char* first_barcode,
+                                   const char* out_types, int n_out_types) {
+  e->configure(bc_len, nocall_budget, skip_too_few, first_sample_id,
+               first_barcode, out_types, n_out_types);
+}
+
+FQTK_API int64_t fqtk_demux_next_batch(DemuxEngine* e, int64_t max_templates,
+                                       uint8_t* bc_out, uint8_t* flags,
+                                       int64_t* skipped_out) {
+  return e->next_batch(max_templates, bc_out, flags, skipped_out);
+}
+
+FQTK_API int64_t fqtk_demux_route_batch(DemuxEngine* e,
+                                        const int32_t* assigned, int64_t n) {
+  return e->route_batch(assigned, n);
+}
+
+FQTK_API int fqtk_demux_finish(DemuxEngine* e) { return e->finish() ? 0 : -1; }
+
+FQTK_API const char* fqtk_demux_error(DemuxEngine* e) {
+  return e->err.failed ? e->err.msg.c_str() : "";
+}
+
+FQTK_API void fqtk_demux_free(DemuxEngine* e) { delete e; }
+
+// --------------------------------------------------------------------------
+// standalone BGZF writer API (used by subsample and tests)
+// --------------------------------------------------------------------------
+
+struct StandaloneWriter {
+  std::unique_ptr<CompressorPool> pool;
+  std::unique_ptr<BgzfWriter> writer;
+};
+
+FQTK_API StandaloneWriter* fqtk_bgzf_open(const char* path, int level,
+                                          int threads) {
+  auto* s = new StandaloneWriter();
+  s->pool = std::make_unique<CompressorPool>(threads, threads * 50);
+  s->writer = std::make_unique<BgzfWriter>(path, level, s->pool.get());
+  if (!s->writer->ok()) {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+FQTK_API void fqtk_bgzf_write(StandaloneWriter* s, const uint8_t* data,
+                              int64_t len) {
+  s->writer->write(data, static_cast<size_t>(len));
+}
+
+FQTK_API void fqtk_bgzf_close(StandaloneWriter* s) {
+  s->writer->close();
+  s->pool->stop();
+  delete s;
+}

@@ -16,7 +16,7 @@ from .util import (
     metadata_file,
 )
 
-ENGINES = ["numpy", "jax"]
+ENGINES = ["numpy", "jax", "native"]
 
 
 def _cfg(tmp_path, inputs, read_structures, sample_metadata, output, engine, **kw):

@@ -1,0 +1,66 @@
+"""Pallas fused-matcher kernel tests (interpret mode on CPU; the compiled
+path is exercised on real TPU by bench.py and the verify flow)."""
+
+import numpy as np
+import pytest
+
+from fqtk_tpu.ops.matcher import ExpectedSet, assign_batch_np
+
+jax = pytest.importorskip("jax")
+
+from fqtk_tpu.ops.pallas_matcher import make_pallas_assign_fn  # noqa: E402
+
+
+def _case(rng, k, length, b):
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    barcodes = set()
+    while len(barcodes) < k:
+        barcodes.add(bytes(rng.choice(bases, size=length)).decode())
+    barcodes = sorted(barcodes)
+    es = ExpectedSet.from_barcodes(barcodes)
+    obs = rng.choice(bases, size=(b, length)).astype(np.uint8)
+    for i in range(0, b, 4):
+        obs[i] = np.frombuffer(barcodes[i % k].encode(), dtype=np.uint8)
+    return es, obs
+
+
+@pytest.mark.parametrize("tile_b,tile_k", [(256, 128), (512, 256)])
+@pytest.mark.parametrize("mm,delta", [(1, 2), (0, 0), (2, 1)])
+def test_pallas_matches_numpy(tile_b, tile_k, mm, delta):
+    rng = np.random.default_rng(7)
+    es, obs = _case(rng, k=43, length=11, b=512)
+    fn = make_pallas_assign_fn(es, mm, delta, tile_b=tile_b, tile_k=tile_k, interpret=True)
+    idx, best, nxt = (np.asarray(x) for x in fn(obs))
+    np_idx, np_best, np_next = assign_batch_np(obs, es, mm, delta)
+    expect = np.where(np_idx < 0, es.count, np_idx)
+    np.testing.assert_array_equal(idx, expect)
+    np.testing.assert_array_equal(best, np_best)
+    np.testing.assert_array_equal(nxt, np_next)
+
+
+def test_pallas_multiple_k_tiles_tie_break():
+    """Equidistant barcodes split across K tiles: first index must win."""
+    barcodes = [
+        "AAAAAAAA", "CCCCCCCC", "GGGGGGGG", "TTTTTTTT",
+        "AAAAAAAT", "CCCCCCCG", "GGGGGGGA", "TTTTTTTC",
+    ]
+    es = ExpectedSet.from_barcodes(barcodes)
+    obs = np.frombuffer(b"AAAAAATT", dtype=np.uint8)[None, :].repeat(256, 0)
+    # best is barcode 4 (1 mm), runner-up barcode 0 (2 mm); the numpy spec
+    # is authoritative for the merged result either way
+    fn = make_pallas_assign_fn(es, 8, 0, tile_b=256, tile_k=128, interpret=True)
+    idx, best, nxt = (np.asarray(x) for x in fn(obs))
+    np_idx, np_best, np_next = assign_batch_np(obs, es, 8, 0)
+    np.testing.assert_array_equal(idx, np.where(np_idx < 0, es.count, np_idx))
+    np.testing.assert_array_equal(best, np_best)
+    np.testing.assert_array_equal(nxt, np_next)
+
+
+def test_pallas_iupac_and_nocall_gates():
+    es = ExpectedSet.from_barcodes(["NNAAAAAA", "NNCCCCCC"])
+    reads = [b"ANAAAAAA", b"ANCCCCCC", b"NNNAAAAA", b"anaaaaaa"]
+    obs = np.stack([np.frombuffer(r, dtype=np.uint8) for r in reads])
+    obs = np.tile(obs, (64, 1))  # pad to tile_b
+    fn = make_pallas_assign_fn(es, 0, 0, tile_b=256, tile_k=128, interpret=True)
+    idx, _, _ = (np.asarray(x) for x in fn(obs))
+    assert list(idx[:4]) == [0, 1, 2, 0]  # lowercase read matches too
