@@ -98,6 +98,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fqtk_demux_error.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_free.argtypes = [ctypes.c_void_p]
 
+    lib.fqtk_subsample_new.restype = ctypes.c_void_p
+    lib.fqtk_subsample_new.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.fqtk_subsample_add_input.restype = ctypes.c_int
+    lib.fqtk_subsample_add_input.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+    ]
+    lib.fqtk_subsample_configure.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.fqtk_subsample_chunk.restype = ctypes.c_int64
+    lib.fqtk_subsample_chunk.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fqtk_subsample_finish.restype = ctypes.c_int
+    lib.fqtk_subsample_finish.argtypes = [ctypes.c_void_p]
+    lib.fqtk_subsample_error.restype = ctypes.c_char_p
+    lib.fqtk_subsample_error.argtypes = [ctypes.c_void_p]
+    lib.fqtk_subsample_free.argtypes = [ctypes.c_void_p]
+
     lib.fqtk_bgzf_open.restype = ctypes.c_void_p
     lib.fqtk_bgzf_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.fqtk_bgzf_write.argtypes = [
@@ -213,6 +235,60 @@ class NativeDemuxEngine:
     def close(self) -> None:
         if self._h:
             self._lib.fqtk_demux_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeSubsampleEngine:
+    """Lockstep subsample: Python supplies the ChaCha8 keep mask in chunks,
+    C++ reads record sets and writes kept records verbatim."""
+
+    def __init__(self, threads: int, compression_level: int):
+        lib = get_lib()
+        if lib is None:
+            raise NativeDemuxError("native library unavailable")
+        self._lib = lib
+        self._h = lib.fqtk_subsample_new(threads, compression_level)
+
+    def _check(self, rc) -> None:
+        if rc < 0:
+            msg = self._lib.fqtk_subsample_error(self._h).decode("utf-8", "replace")
+            raise NativeDemuxError(msg or "native subsample error")
+
+    def add_input(self, in_path, out_path) -> None:
+        self._check(
+            self._lib.fqtk_subsample_add_input(
+                self._h, str(in_path).encode(), str(out_path).encode()
+            )
+        )
+
+    def configure(self, check_names: bool) -> None:
+        self._lib.fqtk_subsample_configure(self._h, 1 if check_names else 0)
+
+    def process_chunk(self, keep_mask: np.ndarray) -> Tuple[int, int]:
+        """Returns (consumed, kept); consumed < len(mask) means EOF."""
+        keep_mask = np.ascontiguousarray(keep_mask, dtype=np.uint8)
+        kept = ctypes.c_int64(0)
+        n = self._lib.fqtk_subsample_chunk(
+            self._h,
+            keep_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            keep_mask.shape[0],
+            ctypes.byref(kept),
+        )
+        self._check(n)
+        return int(n), int(kept.value)
+
+    def finish(self) -> None:
+        self._check(self._lib.fqtk_subsample_finish(self._h))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fqtk_subsample_free(self._h)
             self._h = None
 
     def __del__(self):  # pragma: no cover

@@ -115,6 +115,52 @@ def validate(cfg: SubsampleConfig) -> None:
         )
 
 
+def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResult:
+    """Hot path: C++ reads/writes; Python supplies the ChaCha8 keep mask in
+    chunks (one draw per record set, in stream order — identical to the
+    reference's draw-before-read loop)."""
+    from ..io import native as native_io
+
+    engine = native_io.NativeSubsampleEngine(
+        threads=max(1, cfg.threads - 1), compression_level=cfg.compression_level
+    )
+    try:
+        for i, inp in enumerate(cfg.inputs):
+            engine.add_input(inp, f"{cfg.output}.R{i + 1}.fq.gz")
+        engine.configure(check_names=not cfg.disable_read_name_checking)
+        logger.info(
+            "Subsampling %d input file(s) at fraction %.4f to %s",
+            len(cfg.inputs),
+            cfg.fraction,
+            cfg.output,
+        )
+        chunk = 1 << 16
+        total_read = 0
+        total_kept = 0
+        while True:
+            mask = (rng.random_f64_batch(chunk) < cfg.fraction).astype("uint8")
+            consumed, kept = engine.process_chunk(mask)
+            total_read += consumed
+            total_kept += kept
+            if consumed < chunk:
+                break
+        logger.info("Finished reading input FASTQs.")
+        engine.finish()
+    except native_io.NativeDemuxError as e:
+        raise SubsampleError(str(e)) from None
+    finally:
+        engine.close()
+
+    pct = total_kept / total_read * 100.0 if total_read > 0 else 0.0
+    logger.info(
+        "[fqtk subsample] Read %s record sets and wrote %s (%.1f%%).",
+        fmt_count(total_read),
+        fmt_count(total_kept),
+        pct,
+    )
+    return SubsampleResult(total_read=total_read, total_kept=total_kept, seed=seed)
+
+
 class _RawFastqReader:
     """4-line record reader that keeps the separator line verbatim so kept
     records pass through byte-identically (``rec.write_unchanged``,
@@ -146,7 +192,7 @@ class _RawFastqReader:
         self._stream.close()
 
 
-def run_subsample(cfg: SubsampleConfig) -> SubsampleResult:
+def run_subsample(cfg: SubsampleConfig, use_native: Optional[bool] = None) -> SubsampleResult:
     validate(cfg)
 
     seed = effective_seed(cfg)
@@ -154,6 +200,14 @@ def run_subsample(cfg: SubsampleConfig) -> SubsampleResult:
     from ..utils.chacha import ChaCha8Rng
 
     rng = ChaCha8Rng(seed)
+
+    if use_native is not False:
+        from ..io import native as native_io
+
+        if native_io.available():
+            return _run_subsample_native(cfg, rng, seed)
+        if use_native:  # explicitly requested but unavailable
+            raise SubsampleError("native library unavailable")
 
     sources = [_RawFastqReader(open_reader(p), str(p)) for p in cfg.inputs]
     writers = [

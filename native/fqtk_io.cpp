@@ -144,6 +144,8 @@ struct RecordView {
   size_t head_len;
   const uint8_t* seq;
   size_t seq_len;
+  const uint8_t* plus;  // separator line, verbatim (may carry a comment)
+  size_t plus_len;
   const uint8_t* qual;
   size_t qual_len;
 };
@@ -203,6 +205,8 @@ class FastqScanner {
     out->head_len = lens[0] - 1;
     out->seq = base + offs[1];
     out->seq_len = lens[1];
+    out->plus = base + offs[2];
+    out->plus_len = lens[2];
     out->qual = base + offs[3];
     out->qual_len = lens[3];
     return 1;
@@ -871,6 +875,8 @@ class DemuxEngine {
 
   std::vector<InputDef> inputs_;
   std::vector<std::unique_ptr<FastqScanner>> scanners_;
+  // NB: pool_ declared before the writer containers below so it is
+  // destroyed after them (writers submit their final blocks on close).
   std::unique_ptr<CompressorPool> pool_;
   int level_ = 5;
   std::vector<std::unique_ptr<BgzfWriter>> current_sample_;
@@ -884,6 +890,151 @@ class DemuxEngine {
   std::vector<uint8_t> arena_;
   std::vector<SegRef> segs_;
   std::vector<TemplateRec> templates_;
+};
+
+// ---------------------------------------------------------------------------
+// subsample engine (reference ``subsample.rs:194-305`` semantics: lockstep
+// reads, verbatim pass-through of kept records, name-sync vs file 0)
+// ---------------------------------------------------------------------------
+
+std::pair<const uint8_t*, size_t> base_read_name(const uint8_t* head,
+                                                 size_t len) {
+  size_t name_end = len;
+  for (size_t i = 0; i < len; i++) {
+    if (head[i] == ' ' || head[i] == '\t') {
+      name_end = i;
+      break;
+    }
+  }
+  if (name_end >= 2 && head[name_end - 2] == '/' &&
+      (head[name_end - 1] == '1' || head[name_end - 1] == '2'))
+    return {head, name_end - 2};
+  return {head, name_end};
+}
+
+class SubsampleEngine {
+ public:
+  ErrorState err;
+
+  bool init(int n_threads, int compression_level) {
+    pool_ = std::make_unique<CompressorPool>(std::max(1, n_threads),
+                                             std::max(8, n_threads * 50));
+    level_ = compression_level;
+    return true;
+  }
+
+  bool add_input(const char* in_path, const char* out_path) {
+    auto in = std::make_unique<InputStream>(in_path);
+    if (!in->ok()) {
+      err.set(str_printf("Failed to open \"%s\"", in_path));
+      return false;
+    }
+    scanners_.push_back(std::make_unique<FastqScanner>(std::move(in)));
+    auto w = std::make_unique<BgzfWriter>(out_path, level_, pool_.get());
+    if (!w->ok()) {
+      err.set(str_printf("Failed to open output \"%s\"", out_path));
+      return false;
+    }
+    writers_.push_back(std::move(w));
+    return true;
+  }
+
+  void configure(bool check_names) {
+    check_names_ = check_names && scanners_.size() > 1;
+  }
+
+  // Process up to n record sets with the given keep mask; returns the number
+  // consumed (0 == EOF), -1 on error.  total_kept_out accumulates kept sets.
+  int64_t process_chunk(const uint8_t* keep_mask, int64_t n,
+                        int64_t* kept_out) {
+    if (err.failed) return -1;
+    const size_t n_in = scanners_.size();
+    std::vector<RecordView> recs(n_in);
+    int64_t consumed = 0;
+    int64_t kept = 0;
+    std::vector<uint8_t> rec_buf;
+    for (; consumed < n; consumed++) {
+      bool keep = keep_mask[consumed] != 0;
+      size_t got = 0;
+      for (size_t i = 0; i < n_in; i++) {
+        int r = scanners_[i]->next(&recs[i]);
+        if (r < 0) {
+          err.set(scanners_[i]->error_msg());
+          return -1;
+        }
+        if (r == 0) continue;
+        got++;
+        if (keep) {
+          if (check_names_) {
+            auto name = base_read_name(recs[i].head, recs[i].head_len);
+            if (i == 0) {
+              expected_name_.assign(name.first, name.first + name.second);
+            } else if (name.second != expected_name_.size() ||
+                       memcmp(name.first, expected_name_.data(),
+                              name.second) != 0) {
+              err.set(str_printf(
+                  "Read name mismatch at read %lld: file 0=\"%s\", file "
+                  "%zu=\"%s\"",
+                  static_cast<long long>(total_read_ + 1),
+                  std::string(expected_name_.begin(), expected_name_.end())
+                      .c_str(),
+                  i,
+                  std::string(reinterpret_cast<const char*>(name.first),
+                              name.second)
+                      .c_str()));
+              return -1;
+            }
+          }
+          rec_buf.clear();
+          rec_buf.push_back('@');
+          rec_buf.insert(rec_buf.end(), recs[i].head,
+                         recs[i].head + recs[i].head_len);
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), recs[i].seq,
+                         recs[i].seq + recs[i].seq_len);
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), recs[i].plus,
+                         recs[i].plus + recs[i].plus_len);
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), recs[i].qual,
+                         recs[i].qual + recs[i].qual_len);
+          rec_buf.push_back('\n');
+          writers_[i]->write(rec_buf.data(), rec_buf.size());
+        }
+      }
+      if (got == 0) break;
+      if (got != n_in) {
+        err.set(str_printf(
+            "FASTQ files are out of sync: %zu of %zu files had a record at "
+            "read %lld",
+            got, n_in, static_cast<long long>(total_read_ + 1)));
+        return -1;
+      }
+      total_read_++;
+      if (keep) kept++;
+    }
+    *kept_out = kept;
+    return consumed;
+  }
+
+  bool finish() {
+    for (auto& w : writers_) w->close();
+    if (pool_) pool_->stop();
+    return !err.failed;
+  }
+
+ private:
+  // NB: pool_ must be declared BEFORE writers_ so it is destroyed AFTER
+  // them — BgzfWriter::close() submits its final block to the pool and
+  // waits for delivery; a dead pool would deadlock it (hit on error paths
+  // where finish() never runs).
+  std::unique_ptr<CompressorPool> pool_;
+  std::vector<std::unique_ptr<FastqScanner>> scanners_;
+  std::vector<std::unique_ptr<BgzfWriter>> writers_;
+  int level_ = 5;
+  bool check_names_ = false;
+  std::vector<uint8_t> expected_name_;
+  int64_t total_read_ = 0;
 };
 
 }  // namespace
@@ -974,3 +1125,39 @@ FQTK_API void fqtk_bgzf_close(StandaloneWriter* s) {
   s->pool->stop();
   delete s;
 }
+
+// --------------------------------------------------------------------------
+// subsample C API
+// --------------------------------------------------------------------------
+
+FQTK_API SubsampleEngine* fqtk_subsample_new(int n_threads,
+                                             int compression_level) {
+  auto* e = new SubsampleEngine();
+  e->init(n_threads, compression_level);
+  return e;
+}
+
+FQTK_API int fqtk_subsample_add_input(SubsampleEngine* e, const char* in_path,
+                                      const char* out_path) {
+  return e->add_input(in_path, out_path) ? 0 : -1;
+}
+
+FQTK_API void fqtk_subsample_configure(SubsampleEngine* e, int check_names) {
+  e->configure(check_names != 0);
+}
+
+FQTK_API int64_t fqtk_subsample_chunk(SubsampleEngine* e,
+                                      const uint8_t* keep_mask, int64_t n,
+                                      int64_t* kept_out) {
+  return e->process_chunk(keep_mask, n, kept_out);
+}
+
+FQTK_API int fqtk_subsample_finish(SubsampleEngine* e) {
+  return e->finish() ? 0 : -1;
+}
+
+FQTK_API const char* fqtk_subsample_error(SubsampleEngine* e) {
+  return e->err.failed ? e->err.msg.c_str() : "";
+}
+
+FQTK_API void fqtk_subsample_free(SubsampleEngine* e) { delete e; }

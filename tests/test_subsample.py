@@ -175,3 +175,44 @@ def test_validation_errors_collected(tmp_path):
 def test_effective_seed_explicit():
     cfg = SubsampleConfig(inputs=[], output="x", fraction=0.5, seed=99)
     assert effective_seed(cfg) == 99
+
+
+def test_native_matches_python(tmp_path):
+    """Native and pure-Python subsample paths must emit identical bytes."""
+    import gzip
+
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    n = 500
+    fq1 = fastq_file(tmp_path, "r1", "q", [f"ACGT{i%7}".replace(str(i%7), "ACGT"[i%4]) for i in range(n)])
+    fq2 = fastq_file(tmp_path, "r2", "q", ["CCCC"] * n)
+    for flavor, use_native in [("nat", True), ("py", False)]:
+        cfg = SubsampleConfig(
+            inputs=[fq1, fq2],
+            output=tmp_path / f"out_{flavor}",
+            fraction=0.37,
+            threads=2,
+            compression_level=5,
+            seed=1234,
+        )
+        run_subsample(cfg, use_native=use_native)
+    for i in (1, 2):
+        a = gzip.open(tmp_path / f"out_nat.R{i}.fq.gz").read()
+        b = gzip.open(tmp_path / f"out_py.R{i}.fq.gz").read()
+        assert a == b and len(a) > 0
+
+
+def test_native_name_mismatch(tmp_path):
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    fq1 = fastq_file(tmp_path, "r1", "qa", ["AAAA"] * 5)
+    fq2 = fastq_file(tmp_path, "r2", "qb", ["CCCC"] * 5)
+    cfg = SubsampleConfig(
+        inputs=[fq1, fq2], output=tmp_path / "o", fraction=1.0, seed=1
+    )
+    with pytest.raises(SubsampleError, match="Read name mismatch"):
+        run_subsample(cfg)
