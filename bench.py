@@ -31,7 +31,7 @@ import numpy as np
 
 RUST_BASELINE_READS_PER_SEC_ESTIMATE = 1.5e6
 
-N_READS = 1_000_000
+N_READS = 2_000_000
 WARMUP_READS = 2_000
 K = 96
 BC1, BC2 = 8, 9
@@ -112,13 +112,16 @@ def bench_kernel(barcodes):
         jax.device_put(rng.choice(bases, size=(batch, L)).astype(np.uint8))
         for _ in range(iters)
     ]
+    import jax.numpy as jnp
+
     warm = jax.device_put(rng.choice(bases, size=(batch, L)).astype(np.uint8))
-    jax.block_until_ready(assign(warm))  # compile
+    int(jnp.sum(assign(warm)[0]))  # compile + warm
     del warm
+    # force completion per call via an on-device reduction fetch; plain
+    # block_until_ready returns before remote execution completes here
     t0 = time.perf_counter()
     for i in range(iters):
-        out = assign(inputs[i])
-    jax.block_until_ready(out)
+        _ = int(jnp.sum(assign(inputs[i])[0]))
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -77,10 +77,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p,
         ctypes.c_char_p,
         ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.fqtk_demux_next_batch.restype = ctypes.c_int64
     lib.fqtk_demux_next_batch.argtypes = [
         ctypes.c_void_p,
+        ctypes.c_int,
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8),
@@ -89,6 +91,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fqtk_demux_route_batch.restype = ctypes.c_int64
     lib.fqtk_demux_route_batch.argtypes = [
         ctypes.c_void_p,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
     ]
@@ -190,6 +193,7 @@ class NativeDemuxEngine:
         first_sample_id: str,
         first_barcode: str,
         out_types: str,
+        pack_masks: bool = False,
     ) -> None:
         self._lib.fqtk_demux_configure(
             self._h,
@@ -200,14 +204,21 @@ class NativeDemuxEngine:
             first_barcode.encode(),
             out_types.encode(),
             len(out_types),
+            1 if pack_masks else 0,
         )
 
-    def next_batch(self, bc_out: np.ndarray, flags: np.ndarray) -> Tuple[int, int]:
-        """Fill ``bc_out[BATCH, L]`` / ``flags[BATCH]``; returns
-        (n_templates, n_skipped).  n == 0 means EOF."""
+    def next_batch(
+        self, slot: int, bc_out: np.ndarray, flags: np.ndarray
+    ) -> Tuple[int, int]:
+        """Parse into batch slot ``slot`` (0/1, double-buffered); fill
+        ``bc_out[BATCH, L]`` / ``flags[BATCH]``; returns
+        (n_templates, n_skipped).  n == 0 means EOF.  Releases the GIL for
+        the duration, so it can overlap a concurrent ``route_batch`` on the
+        other slot."""
         skipped = ctypes.c_int64(0)
         n = self._lib.fqtk_demux_next_batch(
             self._h,
+            slot,
             bc_out.shape[0],
             bc_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -216,11 +227,12 @@ class NativeDemuxEngine:
         self._check(n)
         return int(n), int(skipped.value)
 
-    def route_batch(self, assigned: np.ndarray) -> None:
+    def route_batch(self, slot: int, assigned: np.ndarray) -> None:
         assigned = np.ascontiguousarray(assigned, dtype=np.int32)
         self._check(
             self._lib.fqtk_demux_route_batch(
                 self._h,
+                slot,
                 assigned.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 assigned.shape[0],
             )

@@ -164,8 +164,10 @@ def make_assign_fn(
     min_mismatch_delta: int,
     k_chunk: int = 16384,
     accum_dtype=None,
+    packed_masks: bool = False,
+    compact_output: bool = False,
 ):
-    """Build a jitted ``obs_bytes[B, L] -> (assigned, best, next)`` function.
+    """Build a jitted ``obs[B, L] -> (assigned, best, next)`` function.
 
     ``assigned[b] == expected.count`` denotes unmatched (dense sentinel so the
     result can index a ``K+1``-row routing table on device).
@@ -173,6 +175,14 @@ def make_assign_fn(
     K is processed in chunks of ``k_chunk`` via ``lax.scan`` so the [B, K]
     mismatch matrix is never materialized — required for huge single-cell
     whitelists (737K barcodes) and HBM-friendly for all sizes.
+
+    ``packed_masks``: input is ``[B, ceil(L/2)] uint8`` with two 4-bit IUPAC
+    masks per byte (low nibble = even position) instead of raw ASCII — halves
+    host->device transfer, and the no-call gate becomes ``mask == 15`` (only
+    N/n/. encode to 15).  The native engine emits this layout.
+
+    ``compact_output``: return ``assigned`` as uint8 when ``K < 255`` (4x
+    less device->host traffic).
     """
     import jax
     import jax.numpy as jnp
@@ -203,10 +213,16 @@ def make_assign_fn(
     compat_chunks_dev = jax.device_put(compat_chunks)
 
     @jax.jit
-    def _assign(obs_bytes, cc):
-        obs_bytes = obs_bytes.astype(jnp.uint8)
-        b = obs_bytes.shape[0]
-        obs_masks = byte_to_mask(obs_bytes)  # [B, L] int32 (no gathers)
+    def _assign(obs_in, cc):
+        obs_in = obs_in.astype(jnp.uint8)
+        b = obs_in.shape[0]
+        if packed_masks:
+            lo = (obs_in & 0xF).astype(jnp.int32)
+            hi = (obs_in >> 4).astype(jnp.int32)
+            interleaved = jnp.stack([lo, hi], axis=-1).reshape(b, -1)
+            obs_masks = interleaved[:, :length]  # [B, L] int32 4-bit masks
+        else:
+            obs_masks = byte_to_mask(obs_in)  # [B, L] int32 (no gathers)
         onehot = (
             obs_masks[:, :, None] == jnp.arange(16, dtype=jnp.int32)[None, None, :]
         ).astype(jnp.int8)
@@ -240,13 +256,17 @@ def make_assign_fn(
                 scan_body, init, (jnp.arange(n_chunks, dtype=jnp.int32), cc)
             )
 
-        nocalls = jnp.sum(byte_is_nocall(obs_bytes), axis=1)
+        if packed_masks:
+            nocalls = jnp.sum((obs_masks == 15).astype(jnp.int32), axis=1)
+        else:
+            nocalls = jnp.sum(byte_is_nocall(obs_in), axis=1)
         ok = (
             (nocalls <= nocall_budget)
             & (best <= max_mismatches)
             & (nxt - best >= min_mismatch_delta)
         )
-        assigned = jnp.where(ok, bidx, k).astype(jnp.int32)
+        out_dtype = jnp.uint8 if (compact_output and k < 255) else jnp.int32
+        assigned = jnp.where(ok, bidx, k).astype(out_dtype)
         return assigned, best, nxt
 
     def assign(obs_bytes):

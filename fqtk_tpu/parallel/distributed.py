@@ -1,0 +1,153 @@
+"""Multi-host demultiplexing: data-parallel input shards + psum'd metrics.
+
+The reference is single-process; its natural multi-host extension (SURVEY.md
+§2c, §5) keeps the streaming pipeline per host and distributes *inputs*:
+
+- Each host runs the full native demux pipeline over its own shard of the
+  input (e.g. one lane's FASTQs per host, the pattern fqtk documents as
+  "concatenate lanes before demuxing" — here each lane demuxes in parallel
+  instead).
+- Per-sample template counts are associative integer sums, so the global
+  ``DemuxMetric`` values are computed exactly by summing per-host counts —
+  a single ``psum`` over the hosts' device mesh (ICI within a slice, DCN
+  across slices) — and writing ``demux-metrics.txt`` once on process 0.
+- Per-sample FASTQ outputs are written per host under ``shard-{pid}/``; a
+  global view is the in-order concatenation of shards, mirroring what the
+  reference produces after lane concatenation.  (Byte-level equality with a
+  single-process run over the concatenated input holds per shard.)
+
+Entry points:
+
+- :func:`init_distributed` — ``jax.distributed.initialize`` wrapper.
+- :func:`run_demux_multihost` — per-host pipeline + collective metric merge.
+- :func:`merge_host_counts` — the collective itself (identity when running
+  single-process, so the same code path runs everywhere).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger("fqtk")
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX multi-host runtime (no-op if already initialized)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+
+
+def merge_host_counts(local_counts: np.ndarray) -> np.ndarray:
+    """Sum per-sample template counts across all hosts.
+
+    Uses a ``psum`` over a 1-D mesh spanning every device; each host feeds
+    its local counts replicated on its addressable devices.  Exact (integer
+    sums), so the merged metrics equal a single-process run's.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return local_counts
+
+    mesh = jax.make_mesh((len(jax.devices()),), ("hosts",))
+
+    def shard_map(f, **kw):
+        try:
+            return jax.shard_map(f, **kw)
+        except (AttributeError, TypeError):  # pragma: no cover
+            from jax.experimental.shard_map import shard_map as _sm
+
+            return _sm(f, **kw)
+
+    # contribute once per host: divide by local device count inside so the
+    # psum over all devices yields the per-host sum exactly (integer-safe:
+    # contribute from device 0 of each host only, via where on device index)
+    n_local = jax.local_device_count()
+
+    def merge(x):
+        idx = jax.lax.axis_index("hosts")
+        contribute = (idx % n_local) == 0
+        val = jnp.where(contribute, x, jnp.zeros_like(x))
+        return jax.lax.psum(val, "hosts")
+
+    fn = jax.jit(
+        shard_map(
+            merge,
+            mesh=mesh,
+            in_specs=P(),
+            out_specs=P(),
+        )
+    )
+    arr = jnp.asarray(local_counts.astype(np.int64))
+    return np.asarray(fn(arr)).astype(np.int64)
+
+
+def run_demux_multihost(cfg, input_shards: Optional[Sequence[List]] = None):
+    """Run demux across hosts: this process handles shard ``process_index``.
+
+    ``input_shards``: optional per-host input lists (each entry is the
+    ``inputs`` list for one host; all share the read structures).  When
+    omitted, every host must already have its own ``cfg.inputs``.
+
+    Outputs land in ``{cfg.output}/shard-{pid}/``; the merged
+    ``demux-metrics.txt`` (global counts over all hosts) is written at
+    ``{cfg.output}/demux-metrics.txt`` by process 0.
+    """
+    import dataclasses
+
+    import jax
+
+    from ..core.samples import SampleGroup
+    from ..runtime.demux import compute_metrics, run_demux, write_metrics
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    if input_shards is not None:
+        if len(input_shards) != nproc:
+            raise ValueError(
+                f"{len(input_shards)} input shards for {nproc} processes"
+            )
+        inputs = list(input_shards[pid])
+    else:
+        inputs = list(cfg.inputs)
+
+    shard_out = Path(cfg.output) / f"shard-{pid}"
+    local_cfg = dataclasses.replace(cfg, inputs=inputs, output=shard_out)
+    result = run_demux(local_cfg)
+
+    sample_group = SampleGroup.from_file(cfg.sample_metadata)
+    k = len(sample_group.samples)
+    local_counts = np.zeros(k + 1, dtype=np.int64)
+    for i, row in enumerate(result.metrics):
+        local_counts[i] = row["templates"]
+
+    global_counts = merge_host_counts(local_counts)
+    metrics = compute_metrics(sample_group, global_counts, cfg.unmatched_prefix)
+    if pid == 0:
+        Path(cfg.output).mkdir(parents=True, exist_ok=True)
+        write_metrics(Path(cfg.output) / "demux-metrics.txt", metrics)
+        logger.info(
+            "Merged metrics over %d host(s): %d templates",
+            nproc,
+            int(global_counts.sum()),
+        )
+    return metrics

@@ -274,7 +274,23 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
     expected = ExpectedSet.from_barcodes([s.barcode for s in sample_group.samples])
     bc_len = expected.length
     k = expected.count
-    assign = _make_assigner(cfg, expected, engine_override="jax")
+    # packed 4-bit-mask transfer + compact uint8 results: halves/quarters the
+    # host<->device traffic on the hot path
+    from ..ops.matcher import make_assign_fn
+
+    assign_fn = make_assign_fn(
+        expected,
+        cfg.max_mismatches,
+        cfg.min_mismatch_delta,
+        packed_masks=True,
+        compact_output=True,
+    )
+
+    def assign(obs_packed):
+        idx, _, _ = assign_fn(obs_packed)
+        return idx
+
+    packed_len = (bc_len + 1) // 2
 
     engine = native_io.NativeDemuxEngine(
         threads=max(1, cfg.threads - 2), compression_level=cfg.compression_level
@@ -310,6 +326,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
             first_sample_id=sample_group.samples[0].sample_id,
             first_barcode=sample_group.samples[0].barcode.upper(),
             out_types="".join(t.value for t in requested),
+            pack_masks=True,
         )
 
         counts = np.zeros(k + 1, dtype=np.int64)
@@ -317,27 +334,63 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
         total = 0
         next_log = 1_000_000
         batch = cfg.batch_size
-        bc = np.full((batch, bc_len), ord("A"), dtype=np.uint8)
-        flags = np.zeros(batch, dtype=np.uint8)
 
-        while True:
-            n, skipped = engine.next_batch(bc, flags)
-            if skipped:
-                skip_counts["TooFewBases"] = (
-                    skip_counts.get("TooFewBases", 0) + skipped
-                )
-            if n == 0:
-                break
-            assigned = np.asarray(assign(bc))[:n].copy()
-            forced = flags[:n] == 1
-            if forced.any():
-                assigned[forced] = k
-            engine.route_batch(assigned)
-            counts += np.bincount(assigned, minlength=k + 1)
-            total += n
-            while total >= next_log:
-                logger.info("fqtk: %s records demultiplexed", f"{next_log:,}")
-                next_log += 1_000_000
+        # 3-stage software pipeline over double-buffered slots: while the
+        # device matches batch s, the C++ engine parses slot 1-s (parse
+        # threads) and routes the previous batch (route worker thread); all
+        # three stages release the GIL inside C/XLA.
+        import concurrent.futures as _cf
+
+        bc = [
+            np.full((batch, packed_len), 0x11, dtype=np.uint8) for _ in range(2)
+        ]
+        fl = [np.zeros(batch, dtype=np.uint8) for _ in range(2)]
+        n_slot = [0, 0]
+        route_fut: List[Optional[_cf.Future]] = [None, None]
+
+        def note_skips(sk: int) -> None:
+            if sk:
+                skip_counts["TooFewBases"] = skip_counts.get("TooFewBases", 0) + sk
+
+        with _cf.ThreadPoolExecutor(max_workers=1) as router:
+            try:
+                n_slot[0], sk = engine.next_batch(0, bc[0], fl[0])
+                note_skips(sk)
+                s = 0
+                while n_slot[s] > 0:
+                    dev_out = assign(bc[s])  # async dispatch on device
+                    ns = 1 - s
+                    if route_fut[ns] is not None:
+                        route_fut[ns].result()
+                        route_fut[ns] = None
+                    n_slot[ns], sk = engine.next_batch(ns, bc[ns], fl[ns])
+                    note_skips(sk)
+                    assigned = np.asarray(dev_out)[: n_slot[s]].copy()
+                    forced = fl[s][: n_slot[s]] == 1
+                    if forced.any():
+                        assigned[forced] = k
+                    counts += np.bincount(assigned, minlength=k + 1)
+                    route_fut[s] = router.submit(engine.route_batch, s, assigned)
+                    total += n_slot[s]
+                    while total >= next_log:
+                        logger.info(
+                            "fqtk: %s records demultiplexed", f"{next_log:,}"
+                        )
+                        next_log += 1_000_000
+                    s = ns
+                # drain outstanding routes (re-raises routing errors)
+                for f in route_fut:
+                    if f is not None:
+                        f.result()
+                route_fut = [None, None]
+            finally:
+                # on error paths, don't leave the route worker running
+                for f in route_fut:
+                    if f is not None:
+                        try:
+                            f.result()
+                        except Exception:
+                            pass
 
         logger.info("Finished reading input FASTQs.")
         engine.finish()

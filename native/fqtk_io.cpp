@@ -42,12 +42,16 @@ namespace {
 // ---------------------------------------------------------------------------
 
 struct ErrorState {
+  // set() may be called from parse/route threads running concurrently;
+  // msg is immutable once failed flips to true.
+  std::mutex mu;
   std::string msg;
-  bool failed = false;
+  std::atomic<bool> failed{false};
   void set(const std::string& m) {
-    if (!failed) {
+    std::lock_guard<std::mutex> lk(mu);
+    if (!failed.load()) {
       msg = m;
-      failed = true;
+      failed.store(true);
     }
   }
 };
@@ -587,20 +591,35 @@ struct InputDef {
   int32_t min_len;
 };
 
-// one extracted segment (offsets into the batch arena)
-struct SegRef {
-  uint32_t seq_off;
-  uint32_t qual_off;
-  uint32_t len;
-  char kind;
-};
-
-struct TemplateRec {
+// Parsed record within a per-input batch arena.
+struct RecEntry {
   uint32_t head_off;
   uint32_t head_len;
-  uint32_t seg_begin;  // range into segs_
-  uint32_t seg_end;
-  uint8_t flag;  // 0 = ok, 1 = force-unmatched, 2 = skipped (not routed)
+  uint32_t seq_off;
+  uint32_t seq_len;
+  uint32_t qual_off;
+  // qual_len == seq_len (validated by the scanner)
+};
+
+// One input's share of a batch, filled by its parse thread.
+struct InputBatch {
+  std::vector<uint8_t> arena;
+  std::vector<RecEntry> recs;
+  bool failed = false;
+  std::string error;
+
+  void reset() {
+    arena.clear();
+    recs.clear();
+    failed = false;
+    error.clear();
+  }
+};
+
+// Double-buffered batch slot: per-input record arrays + per-template flags.
+struct BatchSlot {
+  std::vector<InputBatch> per_input;
+  int64_t n_templates = 0;
 };
 
 class DemuxEngine {
@@ -634,9 +653,6 @@ class DemuxEngine {
     return true;
   }
 
-  // writers are created per (sample, output file); Python passes the paths
-  // in routing order: for sample s, files ordered [T..., B..., M..., C...]
-  // (only requested types), matching the per-record write order.
   bool add_sample_writer(const char* path) {
     auto w = std::make_unique<BgzfWriter>(path, level_, pool_.get());
     if (!w->ok()) {
@@ -654,8 +670,10 @@ class DemuxEngine {
 
   void configure(int bc_len, int nocall_budget, int skip_too_few,
                  const char* first_sample_id, const char* first_barcode,
-                 const char* out_types, int n_out_types) {
+                 const char* out_types, int n_out_types, int pack_masks) {
     bc_len_ = bc_len;
+    pack_masks_ = pack_masks != 0;
+    row_stride_ = pack_masks ? (bc_len + 1) / 2 : bc_len;
     nocall_budget_ = nocall_budget;
     skip_too_few_ = skip_too_few != 0;
     first_sample_id_ = first_sample_id;
@@ -663,50 +681,89 @@ class DemuxEngine {
     // out_types must come in the reference's fixed write order (T, B, M, C
     // filtered to the requested set; demux.rs:397-402)
     out_types_.assign(out_types, out_types + n_out_types);
+    for (auto& s : slots_) s.per_input.resize(inputs_.size());
   }
 
-  // Parse up to `max_templates`; fill bc_out [max_templates, bc_len] and
-  // per-row flags. Returns number of templates parsed, 0 on EOF, -1 error.
-  int64_t next_batch(int64_t max_templates, uint8_t* bc_out, uint8_t* flags,
-                     int64_t* skipped_out) {
+  // Parse up to `max_templates` into `slot` (one thread per input), then
+  // apply skip/sync/barcode logic.  Fills bc_out [max, bc_len] and flags.
+  // Returns templates parsed, 0 on EOF, -1 error.
+  int64_t next_batch(int slot_idx, int64_t max_templates, uint8_t* bc_out,
+                     uint8_t* flags_out, int64_t* skipped_out) {
     if (err.failed) return -1;
-    arena_.clear();
-    segs_.clear();
-    templates_.clear();
-    int64_t count = 0;
-    int64_t skipped = 0;
+    BatchSlot& slot = slots_[slot_idx & 1];
+    std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 1];
+    rmap.clear();
     const size_t n_in = scanners_.size();
-    std::vector<RecordView> recs(n_in);
 
-    while (count < max_templates) {
+    // ---- parallel parse phase: one thread per input ----
+    std::vector<std::thread> threads;
+    for (size_t i = 0; i < n_in; i++) {
+      InputBatch& ib = slot.per_input[i];
+      ib.reset();
+      threads.emplace_back([this, i, max_templates, &ib] {
+        FastqScanner& sc = *scanners_[i];
+        RecordView rv;
+        for (int64_t t = 0; t < max_templates; t++) {
+          int r = sc.next(&rv);
+          if (r < 0) {
+            ib.failed = true;
+            ib.error = sc.error_msg();
+            return;
+          }
+          if (r == 0) return;  // EOF
+          RecEntry e;
+          e.head_len = static_cast<uint32_t>(rv.head_len);
+          e.seq_len = static_cast<uint32_t>(rv.seq_len);
+          e.head_off = static_cast<uint32_t>(ib.arena.size());
+          ib.arena.insert(ib.arena.end(), rv.head, rv.head + rv.head_len);
+          e.seq_off = static_cast<uint32_t>(ib.arena.size());
+          ib.arena.insert(ib.arena.end(), rv.seq, rv.seq + rv.seq_len);
+          e.qual_off = static_cast<uint32_t>(ib.arena.size());
+          ib.arena.insert(ib.arena.end(), rv.qual, rv.qual + rv.qual_len);
+          ib.recs.push_back(e);
+        }
+      });
+    }
+    for (auto& t : threads) t.join();
+    for (size_t i = 0; i < n_in; i++) {
+      if (slot.per_input[i].failed) {
+        err.set(slot.per_input[i].error);
+        return -1;
+      }
+    }
+
+    // ---- per-template phase: skip/sync gates + barcode packing ----
+    int64_t max_count = 0;
+    for (size_t i = 0; i < n_in; i++)
+      max_count = std::max<int64_t>(max_count, slot.per_input[i].recs.size());
+
+    int64_t count = 0;  // templates emitted into this batch
+    int64_t skipped = 0;
+    for (int64_t t = 0; t < max_count; t++) {
       size_t got = 0;
-      bool record_err = false;
       bool too_short = false;
       for (size_t i = 0; i < n_in; i++) {
-        int r = scanners_[i]->next(&recs[i]);
-        if (r < 0) {
-          err.set(scanners_[i]->error_msg());
-          return -1;
-        }
-        if (r == 0) continue;
+        InputBatch& ib = slot.per_input[i];
+        if (t >= static_cast<int64_t>(ib.recs.size())) continue;
         got++;
-        const InputDef& def = inputs_[i];
-        if (static_cast<int32_t>(recs[i].seq_len) < def.min_len) {
+        const RecEntry& e = ib.recs[t];
+        if (static_cast<int32_t>(e.seq_len) < inputs_[i].min_len) {
           if (skip_too_few_) {
             too_short = true;
           } else {
             err.set(str_printf(
-                "Read %.*s had too few bases to demux %zu vs. %d needed in "
+                "Read %.*s had too few bases to demux %u vs. %d needed in "
                 "read structure %s.",
-                static_cast<int>(recs[i].head_len), recs[i].head,
-                recs[i].seq_len, def.min_len, def.structure_str.c_str()));
-            record_err = true;
+                static_cast<int>(e.head_len), ib.arena.data() + e.head_off,
+                e.seq_len, inputs_[i].min_len,
+                inputs_[i].structure_str.c_str()));
+            return -1;
           }
         }
       }
-      if (record_err) return -1;
-      if (got == 0) break;  // EOF everywhere
+      if (got == 0) break;
       if (too_short) {
+        // template consumed but not demultiplexed (compacted out of batch)
         skipped++;
         continue;
       }
@@ -718,141 +775,159 @@ class DemuxEngine {
         return -1;
       }
 
-      // copy into arena + extract segments + build barcode row
-      TemplateRec t;
-      t.head_off = arena_put(recs[0].head, recs[0].head_len);
-      t.head_len = static_cast<uint32_t>(recs[0].head_len);
-      t.seg_begin = static_cast<uint32_t>(segs_.size());
-      t.flag = 0;
-
-      uint8_t* bc_row = bc_out + count * bc_len_;
+      uint8_t* bc_row = bc_out + count * row_stride_;
       int bc_pos = 0;
       bool bc_overflow = false;
       int nocalls = 0;
-
       for (size_t i = 0; i < n_in; i++) {
-        const InputDef& def = inputs_[i];
-        uint32_t seq_off = arena_put(recs[i].seq, recs[i].seq_len);
-        uint32_t qual_off = arena_put(recs[i].qual, recs[i].qual_len);
-        for (const SegmentDef& sd : def.segments) {
-          uint32_t off = static_cast<uint32_t>(sd.offset);
-          uint32_t len = sd.length < 0
-                             ? static_cast<uint32_t>(recs[i].seq_len) - off
-                             : static_cast<uint32_t>(sd.length);
-          SegRef ref{seq_off + off, qual_off + off, len, sd.kind};
-          segs_.push_back(ref);
-          if (sd.kind == 'B') {
-            const uint8_t* p = arena_.data() + ref.seq_off;
-            for (uint32_t j = 0; j < len; j++) {
-              uint8_t b = p[j];
-              nocalls += kIupac.nocall[b];
-              if (bc_pos < bc_len_) {
-                bc_row[bc_pos++] = b;
+        const InputBatch& ib = slot.per_input[i];
+        const RecEntry& e = ib.recs[t];
+        for (const SegmentDef& sd : inputs_[i].segments) {
+          if (sd.kind != 'B') continue;
+          uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
+                                       : static_cast<uint32_t>(sd.length);
+          const uint8_t* p = ib.arena.data() + e.seq_off + sd.offset;
+          for (uint32_t j = 0; j < len; j++) {
+            uint8_t b = p[j];
+            nocalls += kIupac.nocall[b];
+            if (bc_pos < bc_len_) {
+              if (pack_masks_) {
+                // two 4-bit IUPAC masks per byte, low nibble first — halves
+                // the host->device transfer (see make_assign_fn packed_masks)
+                uint8_t m = kIupac.encode[b];
+                if ((bc_pos & 1) == 0)
+                  bc_row[bc_pos >> 1] = m;
+                else
+                  bc_row[bc_pos >> 1] |= static_cast<uint8_t>(m << 4);
               } else {
-                bc_overflow = true;
+                bc_row[bc_pos] = b;
               }
-            }
-            if (bc_overflow) {
-              // keep scanning to count nocalls over the full barcode
+              bc_pos++;
+            } else {
+              bc_overflow = true;
             }
           }
         }
       }
-      t.seg_end = static_cast<uint32_t>(segs_.size());
-
-      if (bc_overflow || bc_pos > bc_len_) {
+      uint8_t flag = 0;
+      if (bc_overflow) {
         // longer than expected: reference panics unless the no-call gate
         // fires first (barcode_matching.rs:165-186)
         if (nocalls > nocall_budget_) {
-          t.flag = 1;
-          memset(bc_row, 'A', bc_len_);
+          flag = 1;
+          memset(bc_row, pack_masks_ ? 0x11 : 'A', row_stride_);
         } else {
-          // build the decoded observed string for the exact panic message
           std::string obs;
-          for (uint32_t si = t.seg_begin; si < t.seg_end; si++) {
-            if (segs_[si].kind != 'B') continue;
-            const uint8_t* p = arena_.data() + segs_[si].seq_off;
-            for (uint32_t j = 0; j < segs_[si].len; j++) {
-              char c = kIupac.decode[kIupac.encode[p[j]]];
-              obs += c ? c : '?';
+          size_t obs_len = 0;
+          for (size_t i = 0; i < n_in; i++) {
+            const InputBatch& ib = slot.per_input[i];
+            const RecEntry& e = ib.recs[t];
+            for (const SegmentDef& sd : inputs_[i].segments) {
+              if (sd.kind != 'B') continue;
+              uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
+                                           : static_cast<uint32_t>(sd.length);
+              const uint8_t* p = ib.arena.data() + e.seq_off + sd.offset;
+              for (uint32_t j = 0; j < len; j++) {
+                char c = kIupac.decode[kIupac.encode[p[j]]];
+                obs += c ? c : '?';
+                obs_len++;
+              }
             }
           }
           err.set(str_printf(
               "Read barcode (%s) length (%zu) differs from expected barcode "
               "(%s) length (%d) for sample %s",
-              obs.c_str(), obs.size(), first_barcode_.c_str(), bc_len_,
+              obs.c_str(), obs_len, first_barcode_.c_str(), bc_len_,
               first_sample_id_.c_str()));
           return -1;
         }
       } else if (bc_pos < bc_len_) {
-        t.flag = 1;  // too short: assign() -> None
-        memset(bc_row + bc_pos, 'A', bc_len_ - bc_pos);
-      } else if (nocalls > nocall_budget_) {
-        // also gate here (device does the same; belt-and-braces for flags)
-        t.flag = 0;  // device computes this identically; leave to device
+        flag = 1;  // too short overall: assign() -> None
+        memset(bc_row, pack_masks_ ? 0x11 : 'A', row_stride_);
       }
-
-      flags[count] = t.flag;
-      templates_.push_back(t);
+      flags_out[count] = flag;
+      // record the source template index for routing (skipped templates
+      // are compacted out of the emitted batch)
+      rmap.push_back(t);
       count++;
     }
+
+    slot.n_templates = count;
     *skipped_out = skipped;
     return count;
   }
 
-  // Route templates of the last batch given final assignments (index K =
+  // Route templates of batch `slot` given final assignments (index K =
   // unmatched = last writer set).
-  int64_t route_batch(const int32_t* assigned, int64_t n) {
+  int64_t route_batch(int slot_idx, const int32_t* assigned, int64_t n) {
     if (err.failed) return -1;
-    if (n != static_cast<int64_t>(templates_.size())) {
+    BatchSlot& slot = slots_[slot_idx & 1];
+    const std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 1];
+    if (n != slot.n_templates) {
       err.set("route_batch: assignment count mismatch");
       return -1;
     }
+    const size_t n_in = scanners_.size();
     std::vector<uint8_t> rec_buf;
     std::vector<std::pair<const uint8_t*, size_t>> bc_segs, umi_segs;
-    for (int64_t i = 0; i < n; i++) {
-      const TemplateRec& t = templates_[i];
-      int32_t idx = assigned[i];
+    for (int64_t r = 0; r < n; r++) {
+      const int64_t t = rmap[r];
+      int32_t idx = assigned[r];
       if (idx < 0 || idx >= static_cast<int32_t>(writers_.size())) {
         err.set(str_printf("route_batch: assignment %d out of range", idx));
         return -1;
       }
       auto& wset = writers_[idx];
+      const InputBatch& ib0 = slot.per_input[0];
+      const RecEntry& e0 = ib0.recs[t];
       bc_segs.clear();
       umi_segs.clear();
-      for (uint32_t si = t.seg_begin; si < t.seg_end; si++) {
-        const SegRef& s = segs_[si];
-        if (s.kind == 'B')
-          bc_segs.emplace_back(arena_.data() + s.seq_off, s.len);
-        else if (s.kind == 'M')
-          umi_segs.emplace_back(arena_.data() + s.seq_off, s.len);
+      for (size_t i = 0; i < n_in; i++) {
+        const InputBatch& ib = slot.per_input[i];
+        const RecEntry& e = ib.recs[t];
+        for (const SegmentDef& sd : inputs_[i].segments) {
+          if (sd.kind != 'B' && sd.kind != 'M') continue;
+          uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
+                                       : static_cast<uint32_t>(sd.length);
+          const uint8_t* p = ib.arena.data() + e.seq_off + sd.offset;
+          if (sd.kind == 'B')
+            bc_segs.emplace_back(p, len);
+          else
+            umi_segs.emplace_back(p, len);
+        }
       }
       size_t w = 0;
       for (char ot : out_types_) {
         int read_num = 0;
-        for (uint32_t si = t.seg_begin; si < t.seg_end; si++) {
-          const SegRef& s = segs_[si];
-          if (s.kind != ot) continue;
-          read_num++;
-          rec_buf.clear();
-          std::string herr;
-          if (!rewrite_header(rec_buf, arena_.data() + t.head_off, t.head_len,
-                              read_num, bc_segs, umi_segs, &herr)) {
-            err.set(herr);
-            return -1;
+        for (size_t i = 0; i < n_in; i++) {
+          const InputBatch& ib = slot.per_input[i];
+          const RecEntry& e = ib.recs[t];
+          for (const SegmentDef& sd : inputs_[i].segments) {
+            if (sd.kind != ot) continue;
+            read_num++;
+            uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
+                                         : static_cast<uint32_t>(sd.length);
+            rec_buf.clear();
+            std::string herr;
+            if (!rewrite_header(rec_buf, ib0.arena.data() + e0.head_off,
+                                e0.head_len, read_num, bc_segs, umi_segs,
+                                &herr)) {
+              err.set(herr);
+              return -1;
+            }
+            rec_buf.push_back('\n');
+            const uint8_t* seq = ib.arena.data() + e.seq_off + sd.offset;
+            const uint8_t* qual = ib.arena.data() + e.qual_off + sd.offset;
+            rec_buf.insert(rec_buf.end(), seq, seq + len);
+            rec_buf.push_back('\n');
+            rec_buf.push_back('+');
+            rec_buf.push_back('\n');
+            rec_buf.insert(rec_buf.end(), qual, qual + len);
+            rec_buf.push_back('\n');
+            if (w < wset.size())
+              wset[w]->write(rec_buf.data(), rec_buf.size());
+            w++;
           }
-          rec_buf.push_back('\n');
-          rec_buf.insert(rec_buf.end(), arena_.data() + s.seq_off,
-                         arena_.data() + s.seq_off + s.len);
-          rec_buf.push_back('\n');
-          rec_buf.push_back('+');
-          rec_buf.push_back('\n');
-          rec_buf.insert(rec_buf.end(), arena_.data() + s.qual_off,
-                         arena_.data() + s.qual_off + s.len);
-          rec_buf.push_back('\n');
-          if (w < wset.size())
-            wset[w]->write(rec_buf.data(), rec_buf.size());
-          w++;
         }
       }
     }
@@ -867,12 +942,6 @@ class DemuxEngine {
   }
 
  private:
-  uint32_t arena_put(const uint8_t* data, size_t len) {
-    uint32_t off = static_cast<uint32_t>(arena_.size());
-    arena_.insert(arena_.end(), data, data + len);
-    return off;
-  }
-
   std::vector<InputDef> inputs_;
   std::vector<std::unique_ptr<FastqScanner>> scanners_;
   // NB: pool_ declared before the writer containers below so it is
@@ -882,14 +951,15 @@ class DemuxEngine {
   std::vector<std::unique_ptr<BgzfWriter>> current_sample_;
   std::vector<std::vector<std::unique_ptr<BgzfWriter>>> writers_;
   int bc_len_ = 0;
+  int row_stride_ = 0;
+  bool pack_masks_ = false;
   int nocall_budget_ = 0;
   bool skip_too_few_ = false;
   std::string first_sample_id_, first_barcode_;
   std::string out_types_;
 
-  std::vector<uint8_t> arena_;
-  std::vector<SegRef> segs_;
-  std::vector<TemplateRec> templates_;
+  BatchSlot slots_[2];
+  std::vector<int64_t> slot_route_map_[2];
 };
 
 // ---------------------------------------------------------------------------
@@ -1070,26 +1140,27 @@ FQTK_API void fqtk_demux_configure(DemuxEngine* e, int bc_len,
                                    int nocall_budget, int skip_too_few,
                                    const char* first_sample_id,
                                    const char* first_barcode,
-                                   const char* out_types, int n_out_types) {
+                                   const char* out_types, int n_out_types,
+                                   int pack_masks) {
   e->configure(bc_len, nocall_budget, skip_too_few, first_sample_id,
-               first_barcode, out_types, n_out_types);
+               first_barcode, out_types, n_out_types, pack_masks);
 }
 
-FQTK_API int64_t fqtk_demux_next_batch(DemuxEngine* e, int64_t max_templates,
-                                       uint8_t* bc_out, uint8_t* flags,
-                                       int64_t* skipped_out) {
-  return e->next_batch(max_templates, bc_out, flags, skipped_out);
+FQTK_API int64_t fqtk_demux_next_batch(DemuxEngine* e, int slot,
+                                       int64_t max_templates, uint8_t* bc_out,
+                                       uint8_t* flags, int64_t* skipped_out) {
+  return e->next_batch(slot, max_templates, bc_out, flags, skipped_out);
 }
 
-FQTK_API int64_t fqtk_demux_route_batch(DemuxEngine* e,
+FQTK_API int64_t fqtk_demux_route_batch(DemuxEngine* e, int slot,
                                         const int32_t* assigned, int64_t n) {
-  return e->route_batch(assigned, n);
+  return e->route_batch(slot, assigned, n);
 }
 
 FQTK_API int fqtk_demux_finish(DemuxEngine* e) { return e->finish() ? 0 : -1; }
 
 FQTK_API const char* fqtk_demux_error(DemuxEngine* e) {
-  return e->err.failed ? e->err.msg.c_str() : "";
+  return e->err.failed.load() ? e->err.msg.c_str() : "";
 }
 
 FQTK_API void fqtk_demux_free(DemuxEngine* e) { delete e; }
@@ -1157,7 +1228,7 @@ FQTK_API int fqtk_subsample_finish(SubsampleEngine* e) {
 }
 
 FQTK_API const char* fqtk_subsample_error(SubsampleEngine* e) {
-  return e->err.failed ? e->err.msg.c_str() : "";
+  return e->err.failed.load() ? e->err.msg.c_str() : "";
 }
 
 FQTK_API void fqtk_subsample_free(SubsampleEngine* e) { delete e; }

@@ -189,3 +189,32 @@ def test_jax_iupac_and_nocall_gates():
     fn = make_assign_fn(es, 0, 0)
     idx, _, _ = (np.asarray(x) for x in fn(obs))
     assert list(idx) == [0, 1, 2]  # third read: 3 no-calls > 0 + 2 -> unmatched
+
+
+def test_jax_packed_masks_and_compact_output():
+    from fqtk_tpu.core.encoding import ENCODE_LUT
+    from fqtk_tpu.ops.matcher import make_assign_fn
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    barcodes = sorted(
+        {bytes(rng.choice(bases, size=9)).decode() for _ in range(60)}
+    )
+    es = ExpectedSet.from_barcodes(barcodes)
+    obs = rng.choice(bases, size=(128, 9)).astype(np.uint8)
+    obs[::3] = np.frombuffer(barcodes[0].encode(), dtype=np.uint8)
+
+    # pack: two 4-bit masks per byte, low nibble = even position
+    masks = ENCODE_LUT[obs]
+    padded = np.zeros((128, 10), dtype=np.uint8)
+    padded[:, :9] = masks
+    packed = (padded[:, 0::2] | (padded[:, 1::2] << 4)).astype(np.uint8)
+
+    np_idx, np_best, np_next = assign_batch_np(obs, es, 1, 2)
+    expect = np.where(np_idx < 0, es.count, np_idx)
+    fn = make_assign_fn(es, 1, 2, packed_masks=True, compact_output=True)
+    j_idx, j_best, j_next = (np.asarray(x) for x in fn(packed))
+    assert j_idx.dtype == np.uint8
+    np.testing.assert_array_equal(j_idx.astype(np.int32), expect)
+    np.testing.assert_array_equal(j_best, np_best)
+    np.testing.assert_array_equal(j_next, np_next)
