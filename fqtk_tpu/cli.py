@@ -42,7 +42,7 @@ def _build_parser() -> argparse.ArgumentParser:
     # engine extensions
     demux.add_argument("--batch-size", type=int, default=1 << 16)
     demux.add_argument(
-        "--engine", choices=["auto", "jax", "numpy"], default="auto"
+        "--engine", choices=["auto", "native", "jax", "pallas", "numpy"], default="auto"
     )
 
     ss = sub.add_parser(

@@ -181,6 +181,15 @@ def make_pallas_assign_fn(
         return assigned, best, nxt
 
     def assign(obs_bytes):
-        return _assign(obs_bytes, compat_dev_arr)
+        b = obs_bytes.shape[0]
+        pad = (-b) % tile_b
+        if pad:
+            obs_bytes = np.ascontiguousarray(
+                np.pad(np.asarray(obs_bytes), ((0, pad), (0, 0)), constant_values=ord("A"))
+            )
+        idx, best, nxt = _assign(obs_bytes, compat_dev_arr)
+        if pad:
+            idx, best, nxt = idx[:b], best[:b], nxt[:b]
+        return idx, best, nxt
 
     return assign

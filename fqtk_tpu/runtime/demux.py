@@ -216,10 +216,24 @@ def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None
             engine = "jax"
         except Exception:  # pragma: no cover
             engine = "numpy"
-    if engine == "jax":
-        from ..ops.matcher import make_assign_fn
+    if engine in ("jax", "pallas"):
+        if engine == "pallas":
+            import jax
 
-        fn = make_assign_fn(expected, cfg.max_mismatches, cfg.min_mismatch_delta)
+            from ..ops.pallas_matcher import make_pallas_assign_fn
+
+            # interpret mode keeps the pallas path testable on CPU backends
+            interpret = jax.default_backend() == "cpu"
+            fn = make_pallas_assign_fn(
+                expected,
+                cfg.max_mismatches,
+                cfg.min_mismatch_delta,
+                interpret=interpret,
+            )
+        else:
+            from ..ops.matcher import make_assign_fn
+
+            fn = make_assign_fn(expected, cfg.max_mismatches, cfg.min_mismatch_delta)
 
         def assign(obs: np.ndarray) -> np.ndarray:
             idx, _, _ = fn(obs)

@@ -462,3 +462,39 @@ def test_gzip_inputs(tmp_path, engine):
     assert_records(
         out / "Sample0000.R1.fq.gz", [(b"ex_0 1:N:0:AAAA", b"G" * 10, b";" * 10)]
     )
+
+
+def test_demux_pallas_engine(tmp_path):
+    """The Pallas fused kernel as the matcher engine (interpret mode on CPU),
+    compared against the numpy engine byte-for-byte."""
+    s1 = "AAAAAAAAGATTACAGA"
+    sample_metadata = metadata_file(
+        tmp_path, [s1, "CCCCCCCCGATTACAGA", "GGGGGGGGGATTACAGA", "GGGGGGTTGATTACAGA"]
+    )
+    reads = [s1 + "A" * 100, "CCCCCCCCGATTACAGA" + "G" * 100, "TTTTTTTTTTTTTTTTT" + "C" * 100]
+    inputs = [fastq_file(tmp_path, "ex", "ex", reads)]
+    out_p = tmp_path / "out_pallas"
+    out_n = tmp_path / "out_numpy"
+    for out, engine in [(out_p, "pallas"), (out_n, "numpy")]:
+        run_demux(
+            _cfg(tmp_path, inputs, ["17B100T"], sample_metadata, out, engine, batch_size=64)
+        )
+    for f in sorted(out_p.glob("*.fq.gz")):
+        a = gzip.open(f).read()
+        b = gzip.open(out_n / f.name).read()
+        assert a == b, f.name
+    assert (out_p / "demux-metrics.txt").read_text() == (out_n / "demux-metrics.txt").read_text()
+
+
+def test_demux_empty_inputs_nan_metrics(tmp_path):
+    """Zero templates: metrics divide 0/0 like the reference's f64 math
+    (NaN formatted ryu-style)."""
+    sample_metadata = metadata_file(tmp_path, ["AAAA"])
+    empty = tmp_path / "empty.fastq"
+    empty.write_text("")
+    out = tmp_path / "out"
+    res = run_demux(_cfg(tmp_path, [empty], ["4B+T"], sample_metadata, out, "numpy"))
+    assert res.total_templates == 0
+    lines = (out / "demux-metrics.txt").read_text().splitlines()
+    assert lines[1] == "Sample0000\tAAAA\t0\tNaN\tNaN\tNaN"
+    assert lines[2] == "unmatched\t.\t0\tNaN\tNaN\tNaN"
