@@ -80,6 +80,7 @@ class DemuxResult:
     metrics: List[dict]
     skip_counts: Dict[str, int]
     total_templates: int
+    timings: Dict[str, float] = field(default_factory=dict)
 
 
 class SampleWriters:
@@ -366,20 +367,30 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
             if sk:
                 skip_counts["TooFewBases"] = skip_counts.get("TooFewBases", 0) + sk
 
-        with _cf.ThreadPoolExecutor(max_workers=1) as router:
+        from ..utils.profiling import StageTimers, maybe_device_trace
+
+        timers = StageTimers()
+
+        with _cf.ThreadPoolExecutor(max_workers=1) as router, _cf.ThreadPoolExecutor(
+            max_workers=1
+        ) as parser, maybe_device_trace():
             try:
                 n_slot[0], sk = engine.next_batch(0, bc[0], fl[0])
                 note_skips(sk)
                 s = 0
                 while n_slot[s] > 0:
-                    dev_out = assign(bc[s])  # async dispatch on device
+                    with timers.time("assign_dispatch"):
+                        dev_out = assign(bc[s])  # async dispatch on device
                     ns = 1 - s
                     if route_fut[ns] is not None:
-                        route_fut[ns].result()
+                        with timers.time("route_wait"):
+                            route_fut[ns].result()
                         route_fut[ns] = None
-                    n_slot[ns], sk = engine.next_batch(ns, bc[ns], fl[ns])
-                    note_skips(sk)
-                    assigned = np.asarray(dev_out)[: n_slot[s]].copy()
+                    # parse the next slot in a worker (ctypes releases the
+                    # GIL) while the device result is fetched on this thread
+                    parse_fut = parser.submit(engine.next_batch, ns, bc[ns], fl[ns])
+                    with timers.time("assign_fetch"):
+                        assigned = np.asarray(dev_out)[: n_slot[s]].copy()
                     forced = fl[s][: n_slot[s]] == 1
                     if forced.any():
                         assigned[forced] = k
@@ -391,6 +402,9 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                             "fqtk: %s records demultiplexed", f"{next_log:,}"
                         )
                         next_log += 1_000_000
+                    with timers.time("parse_wait"):
+                        n_slot[ns], sk = parse_fut.result()
+                    note_skips(sk)
                     s = ns
                 # drain outstanding routes (re-raises routing errors)
                 for f in route_fut:
@@ -398,7 +412,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                         f.result()
                 route_fut = [None, None]
             finally:
-                # on error paths, don't leave the route worker running
+                # on error paths, don't leave workers running
                 for f in route_fut:
                     if f is not None:
                         try:
@@ -407,8 +421,10 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                             pass
 
         logger.info("Finished reading input FASTQs.")
-        engine.finish()
+        with timers.time("finish"):
+            engine.finish()
         logger.info("Output FASTQ writing complete.")
+        timers.log(total)
     except native_io.NativeDemuxError as e:
         raise DemuxError(str(e)) from None
     finally:
@@ -423,7 +439,10 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
     metrics = compute_metrics(sample_group, counts, cfg.unmatched_prefix)
     write_metrics(output / "demux-metrics.txt", metrics)
     return DemuxResult(
-        metrics=metrics, skip_counts=skip_counts, total_templates=int(counts.sum())
+        metrics=metrics,
+        skip_counts=skip_counts,
+        total_templates=int(counts.sum()),
+        timings=timers.summary(),
     )
 
 

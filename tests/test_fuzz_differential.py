@@ -1,0 +1,128 @@
+"""Randomized differential testing: the native engine (C++ I/O + device
+matcher) must produce byte-identical decompressed outputs to the pure-Python
+reference path across randomized scenarios (structures, IUPAC barcodes,
+no-calls, short reads, multiple inputs, all output types)."""
+
+import gzip
+import random
+
+import pytest
+
+from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+BASES = "ACGT"
+IUPAC = "ACGTMRWSYKVHDBN"
+
+
+def _random_scenario(rng: random.Random, tmp_path, scenario_id: int):
+    n_inputs = rng.choice([1, 2, 4])
+    n_samples = rng.choice([2, 7, 24])
+    n_reads = rng.randint(30, 120)
+
+    # structures: each input gets barcode and/or template segments
+    structures = []
+    bc_total = 0
+    for i in range(n_inputs):
+        segs = []
+        r = rng.random()
+        if r < 0.6 or n_inputs == 1:
+            blen = rng.randint(4, 10)
+            segs.append(f"{blen}B")
+            bc_total += blen
+        if rng.random() < 0.4:
+            segs.append(f"{rng.randint(2, 6)}M")
+        if rng.random() < 0.3:
+            segs.append(f"{rng.randint(1, 5)}S")
+        if rng.random() < 0.5 and rng.random() < 0.5:
+            segs.append(f"{rng.randint(3, 8)}C")
+        segs.append("+T" if rng.random() < 0.5 else f"{rng.randint(5, 30)}T")
+        structures.append("".join(segs))
+    if bc_total == 0:
+        structures[0] = "6B" + structures[0]
+        bc_total = 6
+
+    # unique same-length barcodes, occasionally IUPAC
+    alphabet = IUPAC if rng.random() < 0.3 else BASES + "N"
+    barcodes = set()
+    while len(barcodes) < n_samples:
+        barcodes.add("".join(rng.choice(alphabet) for _ in range(bc_total)))
+    barcodes = sorted(barcodes)
+    meta = tmp_path / f"meta{scenario_id}.tsv"
+    meta.write_text(
+        "sample_id\tbarcode\n"
+        + "".join(f"s{i}\t{b}\n" for i, b in enumerate(barcodes))
+    )
+
+    # reads: mostly near-misses of real barcodes + random + some too-short
+    def min_len(structure):
+        total, num = 0, ""
+        for ch in structure:
+            if ch.isdigit():
+                num += ch
+            elif ch == "+":
+                num = "1"
+            else:
+                total += int(num)
+                num = ""
+        return total
+
+    inputs = []
+    read_alpha = BASES + "N" + "acgtn"
+    for i in range(n_inputs):
+        ml = min_len(structures[i])
+        lines = []
+        for r in range(n_reads):
+            if rng.random() < 0.05:
+                seq = "".join(rng.choice(BASES) for _ in range(max(0, ml - 1)))
+            else:
+                seq = "".join(
+                    rng.choice(read_alpha) for _ in range(ml + rng.randint(0, 8))
+                )
+            comment = rng.choice(["", " 1:N:0:0", " 1:Y:0:AACC", " x:y"])
+            lines.append(f"@r_{r}{comment}\n{seq}\n+\n{'I' * len(seq)}\n")
+        p = tmp_path / f"in{scenario_id}_{i}.fq"
+        p.write_text("".join(lines))
+        inputs.append(p)
+
+    return inputs, structures, meta
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55])
+def test_native_matches_python_fuzz(tmp_path, seed):
+    rng = random.Random(seed)
+    inputs, structures, meta = _random_scenario(rng, tmp_path, seed)
+    max_mm = rng.choice([0, 1, 2])
+    delta = rng.choice([0, 1, 2])
+    batch = rng.choice([5, 64])
+    results = {}
+    for engine in ("native", "numpy"):
+        out = tmp_path / f"out_{engine}_{seed}"
+        cfg = DemuxConfig(
+            inputs=inputs,
+            read_structures=structures,
+            sample_metadata=meta,
+            output=out,
+            output_types=["T", "B", "M", "C"],
+            max_mismatches=max_mm,
+            min_mismatch_delta=delta,
+            skip_reasons=["too-few-bases"],
+            batch_size=batch,
+            engine=engine,
+        )
+        results[engine] = run_demux(cfg)
+
+    assert (
+        results["native"].skip_counts == results["numpy"].skip_counts
+    ), "skip counts differ"
+    out_n = tmp_path / f"out_native_{seed}"
+    out_p = tmp_path / f"out_numpy_{seed}"
+    files_n = sorted(p.name for p in out_n.glob("*.fq.gz"))
+    files_p = sorted(p.name for p in out_p.glob("*.fq.gz"))
+    assert files_n == files_p
+    for name in files_n:
+        a = gzip.open(out_n / name).read()
+        b = gzip.open(out_p / name).read()
+        assert a == b, f"{name} differs (seed={seed})"
+    assert (out_n / "demux-metrics.txt").read_text() == (
+        out_p / "demux-metrics.txt"
+    ).read_text()
