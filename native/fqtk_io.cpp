@@ -33,6 +33,11 @@
 
 #include <zlib.h>
 
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define FQTK_HAVE_LIBDEFLATE 1
+#endif
+
 #define FQTK_API extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -358,18 +363,48 @@ class CompressorPool {
 
   static std::vector<uint8_t> compress_block(const std::vector<uint8_t>& in,
                                              int level) {
-    // deflate raw with headroom; BGZF framing around it
-    z_stream s;
-    memset(&s, 0, sizeof(s));
-    deflateInit2(&s, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
-    std::vector<uint8_t> out(18 + deflateBound(&s, in.size()) + 8);
-    s.next_in = const_cast<uint8_t*>(in.data());
-    s.avail_in = static_cast<unsigned>(in.size());
-    s.next_out = out.data() + 18;
-    s.avail_out = static_cast<unsigned>(out.size() - 26);
-    deflate(&s, Z_FINISH);
-    size_t body = out.size() - 26 - s.avail_out;
-    deflateEnd(&s);
+    // raw deflate with headroom; BGZF framing around it.  libdeflate when
+    // available (2-3x faster than zlib -- the reference's bgzf crate uses it
+    // too, which is also why its --compression-level range is 1..=12);
+    // zlib fallback otherwise.
+    size_t body;
+    std::vector<uint8_t> out;
+#ifdef FQTK_HAVE_LIBDEFLATE
+    {
+      thread_local struct Compressor {
+        libdeflate_compressor* c = nullptr;
+        int level = -1;
+      } tl;
+      if (tl.level != level) {
+        if (tl.c) libdeflate_free_compressor(tl.c);
+        tl.c = libdeflate_alloc_compressor(level);
+        tl.level = level;
+      }
+      size_t bound = libdeflate_deflate_compress_bound(tl.c, in.size());
+      out.resize(18 + bound + 8);
+      body = libdeflate_deflate_compress(tl.c, in.data(), in.size(),
+                                         out.data() + 18, bound);
+      if (body == 0) {
+        // incompressible beyond bound (shouldn't happen with compress_bound)
+        out.clear();
+      }
+    }
+    if (out.empty())
+#endif
+    {
+      z_stream s;
+      memset(&s, 0, sizeof(s));
+      deflateInit2(&s, std::min(level, 9), Z_DEFLATED, -15, 8,
+                   Z_DEFAULT_STRATEGY);
+      out.assign(18 + deflateBound(&s, in.size()) + 8, 0);
+      s.next_in = const_cast<uint8_t*>(in.data());
+      s.avail_in = static_cast<unsigned>(in.size());
+      s.next_out = out.data() + 18;
+      s.avail_out = static_cast<unsigned>(out.size() - 26);
+      deflate(&s, Z_FINISH);
+      body = out.size() - 26 - s.avail_out;
+      deflateEnd(&s);
+    }
     size_t total = 18 + body + 8;
     uint16_t bsize = static_cast<uint16_t>(total - 1);
     uint8_t* h = out.data();
@@ -379,7 +414,11 @@ class CompressorPool {
     h[10] = 6; h[11] = 0;         // xlen
     h[12] = 'B'; h[13] = 'C'; h[14] = 2; h[15] = 0;
     h[16] = bsize & 0xff; h[17] = bsize >> 8;
+#ifdef FQTK_HAVE_LIBDEFLATE
+    uint32_t crc = libdeflate_crc32(0, in.data(), in.size());
+#else
     uint32_t crc = crc32(0, in.data(), in.size());
+#endif
     uint32_t isize = static_cast<uint32_t>(in.size());
     uint8_t* t = out.data() + 18 + body;
     memcpy(t, &crc, 4);
@@ -630,6 +669,7 @@ class DemuxEngine {
     pool_ = std::make_unique<CompressorPool>(n_threads,
                                              std::max(8, n_threads * 50));
     level_ = compression_level;
+    route_threads_ = std::max(1, std::min(4, n_threads / 2));
     return true;
   }
 
@@ -858,7 +898,9 @@ class DemuxEngine {
   }
 
   // Route templates of batch `slot` given final assignments (index K =
-  // unmatched = last writer set).
+  // unmatched = last writer set).  Parallelized by sample: thread j handles
+  // samples with index % T == j, so writer sets are thread-disjoint and
+  // per-file record order is preserved (each thread scans in order).
   int64_t route_batch(int slot_idx, const int32_t* assigned, int64_t n) {
     if (err.failed) return -1;
     BatchSlot& slot = slots_[slot_idx & 1];
@@ -867,16 +909,40 @@ class DemuxEngine {
       err.set("route_batch: assignment count mismatch");
       return -1;
     }
+    for (int64_t r = 0; r < n; r++) {
+      if (assigned[r] < 0 ||
+          assigned[r] >= static_cast<int32_t>(writers_.size())) {
+        err.set(
+            str_printf("route_batch: assignment %d out of range", assigned[r]));
+        return -1;
+      }
+    }
+    const int n_threads = route_threads_;
+    if (n_threads <= 1) {
+      route_partition(slot, rmap, assigned, n, 0, 1);
+    } else {
+      std::vector<std::thread> ts;
+      for (int j = 0; j < n_threads; j++)
+        ts.emplace_back([&, j] {
+          route_partition(slot, rmap, assigned, n, j, n_threads);
+        });
+      for (auto& t : ts) t.join();
+    }
+    return err.failed ? -1 : n;
+  }
+
+  // Routes the subset of records whose assigned sample index % n_parts ==
+  // part.  Writer sets touched by different parts are disjoint.
+  void route_partition(BatchSlot& slot, const std::vector<int64_t>& rmap,
+                       const int32_t* assigned, int64_t n, int part,
+                       int n_parts) {
     const size_t n_in = scanners_.size();
     std::vector<uint8_t> rec_buf;
     std::vector<std::pair<const uint8_t*, size_t>> bc_segs, umi_segs;
     for (int64_t r = 0; r < n; r++) {
-      const int64_t t = rmap[r];
       int32_t idx = assigned[r];
-      if (idx < 0 || idx >= static_cast<int32_t>(writers_.size())) {
-        err.set(str_printf("route_batch: assignment %d out of range", idx));
-        return -1;
-      }
+      if (idx % n_parts != part) continue;
+      const int64_t t = rmap[r];
       auto& wset = writers_[idx];
       const InputBatch& ib0 = slot.per_input[0];
       const RecEntry& e0 = ib0.recs[t];
@@ -913,7 +979,7 @@ class DemuxEngine {
                                 e0.head_len, read_num, bc_segs, umi_segs,
                                 &herr)) {
               err.set(herr);
-              return -1;
+              return;
             }
             rec_buf.push_back('\n');
             const uint8_t* seq = ib.arena.data() + e.seq_off + sd.offset;
@@ -931,7 +997,6 @@ class DemuxEngine {
         }
       }
     }
-    return n;
   }
 
   bool finish() {
@@ -951,6 +1016,7 @@ class DemuxEngine {
   std::vector<std::unique_ptr<BgzfWriter>> current_sample_;
   std::vector<std::vector<std::unique_ptr<BgzfWriter>>> writers_;
   int bc_len_ = 0;
+  int route_threads_ = 1;
   int row_stride_ = 0;
   bool pack_masks_ = false;
   int nocall_budget_ = 0;
