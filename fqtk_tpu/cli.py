@@ -40,7 +40,7 @@ def _build_parser() -> argparse.ArgumentParser:
     demux.add_argument("--compression-level", "-c", type=int, default=5)
     demux.add_argument("--skip-reasons", "-S", nargs="*", default=[])
     # engine extensions
-    demux.add_argument("--batch-size", type=int, default=1 << 16)
+    demux.add_argument("--batch-size", type=int, default=1 << 17)
     demux.add_argument(
         "--engine", choices=["auto", "native", "jax", "pallas", "numpy"], default="auto"
     )

@@ -75,6 +75,14 @@ class SampleGroup:
             ]
         )
 
+
+    def __str__(self) -> str:
+        lines = ["SampleGroup {"]
+        for s in self.samples:
+            lines.append(f"    {s}")
+        lines.append("}")
+        return "\n".join(lines) + "\n"
+
     @classmethod
     def from_file(cls, path: str | Path) -> "SampleGroup":
         """Load from a headered TSV with ``sample_id`` and ``barcode`` columns.

@@ -71,7 +71,7 @@ class DemuxConfig:
     compression_level: int = 5
     skip_reasons: List[str] = field(default_factory=list)
     # engine extensions (not in the reference CLI)
-    batch_size: int = 1 << 16
+    batch_size: int = 1 << 17
     engine: str = "auto"  # auto | jax | numpy
 
 

@@ -498,3 +498,52 @@ def test_demux_empty_inputs_nan_metrics(tmp_path):
     lines = (out / "demux-metrics.txt").read_text().splitlines()
     assert lines[1] == "Sample0000\tAAAA\t0\tNaN\tNaN\tNaN"
     assert lines[2] == "unmatched\t.\t0\tNaN\tNaN\tNaN"
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_demux_single_cell_style(tmp_path, engine):
+    """16C12M+T style single-cell structure: cellular barcode + UMI + template
+    with a moderate whitelist; exercises C-segment outputs and UMI headers."""
+    import random
+
+    rng = random.Random(9)
+    barcodes = sorted({"".join(rng.choice("ACGT") for _ in range(10)) for _ in range(200)})
+    sample_metadata = metadata_file(tmp_path, barcodes)
+    reads = []
+    expected_assign = []
+    for i in range(40):
+        bc = barcodes[i % len(barcodes)]
+        cell = "".join(rng.choice("ACGT") for _ in range(16))
+        umi = "".join(rng.choice("ACGT") for _ in range(12))
+        reads.append(cell + umi + bc + "ACGT" * 10)
+        expected_assign.append(i % len(barcodes))
+    inputs = [fastq_file(tmp_path, "sc", "sc", reads)]
+    out = tmp_path / "out"
+    run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["16C12M10B+T"],
+            sample_metadata,
+            out,
+            engine,
+            output_types=["T", "C", "M"],
+            max_mismatches=1,
+            min_mismatch_delta=2,
+            batch_size=16,
+        )
+    )
+    from fqtk_tpu.io.fastq import read_fastq
+
+    total = 0
+    for i, bc in enumerate(barcodes):
+        recs = read_fastq(out / f"Sample{i:04d}.R1.fq.gz")
+        total += len(recs)
+        for r in recs:
+            # UMI in name, barcode in comment
+            head = r.head.decode()
+            assert ":" in head.split(" ")[0]
+            assert head.endswith(bc)
+        assert len(read_fastq(out / f"Sample{i:04d}.C1.fq.gz")) == len(recs)
+        assert len(read_fastq(out / f"Sample{i:04d}.U1.fq.gz")) == len(recs)
+    assert total == 40

@@ -111,3 +111,20 @@ def test_fastq_reader_length_mismatch(tmp_path):
     p.write_bytes(b"@r1\nACGT\n+\nII\n")
     with pytest.raises(FastqParseError, match="lengths differ"):
         read_fastq(p)
+
+
+def test_native_bgzf_ordering_stress(tmp_path):
+    """Pool ordering invariant: many blocks compressed by racing workers must
+    land strictly in submission order."""
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    p = tmp_path / "stress.gz"
+    chunks = [bytes([i % 251]) * 70_000 for i in range(64)]  # > 1 block each
+    w = native_io.NativeBgzfWriter(p, compression_level=1, threads=4)
+    for c in chunks:
+        w.write(c)
+    w.close()
+    with gzip.open(p, "rb") as fh:
+        assert fh.read() == b"".join(chunks)
