@@ -306,6 +306,19 @@ class BgzfWriter {
   bool ok() const { return ok_; }
 
   void write(const uint8_t* data, size_t len);
+
+  // In-place formatting: returns a pointer with at least max_len bytes of
+  // contiguous buffer space (submitting the current block first if needed;
+  // partial blocks are valid BGZF).  Caller writes <= max_len bytes and
+  // calls commit(actual).  max_len must be < kBgzfBlockInput.
+  uint8_t* reserve(size_t max_len) {
+    if (buf_.size() + max_len > kBgzfBlockInput) submit_block();
+    reserve_off_ = buf_.size();
+    buf_.resize(reserve_off_ + max_len);
+    return buf_.data() + reserve_off_;
+  }
+  void commit(size_t actual) { buf_.resize(reserve_off_ + actual); }
+
   void close();
   ~BgzfWriter() { close(); }
 
@@ -323,6 +336,7 @@ class BgzfWriter {
   int level_;
   CompressorPool* pool_;
   std::vector<uint8_t> buf_;
+  size_t reserve_off_ = 0;
   uint64_t next_submit_ = 0;
 
   std::mutex mu_;  // guards out-of-order delivery
@@ -582,6 +596,86 @@ bool rewrite_header(std::vector<uint8_t>& out, const uint8_t* header,
     out.insert(out.end(), bc[i].first, bc[i].first + bc[i].second);
   }
   return true;
+}
+
+// Cursor-based variant of rewrite_header: writes into `out` (caller
+// guarantees capacity), returns bytes written or -1 with *err set.
+inline int64_t rewrite_header_buf(
+    uint8_t* out, const uint8_t* header, size_t header_len, int read_num,
+    const std::vector<std::pair<const uint8_t*, size_t>>& bc,
+    const std::vector<std::pair<const uint8_t*, size_t>>& umi,
+    std::string* err) {
+  const uint8_t* space =
+      static_cast<const uint8_t*>(memchr(header, ' ', header_len));
+  const uint8_t* name = header;
+  size_t name_len = space ? (space - header) : header_len;
+  const uint8_t* comment = space ? space + 1 : nullptr;
+  size_t comment_len = space ? header_len - name_len - 1 : 0;
+
+  uint8_t* p = out;
+  *p++ = '@';
+
+  if (!umi.empty()) {
+    int sep_count = 0;
+    for (size_t i = 0; i < name_len; i++)
+      if (name[i] == ':') sep_count++;
+    if (sep_count > 7) {
+      *err = "Can't handle read name with more than 8 segments: " +
+             std::string(reinterpret_cast<const char*>(header), header_len);
+      return -1;
+    }
+    memcpy(p, name, name_len);
+    p += name_len;
+    *p++ = sep_count == 7 ? '+' : ':';
+    for (size_t i = 0; i < umi.size(); i++) {
+      if (i > 0) *p++ = '+';
+      memcpy(p, umi[i].first, umi[i].second);
+      p += umi[i].second;
+    }
+  } else {
+    memcpy(p, name, name_len);
+    p += name_len;
+  }
+
+  *p++ = ' ';
+
+  if (!comment) {
+    p += snprintf(reinterpret_cast<char*>(p), 24, "%d:N:0:", read_num);
+  } else {
+    int sep_count = 0;
+    for (size_t i = 0; i < comment_len; i++)
+      if (comment[i] == ':') sep_count++;
+    if (sep_count < 3) {
+      memcpy(p, comment, comment_len);
+      p += comment_len;
+      if (comment_len == 0 || comment[comment_len - 1] != ':') *p++ = ':';
+    } else {
+      if (sep_count != 3) {
+        *err = "Comment in did not have 4 segments: " +
+               std::string(reinterpret_cast<const char*>(header), header_len);
+        return -1;
+      }
+      const uint8_t* fc =
+          static_cast<const uint8_t*>(memchr(comment, ':', comment_len));
+      size_t first_colon = fc - comment;
+      const uint8_t* rem = comment + first_colon + 1;
+      size_t rem_len = comment_len - first_colon - 1;
+      if (rem_len > 0 && comment[comment_len - 1] >= '0' &&
+          comment[comment_len - 1] <= '9')
+        rem_len -= 1;
+      p += snprintf(reinterpret_cast<char*>(p), 16, "%d:", read_num);
+      memcpy(p, rem, rem_len);
+      p += rem_len;
+      if (rem_len == 0 || rem[rem_len - 1] != ':') *p++ = '+';
+    }
+  }
+
+  for (size_t i = 0; i < bc.size(); i++) {
+    if (i > 0) *p++ = '+';
+    memcpy(p, bc[i].first, bc[i].second);
+    p += bc[i].second;
+  }
+  return p - out;
 }
 
 // ---------------------------------------------------------------------------
@@ -962,6 +1056,11 @@ class DemuxEngine {
             umi_segs.emplace_back(p, len);
         }
       }
+      size_t extra_len = 0;  // header growth bound: umis + barcodes + seps
+      for (auto& s : bc_segs) extra_len += s.second + 1;
+      for (auto& s : umi_segs) extra_len += s.second + 1;
+      size_t head_max = 1 + e0.head_len + extra_len + 32;
+
       size_t w = 0;
       for (char ot : out_types_) {
         int read_num = 0;
@@ -971,27 +1070,55 @@ class DemuxEngine {
           for (const SegmentDef& sd : inputs_[i].segments) {
             if (sd.kind != ot) continue;
             read_num++;
+            if (w >= wset.size()) {
+              w++;
+              continue;
+            }
             uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
                                          : static_cast<uint32_t>(sd.length);
-            rec_buf.clear();
-            std::string herr;
-            if (!rewrite_header(rec_buf, ib0.arena.data() + e0.head_off,
-                                e0.head_len, read_num, bc_segs, umi_segs,
-                                &herr)) {
-              err.set(herr);
-              return;
-            }
-            rec_buf.push_back('\n');
             const uint8_t* seq = ib.arena.data() + e.seq_off + sd.offset;
             const uint8_t* qual = ib.arena.data() + e.qual_off + sd.offset;
-            rec_buf.insert(rec_buf.end(), seq, seq + len);
-            rec_buf.push_back('\n');
-            rec_buf.push_back('+');
-            rec_buf.push_back('\n');
-            rec_buf.insert(rec_buf.end(), qual, qual + len);
-            rec_buf.push_back('\n');
-            if (w < wset.size())
+            size_t max_rec = head_max + 2 * len + 8;
+            std::string herr;
+            if (max_rec < kBgzfBlockInput) {
+              // format directly into the writer's block buffer
+              uint8_t* base = wset[w]->reserve(max_rec);
+              int64_t h = rewrite_header_buf(base,
+                                             ib0.arena.data() + e0.head_off,
+                                             e0.head_len, read_num, bc_segs,
+                                             umi_segs, &herr);
+              if (h < 0) {
+                err.set(herr);
+                return;
+              }
+              uint8_t* p = base + h;
+              *p++ = '\n';
+              memcpy(p, seq, len);
+              p += len;
+              *p++ = '\n';
+              *p++ = '+';
+              *p++ = '\n';
+              memcpy(p, qual, len);
+              p += len;
+              *p++ = '\n';
+              wset[w]->commit(p - base);
+            } else {  // huge record fallback via the copy path
+              rec_buf.clear();
+              if (!rewrite_header(rec_buf, ib0.arena.data() + e0.head_off,
+                                  e0.head_len, read_num, bc_segs, umi_segs,
+                                  &herr)) {
+                err.set(herr);
+                return;
+              }
+              rec_buf.push_back('\n');
+              rec_buf.insert(rec_buf.end(), seq, seq + len);
+              rec_buf.push_back('\n');
+              rec_buf.push_back('+');
+              rec_buf.push_back('\n');
+              rec_buf.insert(rec_buf.end(), qual, qual + len);
+              rec_buf.push_back('\n');
               wset[w]->write(rec_buf.data(), rec_buf.size());
+            }
             w++;
           }
         }
