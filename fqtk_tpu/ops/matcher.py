@@ -228,20 +228,51 @@ def make_assign_fn(
         ).astype(jnp.int8)
         obs16 = onehot.reshape(b, length * 16)
 
+        # f32 combined-key reduction: key = count * kc + col encodes
+        # (count, first-index) so ONE min yields both (exact: counts <= 255,
+        # kc <= 2^16 -> keys < 2^24, integers exact in f32).  Saves an HBM
+        # pass over the [B, kc] counts matrix vs separate min+argmin.
+        # exactness bound: 255 * kc + kc - 1 must stay < 2^24
+        use_combined = length <= 255 and kc <= (1 << 15)
+        kcf = float(kc)
+
         def scan_body(carry, xs):
             chunk_i, chunk_compat = xs
-            counts = jax.lax.dot_general(
-                obs16,
-                chunk_compat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc,
-            )
-            counts = jnp.minimum(counts, MAX_COUNT).astype(jnp.int32)
-            # mask out padding columns (global index >= k)
-            col = jnp.arange(kc, dtype=jnp.int32) + chunk_i * kc
-            counts = jnp.where(col[None, :] < k, counts, MAX_COUNT)
-            cb, ci, cn = _chunk_top2(counts)
-            ci = ci + chunk_i * kc
+            if use_combined:
+                counts_f = jax.lax.dot_general(
+                    obs16,
+                    chunk_compat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # exact integers (counts <= L <= 255)
+                col = jnp.arange(kc, dtype=jnp.float32)
+                gcol = jnp.arange(kc, dtype=jnp.int32) + chunk_i * kc
+                key = counts_f * kcf + col[None, :]
+                key = jnp.where(gcol[None, :] < k, key, float(MAX_COUNT) * kcf)
+                m1 = jnp.min(key, axis=1)
+                cb = jnp.minimum((m1 / kcf).astype(jnp.int32), MAX_COUNT)
+                ci_local = (m1 - jnp.floor(m1 / kcf) * kcf).astype(jnp.int32)
+                masked = jnp.where(
+                    col[None, :] == ci_local[:, None].astype(jnp.float32),
+                    float(MAX_COUNT) * kcf,
+                    key,
+                )
+                m2 = jnp.min(masked, axis=1)
+                cn = jnp.minimum((m2 / kcf).astype(jnp.int32), MAX_COUNT)
+                ci = ci_local + chunk_i * kc
+            else:
+                counts = jax.lax.dot_general(
+                    obs16,
+                    chunk_compat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=acc,
+                )
+                counts = jnp.minimum(counts, MAX_COUNT).astype(jnp.int32)
+                # mask out padding columns (global index >= k)
+                col = jnp.arange(kc, dtype=jnp.int32) + chunk_i * kc
+                counts = jnp.where(col[None, :] < k, counts, MAX_COUNT)
+                cb, ci, cn = _chunk_top2(counts)
+                ci = ci + chunk_i * kc
             return merge_top2(carry, (cb, ci, cn)), None
 
         init = (
