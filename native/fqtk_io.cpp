@@ -824,8 +824,8 @@ class DemuxEngine {
   int64_t next_batch(int slot_idx, int64_t max_templates, uint8_t* bc_out,
                      uint8_t* flags_out, int64_t* skipped_out) {
     if (err.failed) return -1;
-    BatchSlot& slot = slots_[slot_idx & 1];
-    std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 1];
+    BatchSlot& slot = slots_[slot_idx & 3];
+    std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 3];
     rmap.clear();
     const size_t n_in = scanners_.size();
 
@@ -997,8 +997,8 @@ class DemuxEngine {
   // per-file record order is preserved (each thread scans in order).
   int64_t route_batch(int slot_idx, const int32_t* assigned, int64_t n) {
     if (err.failed) return -1;
-    BatchSlot& slot = slots_[slot_idx & 1];
-    const std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 1];
+    BatchSlot& slot = slots_[slot_idx & 3];
+    const std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 3];
     if (n != slot.n_templates) {
       err.set("route_batch: assignment count mismatch");
       return -1;
@@ -1151,8 +1151,8 @@ class DemuxEngine {
   std::string first_sample_id_, first_barcode_;
   std::string out_types_;
 
-  BatchSlot slots_[2];
-  std::vector<int64_t> slot_route_map_[2];
+  BatchSlot slots_[4];
+  std::vector<int64_t> slot_route_map_[4];
 };
 
 // ---------------------------------------------------------------------------
