@@ -26,33 +26,105 @@ def _build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
 
     demux = sub.add_parser(
-        "demux", help="Performs sample demultiplexing on FASTQs."
+        "demux",
+        help="Performs sample demultiplexing on FASTQs.",
+        description=(
+            "Performs sample demultiplexing on FASTQs. The sample barcode for "
+            "each sample in the metadata TSV is compared against the sample "
+            "barcode bases extracted from the FASTQs to assign each read to a "
+            "sample; reads that do not match any sample within the given "
+            "error tolerance are placed in the unmatched-prefix files."
+        ),
     )
-    demux.add_argument("--inputs", "-i", nargs="+", required=True, type=Path)
-    demux.add_argument("--read-structures", "-r", nargs="+", required=True)
-    demux.add_argument("--output-types", "-b", nargs="+", default=["T"])
-    demux.add_argument("--sample-metadata", "-s", required=True, type=Path)
-    demux.add_argument("--output", "-o", required=True, type=Path)
-    demux.add_argument("--unmatched-prefix", "-u", default="unmatched")
-    demux.add_argument("--max-mismatches", type=int, default=1)
-    demux.add_argument("--min-mismatch-delta", "-d", type=int, default=2)
-    demux.add_argument("--threads", "-t", type=int, default=8)
-    demux.add_argument("--compression-level", "-c", type=int, default=5)
-    demux.add_argument("--skip-reasons", "-S", nargs="*", default=[])
-    # engine extensions
-    demux.add_argument("--batch-size", type=int, default=1 << 17)
     demux.add_argument(
-        "--engine", choices=["auto", "native", "jax", "pallas", "numpy"], default="auto"
+        "--inputs", "-i", nargs="+", required=True, type=Path,
+        help="One or more input FASTQ files each corresponding to a "
+        "sequencing read (e.g. R1, I1).",
+    )
+    demux.add_argument(
+        "--read-structures", "-r", nargs="+", required=True,
+        help="The read structures, one per input FASTQ in the same order.",
+    )
+    demux.add_argument(
+        "--output-types", "-b", nargs="+", default=["T"],
+        help="The read structure types to write to their own files (one of "
+        "T, B, M, or C for template, sample barcode, molecular barcode, or "
+        "cellular barcode reads).",
+    )
+    demux.add_argument(
+        "--sample-metadata", "-s", required=True, type=Path,
+        help="A file containing the metadata about the samples (headered "
+        "TSV with sample_id and barcode columns).",
+    )
+    demux.add_argument(
+        "--output", "-o", required=True, type=Path,
+        help="The output directory into which to write per-sample FASTQs.",
+    )
+    demux.add_argument(
+        "--unmatched-prefix", "-u", default="unmatched",
+        help="Output prefix for FASTQ file(s) for reads that cannot be "
+        "matched to a sample.",
+    )
+    demux.add_argument(
+        "--max-mismatches", type=int, default=1,
+        help="Maximum mismatches for a barcode to be considered a match.",
+    )
+    demux.add_argument(
+        "--min-mismatch-delta", "-d", type=int, default=2,
+        help="Minimum difference between number of mismatches in the best "
+        "and second best barcodes for a barcode to be considered a match.",
+    )
+    demux.add_argument(
+        "--threads", "-t", type=int, default=8,
+        help="The number of threads to use. Cannot be less than 5.",
+    )
+    demux.add_argument(
+        "--compression-level", "-c", type=int, default=5,
+        help="The level of compression to use to compress outputs.",
+    )
+    demux.add_argument(
+        "--skip-reasons", "-S", nargs="*", default=[],
+        help="Skip demultiplexing reads for any of the following reasons, "
+        "otherwise panic: 'too-few-bases' (too few bases/qualities to "
+        "extract given the read structures).",
+    )
+    # engine extensions (not in the reference CLI)
+    demux.add_argument(
+        "--batch-size", type=int, default=1 << 17,
+        help="Reads per device batch (engine extension).",
+    )
+    demux.add_argument(
+        "--engine",
+        choices=["auto", "native", "jax", "pallas", "numpy"],
+        default="auto",
+        help="Compute engine: auto = C++ host I/O + JAX matcher when "
+        "available (engine extension).",
     )
 
     ss = sub.add_parser(
         "subsample", help="Subsamples reads from one or more synchronized FASTQ files."
     )
-    ss.add_argument("--inputs", "-i", nargs="+", required=True, type=Path)
-    ss.add_argument("--output", "-o", required=True, type=Path)
-    ss.add_argument("--fraction", "-f", type=float, required=True)
-    ss.add_argument("--threads", "-t", type=int, default=8)
-    ss.add_argument("--compression-level", "-c", type=int, default=5)
+    ss.add_argument(
+        "--inputs", "-i", nargs="+", required=True, type=Path,
+        help="One or more input FASTQ files (may be gzipped). All files must "
+        "have the same number of reads in the same order.",
+    )
+    ss.add_argument(
+        "--output", "-o", required=True, type=Path,
+        help="Output path prefix. Files will be named {output}.R1.fq.gz, etc.",
+    )
+    ss.add_argument(
+        "--fraction", "-f", type=float, required=True,
+        help="Fraction of reads to retain, in the range [0.0, 1.0].",
+    )
+    ss.add_argument(
+        "--threads", "-t", type=int, default=8,
+        help="Number of threads for compression. Minimum 2.",
+    )
+    ss.add_argument(
+        "--compression-level", "-c", type=int, default=5,
+        help="BGZF compression level for output files.",
+    )
     ss.add_argument(
         "--seed",
         "-s",
@@ -65,7 +137,10 @@ def _build_parser() -> argparse.ArgumentParser:
             "fqtk's Rust-internal hash derivation)."
         ),
     )
-    ss.add_argument("--disable-read-name-checking", action="store_true")
+    ss.add_argument(
+        "--disable-read-name-checking", action="store_true",
+        help="Disable checking that read names are in sync across input files.",
+    )
     return parser
 
 
