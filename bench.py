@@ -102,8 +102,8 @@ def bench_kernel(barcodes):
 
     expected = ExpectedSet.from_barcodes(barcodes)
     assign = make_assign_fn(expected, 1, 2)
-    batch = 1 << 20
-    iters = 10
+    batch = 1 << 22  # large batch amortizes the relay's ~25ms fixed per-call cost
+    iters = 5
     rng = np.random.default_rng(3)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     # every timed call gets a DISTINCT input buffer: the axon relay memoizes
