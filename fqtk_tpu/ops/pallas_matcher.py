@@ -55,6 +55,8 @@ def make_pallas_assign_fn(
     tile_b: int = 512,
     tile_k: int = 512,
     interpret: bool = False,
+    packed_masks: bool = False,
+    compact_output: bool = False,
 ):
     """Build ``obs_bytes[B, L] -> (assigned, best, next)`` with the fused
     Pallas kernel.  B must be a multiple of ``tile_b`` (the demux pipeline
@@ -66,6 +68,11 @@ def make_pallas_assign_fn(
 
     k = expected.count
     length = expected.length
+    if length > 255:
+        raise ValueError(
+            "pallas matcher supports barcode lengths <= 255 (combined-key "
+            "exactness bound); use the XLA engine for longer barcodes"
+        )
     l16 = length * 16
     tile_k = min(tile_k, max(128, 1 << (k - 1).bit_length()))
     n_k_tiles = -(-k // tile_k)
@@ -102,19 +109,28 @@ def make_pallas_assign_fn(
             compat_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [TB, TK]
-        counts = jnp.minimum(counts_f, float(MAX_COUNT)).astype(jnp.int32)
-        lcol = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
-        counts = jnp.where(lcol + kb * tile_k < k, counts, MAX_COUNT)
+        )  # [TB, TK], exact integers <= L <= 255
 
-        # argmin via min + first-match-index (Mosaic has no int argmin; this
-        # also encodes the first-occurrence tie-break explicitly)
-        tile_best = jnp.min(counts, axis=1, keepdims=True)  # [TB, 1]
-        at_min = counts == tile_best
-        tile_idx = jnp.min(jnp.where(at_min, lcol, tile_k), axis=1, keepdims=True)
-        masked = jnp.where(lcol == tile_idx, MAX_COUNT, counts)
-        tile_next = jnp.min(masked, axis=1, keepdims=True)
-        tile_idx = tile_idx + kb * tile_k
+        # combined-key top-2: key = count * TK + col packs (count, index)
+        # so a single min yields both with the first-occurrence tie-break
+        # (exact in f32: 255 * TK + TK - 1 < 2^23 for TK <= 2^15); key
+        # uniqueness (distinct col) lets the second-best mask compare keys.
+        lcolf = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1).astype(
+            jnp.float32
+        )
+        tkf = float(tile_k)
+        big = float(MAX_COUNT) * tkf
+        key = counts_f * tkf + lcolf
+        pad = (lcolf + (kb * tile_k).astype(jnp.float32)) >= float(k)
+        key = jnp.where(pad, big, key)
+        m1 = jnp.min(key, axis=1, keepdims=True)  # [TB, 1]
+        m2 = jnp.min(jnp.where(key == m1, big, key), axis=1, keepdims=True)
+        cbf = jnp.floor(m1 / tkf)
+        tile_best = jnp.minimum(cbf, float(MAX_COUNT)).astype(jnp.int32)
+        tile_idx = (m1 - cbf * tkf).astype(jnp.int32) + kb * tile_k
+        tile_next = jnp.minimum(jnp.floor(m2 / tkf), float(MAX_COUNT)).astype(
+            jnp.int32
+        )
 
         # ordered merge with the running (best, idx, next)
         a_best, a_idx, a_next = acc[:, 0:1], acc[:, 1:2], acc[:, 2:3]
@@ -166,26 +182,37 @@ def make_pallas_assign_fn(
     compat_dev_arr = _jax.device_put(compat_host.astype(jnp.bfloat16))
 
     @jax.jit
-    def _assign(obs_bytes, compat_dev):
-        obs_bytes = obs_bytes.astype(jnp.uint8)
-        # transpose + mask conversion fuse into one relayout pass in XLA
-        masks_t = byte_to_mask(obs_bytes.T)  # [L, B] int32 in 0..15
+    def _assign(obs_in, compat_dev):
+        obs_in = obs_in.astype(jnp.uint8)
+        b = obs_in.shape[0]
+        if packed_masks:
+            lo = (obs_in & 0xF).astype(jnp.int32)
+            hi = (obs_in >> 4).astype(jnp.int32)
+            masks = jnp.stack([lo, hi], axis=-1).reshape(b, -1)[:, :length]
+            masks_t = masks.T  # [L, B]
+            nocalls = jnp.sum((masks == 15).astype(jnp.int32), axis=1)
+        else:
+            # transpose + mask conversion fuse into one relayout pass in XLA
+            masks_t = byte_to_mask(obs_in.T)  # [L, B] int32 in 0..15
+            nocalls = jnp.sum(byte_is_nocall(obs_in), axis=1)
         best, bidx, nxt = run_kernel(masks_t, compat_dev)
-        nocalls = jnp.sum(byte_is_nocall(obs_bytes), axis=1)
         ok = (
             (nocalls <= nocall_budget)
             & (best <= max_mismatches)
             & (nxt - best >= min_mismatch_delta)
         )
-        assigned = jnp.where(ok, bidx, k).astype(jnp.int32)
+        out_dtype = jnp.uint8 if (compact_output and k < 255) else jnp.int32
+        assigned = jnp.where(ok, bidx, k).astype(out_dtype)
         return assigned, best, nxt
+
+    pad_byte = 0x11 if packed_masks else ord("A")  # 'AA' packed / 'A'
 
     def assign(obs_bytes):
         b = obs_bytes.shape[0]
         pad = (-b) % tile_b
         if pad:
             obs_bytes = np.ascontiguousarray(
-                np.pad(np.asarray(obs_bytes), ((0, pad), (0, 0)), constant_values=ord("A"))
+                np.pad(np.asarray(obs_bytes), ((0, pad), (0, 0)), constant_values=pad_byte)
             )
         idx, best, nxt = _assign(obs_bytes, compat_dev_arr)
         if pad:

@@ -64,3 +64,26 @@ def test_pallas_iupac_and_nocall_gates():
     fn = make_pallas_assign_fn(es, 0, 0, tile_b=256, tile_k=128, interpret=True)
     idx, _, _ = (np.asarray(x) for x in fn(obs))
     assert list(idx[:4]) == [0, 1, 2, 0]  # lowercase read matches too
+
+
+def test_pallas_packed_masks_and_compact_output():
+    from fqtk_tpu.core.encoding import ENCODE_LUT
+
+    rng = np.random.default_rng(3)
+    es, obs = _case(rng, k=29, length=9, b=300)  # odd length + non-tile b
+    masks = ENCODE_LUT[obs]
+    padded = np.zeros((300, 10), dtype=np.uint8)
+    padded[:, :9] = masks
+    packed = (padded[:, 0::2] | (padded[:, 1::2] << 4)).astype(np.uint8)
+
+    np_idx, np_best, np_next = assign_batch_np(obs, es, 1, 2)
+    expect = np.where(np_idx < 0, es.count, np_idx)
+    fn = make_pallas_assign_fn(
+        es, 1, 2, tile_b=256, tile_k=128, interpret=True,
+        packed_masks=True, compact_output=True,
+    )
+    j_idx, j_best, j_next = (np.asarray(x) for x in fn(packed))
+    assert j_idx.dtype == np.uint8
+    np.testing.assert_array_equal(j_idx.astype(np.int32), expect)
+    np.testing.assert_array_equal(j_best, np_best)
+    np.testing.assert_array_equal(j_next, np_next)
