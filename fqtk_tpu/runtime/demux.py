@@ -423,7 +423,14 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
             try:
                 n_slot[0], sk = engine.next_batch(0, bc[0], fl[0])
                 note_skips(sk)
+                if n_slot[0] > 0:
+                    logger.info(
+                        "compiling device matcher (first run of a new "
+                        "samples/length/batch configuration can take minutes; "
+                        "subsequent runs hit the persistent cache)..."
+                    )
                 s = 0
+                first = True
                 while n_slot[s] > 0:
                     with timers.time("assign_dispatch"):
                         dev_out = assign(bc[s])  # async dispatch on device
@@ -437,6 +444,9 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                     parse_fut = parser.submit(engine.next_batch, ns, bc[ns], fl[ns])
                     with timers.time("assign_fetch"):
                         assigned = np.asarray(dev_out)[: n_slot[s]].copy()
+                    if first:
+                        first = False
+                        logger.info("device matcher ready.")
                     forced = fl[s][: n_slot[s]] == 1
                     if forced.any():
                         assigned[forced] = k

@@ -87,7 +87,7 @@ def _random_scenario(rng: random.Random, tmp_path, scenario_id: int):
     return inputs, structures, meta
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55])
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99, 110])
 def test_native_matches_python_fuzz(tmp_path, seed):
     rng = random.Random(seed)
     inputs, structures, meta = _random_scenario(rng, tmp_path, seed)
@@ -126,3 +126,40 @@ def test_native_matches_python_fuzz(tmp_path, seed):
     assert (out_n / "demux-metrics.txt").read_text() == (
         out_p / "demux-metrics.txt"
     ).read_text()
+
+
+@pytest.mark.parametrize("seed", [7, 17, 27])
+def test_subsample_native_matches_python_fuzz(tmp_path, seed):
+    """Randomized subsample: native and Python paths byte-identical."""
+    from fqtk_tpu.runtime.subsample import SubsampleConfig, run_subsample
+
+    rng = random.Random(seed)
+    n_inputs = rng.choice([1, 2, 3])
+    n_reads = rng.randint(10, 400)
+    fraction = rng.choice([0.0, 0.2, 0.5, 0.9, 1.0])
+    inputs = []
+    for i in range(n_inputs):
+        lines = []
+        for r in range(n_reads):
+            seq = "".join(rng.choice(BASES) for _ in range(rng.randint(1, 60)))
+            suffix = rng.choice(["", f"/{i % 2 + 1}", " comment here"])
+            lines.append(f"@rd_{r}{suffix}\n{seq}\n+\n{'#' * len(seq)}\n")
+        p = tmp_path / f"ss{seed}_{i}.fq"
+        p.write_text("".join(lines))
+        inputs.append(p)
+    outs = {}
+    for flavor, use_native in (("nat", True), ("py", False)):
+        cfg = SubsampleConfig(
+            inputs=inputs,
+            output=tmp_path / f"ss_out_{flavor}_{seed}",
+            fraction=fraction,
+            seed=seed * 31 + 1,
+        )
+        res = run_subsample(cfg, use_native=use_native)
+        outs[flavor] = res
+    assert outs["nat"].total_read == outs["py"].total_read == n_reads
+    assert outs["nat"].total_kept == outs["py"].total_kept
+    for i in range(n_inputs):
+        a = gzip.open(tmp_path / f"ss_out_nat_{seed}.R{i + 1}.fq.gz").read()
+        b = gzip.open(tmp_path / f"ss_out_py_{seed}.R{i + 1}.fq.gz").read()
+        assert a == b
