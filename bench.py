@@ -53,7 +53,11 @@ def make_whitelist(k, length):
 
 
 def write_inputs(tmp: Path, barcodes, n_reads=N_READS, name=""):
+    """Inputs are BGZF-compressed — the reference's documented input
+    workflow (`... | bgzip -c > s_R1.fq.gz`, fqtk README)."""
     import gzip
+
+    from fqtk_tpu.io import native as native_io
 
     rng = np.random.default_rng(11)
     meta = tmp / "metadata.tsv"
@@ -67,7 +71,13 @@ def write_inputs(tmp: Path, barcodes, n_reads=N_READS, name=""):
     qual = b"I" * TEMPLATE_LEN
     qb1, qb2 = b"I" * BC1, b"I" * BC2
     paths = {n: tmp / f"{name}{n}.fq.gz" for n in ("i1", "r1", "r2", "i2")}
-    fhs = {n: gzip.open(p, "wb", compresslevel=1) for n, p in paths.items()}
+    if native_io.available():
+        fhs = {
+            n: native_io.NativeBgzfWriter(p, 1, threads=3)
+            for n, p in paths.items()
+        }
+    else:  # pragma: no cover
+        fhs = {n: gzip.open(p, "wb", compresslevel=1) for n, p in paths.items()}
     heads = [b"@inst:1:AB:1:2:%d:3 1:N:0:0" % i for i in range(n_reads)]
     bcs = [barcodes[c].encode() for c in range(K)]
     chunk = 100_000

@@ -128,3 +128,37 @@ def test_native_bgzf_ordering_stress(tmp_path):
     w.close()
     with gzip.open(p, "rb") as fh:
         assert fh.read() == b"".join(chunks)
+
+
+def test_bgzf_input_fast_path_demux(tmp_path):
+    """BGZF inputs take the libdeflate whole-block path; outputs must equal
+    the plain-gzip (zlib streaming) path byte for byte."""
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    (tmp_path / "meta.tsv").write_text("sample_id\tbarcode\nsA\tAAAA\nsB\tCCCC\n")
+    recs = []
+    for i in range(3000):
+        bc = b"AAAA" if i % 2 == 0 else (b"CCCC" if i % 3 else b"TTTT")
+        recs.append(b"@r%d c\n" % i + bc + b"GGGGGGGG\n+\n" + b"I" * 12 + b"\n")
+    blob = b"".join(recs)
+    w = native_io.NativeBgzfWriter(tmp_path / "in_bgzf.fq.gz", 5, threads=2)
+    w.write(blob)
+    w.close()
+    with gzip.open(tmp_path / "in_gz.fq.gz", "wb") as fh:
+        fh.write(blob)
+    for name in ("bgzf", "gz"):
+        cfg = DemuxConfig(
+            inputs=[tmp_path / f"in_{name}.fq.gz"],
+            read_structures=["4B+T"],
+            sample_metadata=tmp_path / "meta.tsv",
+            output=tmp_path / f"out_{name}",
+            engine="native",
+            batch_size=512,
+        )
+        res = run_demux(cfg)
+        assert res.total_templates == 3000
+    for f in sorted((tmp_path / "out_bgzf").glob("*.fq.gz")):
+        assert gzip.open(f).read() == gzip.open(tmp_path / "out_gz" / f.name).read()
