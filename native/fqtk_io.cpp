@@ -913,6 +913,12 @@ class DemuxEngine {
     std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 3];
     rmap.clear();
     const size_t n_in = scanners_.size();
+    int64_t skipped_total = 0;
+
+  // A window whose templates are ALL skipped must not look like EOF to the
+  // caller — keep parsing fresh windows until a template is emitted or the
+  // inputs are truly exhausted.
+  retry_window:
 
     // ---- parallel parse phase: one thread per input ----
     std::vector<std::thread> threads;
@@ -1071,8 +1077,11 @@ class DemuxEngine {
       count++;
     }
 
+    skipped_total += skipped;
+    if (count == 0 && max_count > 0) goto retry_window;
+
     slot.n_templates = count;
-    *skipped_out = skipped;
+    *skipped_out = skipped_total;
     return count;
   }
 

@@ -547,3 +547,36 @@ def test_demux_single_cell_style(tmp_path, engine):
         assert len(read_fastq(out / f"Sample{i:04d}.C1.fq.gz")) == len(recs)
         assert len(read_fastq(out / f"Sample{i:04d}.U1.fq.gz")) == len(recs)
     assert total == 40
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_all_skip_batch_window_does_not_truncate(tmp_path, engine):
+    """A batch window whose templates are ALL too-short must not end the
+    stream early (regression: the parallel engine treated an all-skip window
+    as EOF and silently dropped the remainder of the input)."""
+    reads = []
+    for i in range(20):
+        # batch_size=3: records 6..11 are two full windows of short reads
+        reads.append("AC" if 6 <= i < 12 else "AAAA" + "G" * 6)
+    inputs = [fastq_file(tmp_path, "in", "sk", reads)]
+    sample_metadata = metadata_file(tmp_path, ["AAAA"])
+    out = tmp_path / "out"
+    res = run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["4B+T"],
+            sample_metadata,
+            out,
+            engine,
+            skip_reasons=["too-few-bases"],
+            batch_size=3,
+        )
+    )
+    assert res.skip_counts == {"TooFewBases": 6}
+    assert res.total_templates == 14
+    from fqtk_tpu.io.fastq import read_fastq
+
+    recs = read_fastq(out / "Sample0000.R1.fq.gz")
+    assert len(recs) == 14
+    assert recs[-1].head.startswith(b"sk_19")

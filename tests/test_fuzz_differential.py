@@ -87,7 +87,7 @@ def _random_scenario(rng: random.Random, tmp_path, scenario_id: int):
     return inputs, structures, meta
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99, 110])
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99, 110, 217])
 def test_native_matches_python_fuzz(tmp_path, seed):
     rng = random.Random(seed)
     inputs, structures, meta = _random_scenario(rng, tmp_path, seed)
