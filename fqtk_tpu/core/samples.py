@@ -92,25 +92,37 @@ class SampleGroup:
         fields exactly; empty lines are skipped.
         """
         path = Path(path)
-        expected_header = Sample.deserialize_header_line()
         with open(path, "r", encoding="utf-8") as fh:
             lines = fh.read().splitlines()
         if not lines or (len(lines) == 1 and not lines[0].strip()):
             raise SampleError("Must provide one or more sample")
-        header = lines[0]
-        if header != expected_header:
+        # fgoxide loads via csv+serde, which maps columns BY HEADER NAME:
+        # extra or reordered columns are accepted; a missing required column
+        # errors (samples.rs:144-147)
+        header_fields = lines[0].split(_FILE_DELIMITER)
+        try:
+            col_idx = {f: header_fields.index(f) for f in _HEADER_FIELDS}
+        except ValueError:
+            missing = [f for f in _HEADER_FIELDS if f not in header_fields]
             raise SampleError(
-                f"Unexpected header in delimited file: expected {expected_header!r}, found {header!r}"
-            )
+                f"Missing required column(s) {missing} in delimited file header: "
+                f"{lines[0]!r}"
+            ) from None
         samples: List[Sample] = []
         for line in lines[1:]:
             if not line.strip():
                 continue
             fields = line.split(_FILE_DELIMITER)
-            if len(fields) != len(_HEADER_FIELDS):
+            # the csv crate is strict about record length vs the header
+            if len(fields) != len(header_fields):
                 raise SampleError(
                     f"Record with {len(fields)} fields does not match header with "
-                    f"{len(_HEADER_FIELDS)} fields: {line!r}"
+                    f"{len(header_fields)} fields: {line!r}"
                 )
-            samples.append(Sample(sample_id=fields[0], barcode=fields[1]))
+            samples.append(
+                Sample(
+                    sample_id=fields[col_idx["sample_id"]],
+                    barcode=fields[col_idx["barcode"]],
+                )
+            )
         return cls.from_samples(samples)

@@ -38,11 +38,21 @@ def _try_build() -> None:
             pass
 
 
+def _is_stale() -> bool:
+    """True when a source edit postdates the committed .so (would otherwise
+    silently load a build diverging from ``native/fqtk_io.cpp``)."""
+    src = _LIB_PATH.parent / "fqtk_io.cpp"
+    try:
+        return src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:
+        return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not _LIB_PATH.exists():
+    if not _LIB_PATH.exists() or _is_stale():
         _try_build()
     if not _LIB_PATH.exists():
         _load_failed = True

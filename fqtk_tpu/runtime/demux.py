@@ -597,17 +597,17 @@ def _run_demux_python(cfg: DemuxConfig, engine: str) -> DemuxResult:
         barcodes.clear()
 
     while True:
-        recs = []
-        for r in readers:
-            rec = next(r, None)
-            if rec is not None:
-                recs.append(rec)
-        if not recs:
-            break
+        # positional read: EOF'd inputs keep a None placeholder so each record
+        # pairs with its OWN read structure (the reference's gate runs inside
+        # each per-file ReadSetIterator, demux.rs:298-314)
+        all_recs = [next(r, None) for r in readers]
+        recs = [rec for rec in all_recs if rec is not None]
 
-        # per-input min-length gate (reference demux.rs:298-314)
+        # per-input min-length gate against that input's structure
         skip_template = False
-        for rec, rs, min_len in zip(recs, structures, min_lens):
+        for rec, rs, min_len in zip(all_recs, structures, min_lens):
+            if rec is None:
+                continue
             if len(rec.seq) < min_len:
                 if skip_too_few:
                     skip_template = True
@@ -617,11 +617,13 @@ def _run_demux_python(cfg: DemuxConfig, engine: str) -> DemuxResult:
                         f"to demux {len(rec.seq)} vs. {min_len} needed in read "
                         f"structure {rs}."
                     )
-        # reference order: skip-reason check precedes the sync assert
-        # (demux.rs:954-966)
+        # reference order: skip-reason check precedes both the EOF break and
+        # the sync assert (demux.rs:954-966)
         if skip_template:
             skip_counts["TooFewBases"] = skip_counts.get("TooFewBases", 0) + 1
             continue
+        if not recs:
+            break
         if len(recs) != len(readers):
             raise DemuxError(
                 f"FASTQ sources out of sync at records: {[r.head for r in recs]}"

@@ -993,10 +993,23 @@ class DemuxEngine {
         continue;
       }
       if (got != n_in) {
-        err.set(str_printf(
-            "FASTQ sources out of sync at records: %zu of %zu files had a "
-            "record",
-            got, n_in));
+        // list the present records' headers, same rendering as the Python
+        // path (runtime/demux.py) so the operator-facing contract matches
+        std::string heads = "[";
+        for (size_t i = 0; i < n_in; i++) {
+          const InputBatch& ib = slot.per_input[i];
+          if (t >= static_cast<int64_t>(ib.recs.size())) continue;
+          const RecEntry& e = ib.recs[t];
+          if (heads.size() > 1) heads += ", ";
+          heads += "b'";
+          heads.append(reinterpret_cast<const char*>(ib.arena.data()) +
+                           e.head_off,
+                       e.head_len);
+          heads += "'";
+        }
+        heads += "]";
+        err.set(str_printf("FASTQ sources out of sync at records: %s",
+                           heads.c_str()));
         return -1;
       }
 

@@ -580,3 +580,83 @@ def test_all_skip_batch_window_does_not_truncate(tmp_path, engine):
     recs = read_fastq(out / "Sample0000.R1.fq.gz")
     assert len(recs) == 14
     assert recs[-1].head.startswith(b"sk_19")
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_staggered_eof_skip_uses_own_structure(tmp_path, engine):
+    """When one input EOFs early, remaining records must be gated against
+    their OWN read structure (reference: the min-length check runs inside
+    each per-file ReadSetIterator, demux.rs:298-314) and a present-but-short
+    record is counted as a skip BEFORE the out-of-sync assert fires
+    (demux.rs:954-966).  Regression: the python path compacted EOF'd readers
+    out of the record list, pairing survivors with the wrong structures."""
+    inputs = [
+        fastq_file(tmp_path, "bc", "s", ["AAAA", "AAAA"]),
+        fastq_file(tmp_path, "t", "s", ["G" * 20, "G" * 20, "G" * 10, "G" * 10]),
+    ]
+    sample_metadata = metadata_file(tmp_path, ["AAAA"])
+    out = tmp_path / "out"
+    res = run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["4B", "20T"],
+            sample_metadata,
+            out,
+            engine,
+            skip_reasons=["too-few-bases"],
+            batch_size=3,
+        )
+    )
+    # templates 3-4: only file1 has records, each 10 < 20 needed by "20T"
+    # (but >= the 4 needed by file0's "4B", which the bug paired them with)
+    assert res.skip_counts == {"TooFewBases": 2}
+    assert res.total_templates == 2
+
+
+@pytest.mark.parametrize("engine", ENGINES)
+def test_staggered_eof_error_cites_own_structure(tmp_path, engine):
+    """Without skip-reasons, the desynced short tail must raise the
+    too-few-bases error citing ITS structure, not the out-of-sync error."""
+    inputs = [
+        fastq_file(tmp_path, "bc", "s", ["AAAA"]),
+        fastq_file(tmp_path, "t", "s", ["G" * 20, "G" * 10]),
+    ]
+    sample_metadata = metadata_file(tmp_path, ["AAAA"])
+    with pytest.raises(DemuxError, match=r"too few bases to demux 10 vs. 20"):
+        run_demux(
+            _cfg(
+                tmp_path,
+                inputs,
+                ["4B", "20T"],
+                sample_metadata,
+                tmp_path / "out2",
+                engine,
+                batch_size=3,
+            )
+        )
+
+
+@pytest.mark.parametrize("engine", ["numpy", "native"])
+def test_out_of_sync_lists_present_headers(tmp_path, engine):
+    """The out-of-sync error lists the present records' headers (reference
+    asserts with the records' Debug rendering, demux.rs:961-966)."""
+    inputs = [
+        fastq_file(tmp_path, "bc", "a", ["AAAA"]),
+        fastq_file(tmp_path, "t", "b", ["G" * 20, "G" * 20]),
+    ]
+    sample_metadata = metadata_file(tmp_path, ["AAAA"])
+    with pytest.raises(
+        DemuxError, match=r"FASTQ sources out of sync at records: \[b'b_1'\]"
+    ):
+        run_demux(
+            _cfg(
+                tmp_path,
+                inputs,
+                ["4B", "20T"],
+                sample_metadata,
+                tmp_path / "out3",
+                engine,
+                batch_size=3,
+            )
+        )

@@ -134,3 +134,34 @@ def test_from_samples_fail_different_lengths():
 def test_display():
     s = Sample.new(2, "test-sample", "GATTACA")
     assert str(s) == "Sample(0002) - { name: test-sample\tbarcode: GATTACA }"
+
+
+def test_reading_tsv_with_extra_and_reordered_columns(tmp_path):
+    """fgoxide loads via csv+serde, which maps columns by header name: extra
+    or reordered columns are accepted (samples.rs:144-147)."""
+    p = _write(
+        tmp_path,
+        [
+            "lane\tbarcode\tsample_id\tnotes",
+            "1\tGATTACA\tsample1\thello",
+            "2\tCATGCTA\tsample2\tworld",
+        ],
+    )
+    g = SampleGroup.from_file(p)
+    assert [s.sample_id for s in g.samples] == ["sample1", "sample2"]
+    assert [s.barcode for s in g.samples] == ["GATTACA", "CATGCTA"]
+
+
+def test_reading_tsv_missing_required_column(tmp_path):
+    p = _write(tmp_path, ["sample_id\tbc", "sample1\tGATTACA"])
+    with pytest.raises(SampleError, match="barcode"):
+        SampleGroup.from_file(p)
+
+
+def test_reading_tsv_row_field_count_mismatch(tmp_path):
+    p = _write(
+        tmp_path,
+        [Sample.deserialize_header_line(), "sample1\tGATTACA\textra"],
+    )
+    with pytest.raises(SampleError, match="fields"):
+        SampleGroup.from_file(p)
