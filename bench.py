@@ -162,13 +162,16 @@ def bench_e2e(tmp: Path, barcodes):
     # best of 3: the 4-core bench host is shared with the TPU relay daemon,
     # giving +-30% run-to-run variance
     best = 0.0
+    best_timings = {}
     for trial in range(3):
         t0 = time.perf_counter()
         result = run_demux(_demux_cfg(paths, meta, tmp / f"out{trial}"))
         dt = time.perf_counter() - t0
         assert result.total_templates == N_READS
-        best = max(best, N_READS / dt)
-    return best
+        if N_READS / dt > best:
+            best = N_READS / dt
+            best_timings = {k: round(v, 3) for k, v in result.timings.items()}
+    return best, best_timings
 
 
 def main():
@@ -179,7 +182,7 @@ def main():
     kernel_rps = bench_kernel(barcodes)
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
-        e2e_rps = bench_e2e(tmp, barcodes)
+        e2e_rps, stage_timings = bench_e2e(tmp, barcodes)
     print(
         json.dumps(
             {
@@ -188,6 +191,7 @@ def main():
                 "unit": "reads/s",
                 "vs_baseline": round(e2e_rps / RUST_BASELINE_READS_PER_SEC_ESTIMATE, 4),
                 "kernel_assign_reads_per_sec": round(kernel_rps, 1),
+                "stage_seconds": stage_timings,
                 "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2, native engine",
                 "baseline_note": "vs est. 1.5M reads/s 16-thread Rust fqtk (unmeasured; no Rust toolchain in image)",
             }

@@ -89,21 +89,33 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
-    lib.fqtk_demux_next_batch.restype = ctypes.c_int64
-    lib.fqtk_demux_next_batch.argtypes = [
+    lib.fqtk_demux_pipe_start.restype = ctypes.c_int
+    lib.fqtk_demux_pipe_start.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.fqtk_demux_pipe_acquire.restype = ctypes.c_int64
+    lib.fqtk_demux_pipe_acquire.argtypes = [
         ctypes.c_void_p,
-        ctypes.c_int,
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_int64),
     ]
-    lib.fqtk_demux_route_batch.restype = ctypes.c_int64
-    lib.fqtk_demux_route_batch.argtypes = [
+    lib.fqtk_demux_pipe_submit.restype = ctypes.c_int
+    lib.fqtk_demux_pipe_submit.argtypes = [
         ctypes.c_void_p,
-        ctypes.c_int,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64,
+    ]
+    lib.fqtk_demux_pipe_finish.restype = ctypes.c_int
+    lib.fqtk_demux_pipe_finish.argtypes = [ctypes.c_void_p]
+    lib.fqtk_demux_counts.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.fqtk_demux_stats.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
     ]
     lib.fqtk_demux_finish.restype = ctypes.c_int
     lib.fqtk_demux_finish.argtypes = [ctypes.c_void_p]
@@ -217,36 +229,69 @@ class NativeDemuxEngine:
             1 if pack_masks else 0,
         )
 
-    def next_batch(
-        self, slot: int, bc_out: np.ndarray, flags: np.ndarray
-    ) -> Tuple[int, int]:
-        """Parse into batch slot ``slot`` (0/1, double-buffered); fill
-        ``bc_out[BATCH, L]`` / ``flags[BATCH]``; returns
-        (n_templates, n_skipped).  n == 0 means EOF.  Releases the GIL for
-        the duration, so it can overlap a concurrent ``route_batch`` on the
-        other slot."""
+    def pipe_start(self, batch: int, row_stride: int) -> None:
+        """Start the fully-native pipeline: persistent parse threads + route
+        thread inside the engine.  ``row_stride`` is the packed barcode row
+        width so acquire() can shape its zero-copy view."""
+        self._pipe_batch = batch
+        self._row_stride = row_stride
+        self._check(self._lib.fqtk_demux_pipe_start(self._h, batch))
+
+    def pipe_acquire(self) -> Tuple[int, int, Optional[np.ndarray], int]:
+        """Block (GIL released) until a parsed window is ready.
+
+        Returns ``(n, slot, bc_view, skipped)``; ``n == 0`` means EOF.
+        ``bc_view`` is a zero-copy [batch, row_stride] uint8 view of engine
+        memory, valid until ``pipe_submit(slot, ...)``."""
+        slot = ctypes.c_int32(-1)
+        bc = ctypes.POINTER(ctypes.c_uint8)()
         skipped = ctypes.c_int64(0)
-        n = self._lib.fqtk_demux_next_batch(
-            self._h,
-            slot,
-            bc_out.shape[0],
-            bc_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.byref(skipped),
+        n = self._lib.fqtk_demux_pipe_acquire(
+            self._h, ctypes.byref(slot), ctypes.byref(bc), ctypes.byref(skipped)
         )
         self._check(n)
-        return int(n), int(skipped.value)
+        if n == 0:
+            return 0, -1, None, int(skipped.value)
+        view = np.ctypeslib.as_array(bc, shape=(self._pipe_batch, self._row_stride))
+        return int(n), int(slot.value), view, int(skipped.value)
 
-    def route_batch(self, slot: int, assigned: np.ndarray) -> None:
+    def pipe_submit(self, slot: int, assigned: np.ndarray) -> None:
+        """Hand device assignments for an acquired window to the native
+        route thread (non-blocking)."""
         assigned = np.ascontiguousarray(assigned, dtype=np.int32)
         self._check(
-            self._lib.fqtk_demux_route_batch(
+            self._lib.fqtk_demux_pipe_submit(
                 self._h,
                 slot,
                 assigned.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 assigned.shape[0],
             )
         )
+
+    def pipe_finish(self) -> None:
+        """Drain routing, close writers and the compressor pool."""
+        if not self._finished:
+            self._finished = True
+            self._check(self._lib.fqtk_demux_pipe_finish(self._h))
+
+    def counts(self, n: int) -> np.ndarray:
+        out = np.zeros(n, dtype=np.int64)
+        self._lib.fqtk_demux_counts(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n
+        )
+        return out
+
+    def stats(self) -> dict:
+        out = (ctypes.c_double * 6)()
+        self._lib.fqtk_demux_stats(self._h, out, 6)
+        return {
+            "native_parse": out[0],
+            "native_gate_pack": out[1],
+            "native_route": out[2],
+            "native_compress": out[3],
+            "native_compress_in_bytes": out[4],
+            "native_compress_out_bytes": out[5],
+        }
 
     def finish(self) -> None:
         if not self._finished:

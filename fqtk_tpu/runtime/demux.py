@@ -390,97 +390,65 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
             pack_masks=True,
         )
 
-        counts = np.zeros(k + 1, dtype=np.int64)
         skip_counts: Dict[str, int] = {}
         total = 0
+        skipped_total = 0
         next_log = 1_000_000
         batch = cfg.batch_size
-
-        # 3-stage software pipeline over double-buffered slots: while the
-        # device matches batch s, the C++ engine parses slot 1-s (parse
-        # threads) and routes the previous batch (route worker thread); all
-        # three stages release the GIL inside C/XLA.
-        import concurrent.futures as _cf
-
-        bc = [
-            np.full((batch, packed_len), 0x11, dtype=np.uint8) for _ in range(2)
-        ]
-        fl = [np.zeros(batch, dtype=np.uint8) for _ in range(2)]
-        n_slot = [0, 0]
-        route_fut: List[Optional[_cf.Future]] = [None, None]
-
-        def note_skips(sk: int) -> None:
-            if sk:
-                skip_counts["TooFewBases"] = skip_counts.get("TooFewBases", 0) + sk
 
         from ..utils.profiling import StageTimers, maybe_device_trace
 
         timers = StageTimers()
 
-        with _cf.ThreadPoolExecutor(max_workers=1) as router, _cf.ThreadPoolExecutor(
-            max_workers=1
-        ) as parser, maybe_device_trace():
-            try:
-                n_slot[0], sk = engine.next_batch(0, bc[0], fl[0])
-                note_skips(sk)
-                if n_slot[0] > 0:
+        # The batch loop lives entirely in C++ (persistent per-input parse
+        # threads filling a 4-slot window ring + a dedicated route thread
+        # feeding the BGZF compressor pool); this thread only services
+        # device-matcher calls between acquire and submit.  All native calls
+        # release the GIL.
+        engine.pipe_start(batch, packed_len)
+        first = True
+        with maybe_device_trace():
+            while True:
+                with timers.time("acquire_wait"):
+                    n, slot, bc_view, sk = engine.pipe_acquire()
+                skipped_total += sk
+                if n == 0:
+                    break
+                if first:
                     logger.info(
                         "compiling device matcher (first run of a new "
                         "samples/length/batch configuration can take minutes; "
                         "subsequent runs hit the persistent cache)..."
                     )
-                s = 0
-                first = True
-                while n_slot[s] > 0:
-                    with timers.time("assign_dispatch"):
-                        dev_out = assign(bc[s])  # async dispatch on device
-                    ns = 1 - s
-                    if route_fut[ns] is not None:
-                        with timers.time("route_wait"):
-                            route_fut[ns].result()
-                        route_fut[ns] = None
-                    # parse the next slot in a worker (ctypes releases the
-                    # GIL) while the device result is fetched on this thread
-                    parse_fut = parser.submit(engine.next_batch, ns, bc[ns], fl[ns])
-                    with timers.time("assign_fetch"):
-                        assigned = np.asarray(dev_out)[: n_slot[s]].copy()
-                    if first:
-                        first = False
-                        logger.info("device matcher ready.")
-                    forced = fl[s][: n_slot[s]] == 1
-                    if forced.any():
-                        assigned[forced] = k
-                    counts += np.bincount(assigned, minlength=k + 1)
-                    route_fut[s] = router.submit(engine.route_batch, s, assigned)
-                    total += n_slot[s]
-                    while total >= next_log:
-                        logger.info(
-                            "fqtk: %s records demultiplexed", f"{next_log:,}"
-                        )
-                        next_log += 1_000_000
-                    with timers.time("parse_wait"):
-                        n_slot[ns], sk = parse_fut.result()
-                    note_skips(sk)
-                    s = ns
-                # drain outstanding routes (re-raises routing errors)
-                for f in route_fut:
-                    if f is not None:
-                        f.result()
-                route_fut = [None, None]
-            finally:
-                # on error paths, don't leave workers running
-                for f in route_fut:
-                    if f is not None:
-                        try:
-                            f.result()
-                        except Exception:
-                            pass
+                with timers.time("assign"):
+                    # dispatch + fetch; the zero-copy bc view is consumed by
+                    # the device transfer before asarray returns
+                    assigned = np.asarray(assign(bc_view))[:n]
+                if first:
+                    first = False
+                    logger.info("device matcher ready.")
+                with timers.time("submit"):
+                    engine.pipe_submit(slot, assigned)
+                total += n
+                while total >= next_log:
+                    logger.info(
+                        "fqtk: %s records demultiplexed", f"{next_log:,}"
+                    )
+                    next_log += 1_000_000
 
         logger.info("Finished reading input FASTQs.")
         with timers.time("finish"):
-            engine.finish()
+            engine.pipe_finish()
         logger.info("Output FASTQ writing complete.")
+        counts = engine.counts(k + 1)
+        if skipped_total:
+            skip_counts["TooFewBases"] = skipped_total
         timers.log(total)
+        native_stats = engine.stats()
+        logger.info(
+            "native stage times (thread-summed): %s",
+            {k_: round(v, 3) for k_, v in native_stats.items()},
+        )
     except native_io.NativeDemuxError as e:
         raise DemuxError(str(e)) from None
     finally:
@@ -498,7 +466,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
         metrics=metrics,
         skip_counts=skip_counts,
         total_templates=int(counts.sum()),
-        timings=timers.summary(),
+        timings={**timers.summary(), **native_stats},
     )
 
 

@@ -8,16 +8,20 @@
 //   - ReadSet header rewriting        -> rewrite_header (byte-identical to
 //                                        fqtk_tpu/core/headers.py, tested)
 //
-// The demux hot loop becomes two C calls per batch:
-//   fqtk_demux_next_batch():  parse + extract segments + pack barcodes [B, L]
-//   fqtk_demux_route_batch(): rewrite headers + route records to per-sample
-//                             BGZF writers given device-computed assignments
-// Between them, Python ships the barcode matrix to the TPU matcher.
+// The demux batch loop lives entirely in C++ (pipelined mode): persistent
+// per-input parse threads free-run over a 4-slot window ring, the last
+// thread to finish a window runs the skip/sync/pack gates inline, and a
+// dedicated route thread rewrites headers and streams records to per-sample
+// BGZF writers.  Python's only job per window is the TPU matcher call:
+//   fqtk_demux_pipe_acquire(): block until a packed [B, L/2] barcode matrix
+//                              is ready (zero-copy view of engine memory)
+//   fqtk_demux_pipe_submit():  hand device assignments to the route thread
 //
 // Build: make -C native   (produces libfqtk_io.so; loaded via ctypes)
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdarg>
 #include <cstdint>
@@ -41,6 +45,20 @@
 #define FQTK_API extern "C" __attribute__((visibility("default")))
 
 namespace {
+
+inline uint64_t now_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
+// Per-thread CPU time: stage costs stay honest when threads oversubscribe
+// the host's cores (wall-clock would bill preemption to the preempted stage).
+inline uint64_t thread_cpu_ns() {
+  timespec ts;
+  clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
+  return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
+}
 
 // ---------------------------------------------------------------------------
 // error plumbing
@@ -541,12 +559,22 @@ class CompressorPool {
         queue_.pop_front();
         not_full_.notify_one();
       }
+      uint64_t t0 = thread_cpu_ns();
+      size_t in_bytes = job.data.size();
       auto compressed =
           compress_block(job.data, job.writer->level());
+      busy_ns += thread_cpu_ns() - t0;
+      bytes_in += in_bytes;
+      bytes_out += compressed.size();
       job.writer->deliver(job.seq, std::move(compressed));
     }
   }
 
+ public:
+  // cumulative worker-thread stats (summed across threads)
+  std::atomic<uint64_t> busy_ns{0}, bytes_in{0}, bytes_out{0};
+
+ private:
   size_t max_queue_;
   std::mutex mu_;
   std::condition_variable not_empty_, not_full_;
@@ -900,64 +928,43 @@ class DemuxEngine {
     // out_types must come in the reference's fixed write order (T, B, M, C
     // filtered to the requested set; demux.rs:397-402)
     out_types_.assign(out_types, out_types + n_out_types);
-    for (auto& s : slots_) s.per_input.resize(inputs_.size());
   }
 
-  // Parse up to `max_templates` into `slot` (one thread per input), then
-  // apply skip/sync/barcode logic.  Fills bc_out [max, bc_len] and flags.
-  // Returns templates parsed, 0 on EOF, -1 error.
-  int64_t next_batch(int slot_idx, int64_t max_templates, uint8_t* bc_out,
-                     uint8_t* flags_out, int64_t* skipped_out) {
-    if (err.failed) return -1;
-    BatchSlot& slot = slots_[slot_idx & 3];
-    std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 3];
-    rmap.clear();
-    const size_t n_in = scanners_.size();
-    int64_t skipped_total = 0;
-
-  // A window whose templates are ALL skipped must not look like EOF to the
-  // caller — keep parsing fresh windows until a template is emitted or the
-  // inputs are truly exhausted.
-  retry_window:
-
-    // ---- parallel parse phase: one thread per input ----
-    std::vector<std::thread> threads;
-    for (size_t i = 0; i < n_in; i++) {
-      InputBatch& ib = slot.per_input[i];
-      ib.reset();
-      threads.emplace_back([this, i, max_templates, &ib] {
-        FastqScanner& sc = *scanners_[i];
-        RecordView rv;
-        for (int64_t t = 0; t < max_templates; t++) {
-          int r = sc.next(&rv);
-          if (r < 0) {
-            ib.failed = true;
-            ib.error = sc.error_msg();
-            return;
-          }
-          if (r == 0) return;  // EOF
-          RecEntry e;
-          e.head_len = static_cast<uint32_t>(rv.head_len);
-          e.seq_len = static_cast<uint32_t>(rv.seq_len);
-          e.head_off = static_cast<uint32_t>(ib.arena.size());
-          ib.arena.insert(ib.arena.end(), rv.head, rv.head + rv.head_len);
-          e.seq_off = static_cast<uint32_t>(ib.arena.size());
-          ib.arena.insert(ib.arena.end(), rv.seq, rv.seq + rv.seq_len);
-          e.qual_off = static_cast<uint32_t>(ib.arena.size());
-          ib.arena.insert(ib.arena.end(), rv.qual, rv.qual + rv.qual_len);
-          ib.recs.push_back(e);
-        }
-      });
-    }
-    for (auto& t : threads) t.join();
-    for (size_t i = 0; i < n_in; i++) {
-      if (slot.per_input[i].failed) {
-        err.set(slot.per_input[i].error);
-        return -1;
+  // Parse up to `max_templates` records from input `i` into `ib`.
+  void parse_input_window(size_t i, InputBatch& ib, int64_t max_templates) {
+    ib.reset();
+    FastqScanner& sc = *scanners_[i];
+    RecordView rv;
+    for (int64_t t = 0; t < max_templates; t++) {
+      int r = sc.next(&rv);
+      if (r < 0) {
+        ib.failed = true;
+        ib.error = sc.error_msg();
+        return;
       }
+      if (r == 0) return;  // EOF
+      RecEntry e;
+      e.head_len = static_cast<uint32_t>(rv.head_len);
+      e.seq_len = static_cast<uint32_t>(rv.seq_len);
+      e.head_off = static_cast<uint32_t>(ib.arena.size());
+      ib.arena.insert(ib.arena.end(), rv.head, rv.head + rv.head_len);
+      e.seq_off = static_cast<uint32_t>(ib.arena.size());
+      ib.arena.insert(ib.arena.end(), rv.seq, rv.seq + rv.seq_len);
+      e.qual_off = static_cast<uint32_t>(ib.arena.size());
+      ib.arena.insert(ib.arena.end(), rv.qual, rv.qual + rv.qual_len);
+      ib.recs.push_back(e);
     }
+  }
 
-    // ---- per-template phase: skip/sync gates + barcode packing ----
+  // ---- per-template phase: skip/sync gates + barcode packing ----
+  // Fills bc_out/flags_out/rmap with the emitted (non-skipped) templates;
+  // returns the emitted count or -1 (error set).  *max_count_out reports the
+  // raw record count of the window (0 == true EOF).
+  int64_t gate_pack(BatchSlot& slot, uint8_t* bc_out, uint8_t* flags_out,
+                    std::vector<int64_t>& rmap, int64_t* skipped_out,
+                    int64_t* max_count_out) {
+    const size_t n_in = scanners_.size();
+    rmap.clear();
     int64_t max_count = 0;
     for (size_t i = 0; i < n_in; i++)
       max_count = std::max<int64_t>(max_count, slot.per_input[i].recs.size());
@@ -1090,46 +1097,9 @@ class DemuxEngine {
       count++;
     }
 
-    skipped_total += skipped;
-    if (count == 0 && max_count > 0) goto retry_window;
-
-    slot.n_templates = count;
-    *skipped_out = skipped_total;
+    *skipped_out = skipped;
+    *max_count_out = max_count;
     return count;
-  }
-
-  // Route templates of batch `slot` given final assignments (index K =
-  // unmatched = last writer set).  Parallelized by sample: thread j handles
-  // samples with index % T == j, so writer sets are thread-disjoint and
-  // per-file record order is preserved (each thread scans in order).
-  int64_t route_batch(int slot_idx, const int32_t* assigned, int64_t n) {
-    if (err.failed) return -1;
-    BatchSlot& slot = slots_[slot_idx & 3];
-    const std::vector<int64_t>& rmap = slot_route_map_[slot_idx & 3];
-    if (n != slot.n_templates) {
-      err.set("route_batch: assignment count mismatch");
-      return -1;
-    }
-    for (int64_t r = 0; r < n; r++) {
-      if (assigned[r] < 0 ||
-          assigned[r] >= static_cast<int32_t>(writers_.size())) {
-        err.set(
-            str_printf("route_batch: assignment %d out of range", assigned[r]));
-        return -1;
-      }
-    }
-    const int n_threads = route_threads_;
-    if (n_threads <= 1) {
-      route_partition(slot, rmap, assigned, n, 0, 1);
-    } else {
-      std::vector<std::thread> ts;
-      for (int j = 0; j < n_threads; j++)
-        ts.emplace_back([&, j] {
-          route_partition(slot, rmap, assigned, n, j, n_threads);
-        });
-      for (auto& t : ts) t.join();
-    }
-    return err.failed ? -1 : n;
   }
 
   // Routes the subset of records whose assigned sample index % n_parts ==
@@ -1137,6 +1107,7 @@ class DemuxEngine {
   void route_partition(BatchSlot& slot, const std::vector<int64_t>& rmap,
                        const int32_t* assigned, int64_t n, int part,
                        int n_parts) {
+    uint64_t cpu0 = thread_cpu_ns();
     const size_t n_in = scanners_.size();
     std::vector<uint8_t> rec_buf;
     std::vector<std::pair<const uint8_t*, size_t>> bc_segs, umi_segs;
@@ -1196,6 +1167,7 @@ class DemuxEngine {
                                              umi_segs, &herr);
               if (h < 0) {
                 err.set(herr);
+                route_ns_ += thread_cpu_ns() - cpu0;
                 return;
               }
               uint8_t* p = base + h;
@@ -1215,6 +1187,7 @@ class DemuxEngine {
                                   e0.head_len, read_num, bc_segs, umi_segs,
                                   &herr)) {
                 err.set(herr);
+                route_ns_ += thread_cpu_ns() - cpu0;
                 return;
               }
               rec_buf.push_back('\n');
@@ -1231,6 +1204,7 @@ class DemuxEngine {
         }
       }
     }
+    route_ns_ += thread_cpu_ns() - cpu0;
   }
 
   bool finish() {
@@ -1238,6 +1212,272 @@ class DemuxEngine {
       for (auto& w : ws) w->close();
     if (pool_) pool_->stop();
     return !err.failed;
+  }
+
+  // -------------------------------------------------------------------------
+  // pipelined mode: C++ owns the whole batch loop.  Persistent per-input
+  // parse threads free-run over a ring of windows; the last thread to finish
+  // a window runs the gate/pack phase inline and publishes it; a dedicated
+  // route thread consumes device assignments in window order.  Python's only
+  // job between pipe_acquire() and pipe_submit() is the device matcher call.
+  // -------------------------------------------------------------------------
+
+  static constexpr int kPipeSlots = 4;
+
+  struct PipeSlot {
+    BatchSlot batch;
+    std::vector<int64_t> rmap;
+    std::vector<uint8_t> bc;       // [pipe_batch, row_stride]
+    std::vector<uint8_t> flags;    // per emitted template
+    std::vector<int32_t> assigned; // filled by pipe_submit
+    int64_t n = 0;                 // emitted templates
+    int64_t max_count = 0;         // raw records in the window (0 == EOF)
+    int64_t skipped = 0;
+    int64_t ready_for = 0;         // next window this slot may hold
+    int inputs_done = 0;
+  };
+
+  bool pipe_start(int64_t batch) {
+    if (err.failed || pipe_started_) return false;
+    pipe_started_ = true;
+    pipe_batch_ = batch;
+    counts_.assign(writers_.size(), 0);
+    pslots_.reset(new PipeSlot[kPipeSlots]);
+    for (int s = 0; s < kPipeSlots; s++) {
+      pslots_[s].batch.per_input.resize(scanners_.size());
+      pslots_[s].bc.assign(static_cast<size_t>(batch) * row_stride_,
+                           pack_masks_ ? 0x11 : 'A');
+      pslots_[s].flags.assign(batch, 0);
+      pslots_[s].assigned.assign(batch, 0);
+      pslots_[s].ready_for = s;
+    }
+    route_thread_ = std::thread([this] { pipe_route_worker(); });
+    for (size_t i = 0; i < scanners_.size(); i++)
+      parse_threads_.emplace_back([this, i] { pipe_parse_worker(i); });
+    return true;
+  }
+
+  void pipe_parse_worker(size_t i) {
+    const size_t n_in = scanners_.size();
+    for (int64_t w = 0;; w++) {
+      PipeSlot* ps = &pslots_[w % kPipeSlots];
+      {
+        std::unique_lock<std::mutex> lk(pmu_);
+        slot_cv_.wait(lk, [&] {
+          return pipe_stop_ || pipe_done_ || ps->ready_for == w;
+        });
+        if (pipe_stop_ || pipe_done_) return;
+      }
+      uint64_t t0 = thread_cpu_ns();
+      parse_input_window(i, ps->batch.per_input[i], pipe_batch_);
+      parse_ns_ += thread_cpu_ns() - t0;
+      bool last = false;
+      {
+        std::lock_guard<std::mutex> lk(pmu_);
+        if (ps->batch.per_input[i].failed) {
+          err.set(ps->batch.per_input[i].error);
+          pipe_stop_ = true;
+          pipe_notify_all();
+          return;
+        }
+        last = (++ps->inputs_done == static_cast<int>(n_in));
+      }
+      if (last) {
+        uint64_t g0 = thread_cpu_ns();
+        int64_t sk = 0, mx = 0;
+        int64_t n = gate_pack(ps->batch, ps->bc.data(), ps->flags.data(),
+                              ps->rmap, &sk, &mx);
+        gate_ns_ += thread_cpu_ns() - g0;
+        std::lock_guard<std::mutex> lk(pmu_);
+        if (n < 0) {
+          pipe_stop_ = true;
+          pipe_notify_all();
+          return;
+        }
+        ps->n = n;
+        ps->skipped = sk;
+        ps->max_count = mx;
+        ready_q_.push_back(static_cast<int>(w % kPipeSlots));
+        if (mx == 0) pipe_done_ = true;  // true EOF window
+        ready_cv_.notify_all();
+        if (pipe_done_) {
+          slot_cv_.notify_all();
+          return;
+        }
+      }
+    }
+  }
+
+  void pipe_release_slot(PipeSlot* ps) {
+    // caller holds pmu_
+    ps->ready_for += kPipeSlots;
+    ps->inputs_done = 0;
+    slot_cv_.notify_all();
+  }
+
+  void pipe_route_worker() {
+    for (;;) {
+      int s;
+      {
+        std::unique_lock<std::mutex> lk(pmu_);
+        route_cv_.wait(lk, [&] {
+          return !route_q_.empty() || pipe_stop_ || route_finishing_;
+        });
+        if (route_q_.empty()) {
+          if (pipe_stop_ || route_finishing_) return;
+          continue;
+        }
+        s = route_q_.front();
+        route_q_.pop_front();
+      }
+      PipeSlot* ps = &pslots_[s];
+      const int32_t unmatched = static_cast<int32_t>(writers_.size()) - 1;
+      bool bad = false;
+      for (int64_t r = 0; r < ps->n; r++) {
+        int32_t a = ps->assigned[r];
+        if (ps->flags[r]) a = unmatched;  // host gates force unmatched
+        if (a < 0 || a > unmatched) {
+          err.set(str_printf("route: assignment %d out of range", a));
+          bad = true;
+          break;
+        }
+        ps->assigned[r] = a;
+        counts_[a]++;
+      }
+      if (!bad) {
+        const int n_threads = route_threads_;
+        if (n_threads <= 1) {
+          route_partition(ps->batch, ps->rmap, ps->assigned.data(), ps->n, 0,
+                          1);
+        } else {
+          std::vector<std::thread> ts;
+          for (int j = 0; j < n_threads; j++)
+            ts.emplace_back([&, j] {
+              route_partition(ps->batch, ps->rmap, ps->assigned.data(), ps->n,
+                              j, n_threads);
+            });
+          for (auto& t : ts) t.join();
+        }
+      }
+      std::lock_guard<std::mutex> lk(pmu_);
+      if (bad || err.failed) {
+        pipe_stop_ = true;
+        pipe_notify_all();
+        return;
+      }
+      routed_++;
+      pipe_release_slot(ps);
+      routed_cv_.notify_all();
+    }
+  }
+
+  void pipe_notify_all() {
+    slot_cv_.notify_all();
+    ready_cv_.notify_all();
+    route_cv_.notify_all();
+    routed_cv_.notify_all();
+  }
+
+  // Blocks until a non-empty window is ready.  Returns its template count
+  // (>0), 0 on EOF, -1 on error.  *skipped_out accumulates the skip counts
+  // of this window plus any all-skip windows consumed along the way;
+  // *slot_out/*bc_out expose the engine-owned packed barcode matrix.
+  int64_t pipe_acquire(int32_t* slot_out, const uint8_t** bc_out,
+                       int64_t* skipped_out) {
+    int64_t skips = 0;
+    for (;;) {
+      int s;
+      {
+        std::unique_lock<std::mutex> lk(pmu_);
+        ready_cv_.wait(lk, [&] { return !ready_q_.empty() || pipe_stop_; });
+        if (ready_q_.empty()) {
+          *skipped_out = skips;
+          return -1;  // error path
+        }
+        s = ready_q_.front();
+        ready_q_.pop_front();
+      }
+      PipeSlot* ps = &pslots_[s];
+      skips += ps->skipped;
+      if (ps->max_count == 0) {  // EOF window
+        *skipped_out = skips;
+        return 0;
+      }
+      if (ps->n == 0) {  // all templates skipped: keep scanning
+        std::lock_guard<std::mutex> lk(pmu_);
+        pipe_release_slot(ps);
+        continue;
+      }
+      *slot_out = s;
+      *bc_out = ps->bc.data();
+      *skipped_out = skips;
+      return ps->n;
+    }
+  }
+
+  bool pipe_submit(int32_t slot, const int32_t* assigned, int64_t n) {
+    PipeSlot* ps = &pslots_[slot];
+    if (n != ps->n) {
+      err.set("pipe_submit: assignment count mismatch");
+      return false;
+    }
+    memcpy(ps->assigned.data(), assigned, n * sizeof(int32_t));
+    std::lock_guard<std::mutex> lk(pmu_);
+    submitted_++;
+    route_q_.push_back(slot);
+    route_cv_.notify_one();
+    return true;
+  }
+
+  bool pipe_finish() {
+    {
+      // wait for all submitted windows to be routed
+      std::unique_lock<std::mutex> lk(pmu_);
+      routed_cv_.wait(lk, [&] { return routed_ == submitted_ || pipe_stop_; });
+      route_finishing_ = true;
+      pipe_stop_ = pipe_stop_ || err.failed;
+      pipe_notify_all();
+    }
+    pipe_join();
+    return finish();
+  }
+
+  void pipe_join() {
+    for (auto& t : parse_threads_) t.join();
+    parse_threads_.clear();
+    if (route_thread_.joinable()) route_thread_.join();
+  }
+
+  void pipe_teardown() {
+    if (!pipe_started_) return;
+    {
+      std::lock_guard<std::mutex> lk(pmu_);
+      pipe_stop_ = true;
+      route_finishing_ = true;
+      pipe_notify_all();
+    }
+    pipe_join();
+  }
+
+  ~DemuxEngine() { pipe_teardown(); }
+
+  void get_counts(int64_t* out, int64_t n) const {
+    for (int64_t i = 0; i < n && i < static_cast<int64_t>(counts_.size()); i++)
+      out[i] = counts_[i];
+  }
+
+  // [parse_s (sum over input threads), gate_pack_s, route_s,
+  //  compress_s (sum over workers), compress_in_bytes, compress_out_bytes]
+  void get_stats(double* out, int n) const {
+    double vals[6] = {
+        parse_ns_.load() * 1e-9,
+        gate_ns_.load() * 1e-9,
+        route_ns_.load() * 1e-9,
+        pool_ ? pool_->busy_ns.load() * 1e-9 : 0.0,
+        pool_ ? static_cast<double>(pool_->bytes_in.load()) : 0.0,
+        pool_ ? static_cast<double>(pool_->bytes_out.load()) : 0.0,
+    };
+    for (int i = 0; i < n && i < 6; i++) out[i] = vals[i];
   }
 
  private:
@@ -1258,8 +1498,25 @@ class DemuxEngine {
   std::string first_sample_id_, first_barcode_;
   std::string out_types_;
 
-  BatchSlot slots_[4];
-  std::vector<int64_t> slot_route_map_[4];
+  // ---- pipelined-mode state ----
+  bool pipe_started_ = false;
+  int64_t pipe_batch_ = 0;
+  std::unique_ptr<PipeSlot[]> pslots_;
+  std::vector<std::thread> parse_threads_;
+  std::thread route_thread_;
+  std::mutex pmu_;
+  std::condition_variable slot_cv_;    // a slot became free for its next window
+  std::condition_variable ready_cv_;   // a window became ready for acquire
+  std::condition_variable route_cv_;   // a window was submitted for routing
+  std::condition_variable routed_cv_;  // a window finished routing
+  std::deque<int> ready_q_;            // slots ready for acquire (window order)
+  std::deque<int> route_q_;            // slots submitted for routing (FIFO)
+  bool pipe_done_ = false;             // EOF window published
+  bool pipe_stop_ = false;             // error / teardown
+  bool route_finishing_ = false;
+  int64_t submitted_ = 0, routed_ = 0;
+  std::vector<int64_t> counts_;  // per-writer-set template counts
+  std::atomic<uint64_t> parse_ns_{0}, gate_ns_{0}, route_ns_{0};
 };
 
 // ---------------------------------------------------------------------------
@@ -1446,18 +1703,36 @@ FQTK_API void fqtk_demux_configure(DemuxEngine* e, int bc_len,
                first_barcode, out_types, n_out_types, pack_masks);
 }
 
-FQTK_API int64_t fqtk_demux_next_batch(DemuxEngine* e, int slot,
-                                       int64_t max_templates, uint8_t* bc_out,
-                                       uint8_t* flags, int64_t* skipped_out) {
-  return e->next_batch(slot, max_templates, bc_out, flags, skipped_out);
-}
-
-FQTK_API int64_t fqtk_demux_route_batch(DemuxEngine* e, int slot,
-                                        const int32_t* assigned, int64_t n) {
-  return e->route_batch(slot, assigned, n);
-}
-
 FQTK_API int fqtk_demux_finish(DemuxEngine* e) { return e->finish() ? 0 : -1; }
+
+// ---- pipelined mode ----
+
+FQTK_API int fqtk_demux_pipe_start(DemuxEngine* e, int64_t batch) {
+  return e->pipe_start(batch) ? 0 : -1;
+}
+
+FQTK_API int64_t fqtk_demux_pipe_acquire(DemuxEngine* e, int32_t* slot_out,
+                                         const uint8_t** bc_out,
+                                         int64_t* skipped_out) {
+  return e->pipe_acquire(slot_out, bc_out, skipped_out);
+}
+
+FQTK_API int fqtk_demux_pipe_submit(DemuxEngine* e, int32_t slot,
+                                    const int32_t* assigned, int64_t n) {
+  return e->pipe_submit(slot, assigned, n) ? 0 : -1;
+}
+
+FQTK_API int fqtk_demux_pipe_finish(DemuxEngine* e) {
+  return e->pipe_finish() ? 0 : -1;
+}
+
+FQTK_API void fqtk_demux_counts(DemuxEngine* e, int64_t* out, int64_t n) {
+  e->get_counts(out, n);
+}
+
+FQTK_API void fqtk_demux_stats(DemuxEngine* e, double* out, int n) {
+  e->get_stats(out, n);
+}
 
 FQTK_API const char* fqtk_demux_error(DemuxEngine* e) {
   return e->err.failed.load() ? e->err.msg.c_str() : "";
