@@ -133,8 +133,8 @@ def _build_parser() -> argparse.ArgumentParser:
         help=(
             "Explicit RNG seed for reproducibility; with a seed the keep/drop "
             "mask matches fqtk bit-for-bit.  When omitted a deterministic "
-            "seed is derived from the parameters (SHA-256; differs from "
-            "fqtk's Rust-internal hash derivation)."
+            "seed is derived from all other parameters via the reference's "
+            "DefaultHasher (SipHash-1-3) derivation."
         ),
     )
     ss.add_argument(

@@ -9,16 +9,14 @@ verbatim pass-through of kept records to BGZF outputs named
 
 Seed semantics: with ``--seed``, the keep/drop mask is bit-identical to the
 reference (same ChaCha8 stream, see :mod:`fqtk_tpu.utils.chacha`).  Without a
-seed the reference derives one by Rust's ``DefaultHasher`` over its CLI
-struct (``subsample.rs:122-129``) — a Rust-std-internal encoding we do not
-reproduce; instead we derive a deterministic seed by SHA-256 over the same
-parameter tuple.  Both are deterministic for identical inputs; the streams
-differ.  This deviation is documented in the CLI help.
+seed the reference derives one by Rust's ``DefaultHasher`` (SipHash-1-3, zero
+key) over its CLI struct (``subsample.rs:92-129``); we reproduce that
+derivation — SipHash core, Rust ``Hash`` field encodings, and ``Path``
+hashing — in :mod:`fqtk_tpu.utils.siphash`.
 """
 
 from __future__ import annotations
 
-import hashlib
 import logging
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -71,22 +69,21 @@ class SubsampleResult:
 
 
 def effective_seed(cfg: SubsampleConfig) -> int:
+    """Explicit seed, or the reference's deterministic DefaultHasher
+    derivation over the parameter struct (``subsample.rs:122-129``)."""
     if cfg.seed is not None:
         return cfg.seed
-    # deterministic derivation over the full parameter tuple (documented
-    # deviation from the reference's Rust DefaultHasher; see module docstring)
-    h = hashlib.sha256()
-    for p in cfg.inputs:
-        h.update(str(p).encode())
-        h.update(b"\x00")
-    h.update(str(cfg.output).encode())
-    h.update(b"\x00")
-    import struct
+    from ..utils.siphash import subsample_effective_seed
 
-    h.update(struct.pack("<d", cfg.fraction))
-    h.update(struct.pack("<qqq", cfg.threads, cfg.compression_level, -1))
-    h.update(b"\x01" if cfg.disable_read_name_checking else b"\x00")
-    return int.from_bytes(h.digest()[:8], "little")
+    return subsample_effective_seed(
+        inputs=[str(p) for p in cfg.inputs],
+        output=str(cfg.output),
+        fraction=cfg.fraction,
+        threads=cfg.threads,
+        compression_level=cfg.compression_level,
+        seed=None,
+        disable_read_name_checking=cfg.disable_read_name_checking,
+    )
 
 
 def validate(cfg: SubsampleConfig) -> None:

@@ -1664,7 +1664,92 @@ class SubsampleEngine {
   int64_t total_read_ = 0;
 };
 
+// ---------------------------------------------------------------------------
+// Independent ChaCha8Rng composition (verification-only).
+//
+// A from-scratch scalar implementation of rand_core's seed_from_u64 (PCG32
+// XSH-RR expansion), the ChaCha8 block function in rand_chacha's layout
+// (64-bit counter words 12-13, 64-bit stream id 14-15 = 0), next_u64 = two
+// consecutive LE u32 keystream words, and rand 0.9's StandardUniform f64
+// ((x >> 11) * 2^-53).  Exists solely so tests can cross-check the
+// vectorized NumPy implementation (fqtk_tpu/utils/chacha.py) against an
+// independently written one — no Rust toolchain exists here to emit true
+// golden vectors (see docs/PARITY.md).
+// ---------------------------------------------------------------------------
+
+namespace chacha_verify {
+
+inline uint32_t rotl32(uint32_t x, int n) { return (x << n) | (x >> (32 - n)); }
+
+inline void quarter(uint32_t s[16], int a, int b, int c, int d) {
+  s[a] += s[b]; s[d] = rotl32(s[d] ^ s[a], 16);
+  s[c] += s[d]; s[b] = rotl32(s[b] ^ s[c], 12);
+  s[a] += s[b]; s[d] = rotl32(s[d] ^ s[a], 8);
+  s[c] += s[d]; s[b] = rotl32(s[b] ^ s[c], 7);
+}
+
+void seed_expand(uint64_t state, uint32_t key[8]) {
+  const uint64_t MUL = 6364136223846793005ull;
+  const uint64_t INC = 11634580027462260723ull;
+  for (int i = 0; i < 8; i++) {
+    state = state * MUL + INC;
+    uint32_t xorshifted = static_cast<uint32_t>(((state >> 18) ^ state) >> 27);
+    uint32_t rot = static_cast<uint32_t>(state >> 59);
+    key[i] = rot ? ((xorshifted >> rot) | (xorshifted << (32 - rot)))
+                 : xorshifted;
+  }
+}
+
+void block(const uint32_t key[8], uint64_t counter, uint32_t out[16]) {
+  uint32_t in[16] = {0x61707865, 0x3320646e, 0x79622d32, 0x6b206574,
+                     key[0],     key[1],     key[2],     key[3],
+                     key[4],     key[5],     key[6],     key[7],
+                     static_cast<uint32_t>(counter),
+                     static_cast<uint32_t>(counter >> 32),
+                     0,          0};
+  memcpy(out, in, sizeof(in));
+  for (int r = 0; r < 4; r++) {  // 8 rounds = 4 double rounds
+    quarter(out, 0, 4, 8, 12);
+    quarter(out, 1, 5, 9, 13);
+    quarter(out, 2, 6, 10, 14);
+    quarter(out, 3, 7, 11, 15);
+    quarter(out, 0, 5, 10, 15);
+    quarter(out, 1, 6, 11, 12);
+    quarter(out, 2, 7, 8, 13);
+    quarter(out, 3, 4, 9, 14);
+  }
+  for (int i = 0; i < 16; i++) out[i] += in[i];
+}
+
+}  // namespace chacha_verify
+
 }  // namespace
+
+FQTK_API void fqtk_chacha8_verify_u64(uint64_t seed, int64_t n,
+                                      uint64_t* out) {
+  uint32_t key[8];
+  chacha_verify::seed_expand(seed, key);
+  uint64_t counter = 0;
+  uint32_t words[16];
+  int wpos = 16;
+  for (int64_t i = 0; i < n; i++) {
+    if (wpos >= 16) {
+      chacha_verify::block(key, counter++, words);
+      wpos = 0;
+    }
+    uint64_t lo = words[wpos], hi = words[wpos + 1];
+    wpos += 2;
+    out[i] = lo | (hi << 32);
+  }
+}
+
+FQTK_API void fqtk_chacha8_verify_f64(uint64_t seed, int64_t n, double* out) {
+  std::vector<uint64_t> u(n);
+  fqtk_chacha8_verify_u64(seed, n, u.data());
+  for (int64_t i = 0; i < n; i++)
+    out[i] = static_cast<double>(u[i] >> 11) *
+             (1.0 / 9007199254740992.0 /* 2^53 */);
+}
 
 // ---------------------------------------------------------------------------
 // C API

@@ -216,3 +216,46 @@ def test_native_name_mismatch(tmp_path):
     )
     with pytest.raises(SubsampleError, match="Read name mismatch"):
         run_subsample(cfg)
+
+
+def test_chacha_composition_cross_validated_native():
+    """The full seed_from_u64 -> ChaCha8 -> u64 -> f64 composition, checked
+    against an independently written scalar C++ implementation
+    (``native/fqtk_io.cpp`` chacha_verify).  Two from-scratch implementations
+    of the rand/rand_chacha spec agreeing guards against transcription slips
+    in either (no Rust toolchain exists in this image to emit true golden
+    vectors; see docs/PARITY.md)."""
+    import ctypes
+
+    import numpy as np
+
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.utils.chacha import ChaCha8Rng
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    lib = native_io.get_lib()
+    lib.fqtk_chacha8_verify_u64.argtypes = [
+        ctypes.c_uint64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.fqtk_chacha8_verify_f64.argtypes = [
+        ctypes.c_uint64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    n = 100_003  # crosses many block and refill boundaries
+    for seed in (0, 1, 42, 2**64 - 1, 0x123456789ABCDEF0):
+        expect_u = np.zeros(n, dtype=np.uint64)
+        lib.fqtk_chacha8_verify_u64(
+            seed, n, expect_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        )
+        got_u = ChaCha8Rng(seed).next_u64_batch(n)
+        assert np.array_equal(got_u, expect_u), f"u64 stream diverges, seed={seed}"
+        expect_f = np.zeros(n, dtype=np.float64)
+        lib.fqtk_chacha8_verify_f64(
+            seed, n, expect_f.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        )
+        got_f = ChaCha8Rng(seed).random_f64_batch(n)
+        assert np.array_equal(got_f, expect_f), f"f64 stream diverges, seed={seed}"
