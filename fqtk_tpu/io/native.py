@@ -117,6 +117,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int,
     ]
+    lib.fqtk_demux_refproxy_run.restype = ctypes.c_int64
+    lib.fqtk_demux_refproxy_run.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
     lib.fqtk_demux_finish.restype = ctypes.c_int
     lib.fqtk_demux_finish.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_error.restype = ctypes.c_char_p
@@ -273,6 +281,20 @@ class NativeDemuxEngine:
         if not self._finished:
             self._finished = True
             self._check(self._lib.fqtk_demux_pipe_finish(self._h))
+
+    def refproxy_run(self, barcodes, max_mismatches: int, min_delta: int) -> int:
+        """Run the reference-architecture baseline proxy (host-only scalar
+        matcher, single main thread) to completion.  Measurement mode only —
+        see scripts/measure_baseline.py."""
+        self._finished = True  # refproxy closes writers itself
+        k = len(barcodes)
+        concat = "".join(b.upper() for b in barcodes).encode()
+        buf = (ctypes.c_uint8 * len(concat)).from_buffer_copy(concat)
+        n = self._lib.fqtk_demux_refproxy_run(
+            self._h, buf, k, max_mismatches, min_delta
+        )
+        self._check(n)
+        return int(n)
 
     def counts(self, n: int) -> np.ndarray:
         out = np.zeros(n, dtype=np.int64)

@@ -33,6 +33,7 @@
 #include <mutex>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <zlib.h>
@@ -1102,107 +1103,121 @@ class DemuxEngine {
     return count;
   }
 
+  // Scratch buffers reused across write_template calls (one per thread).
+  struct WriteScratch {
+    std::vector<uint8_t> rec_buf;
+    std::vector<std::pair<const uint8_t*, size_t>> bc_segs, umi_segs;
+  };
+
+  // Formats and writes one template's requested segments to writer set
+  // `idx` (header rewrite + 4-line records, in the fixed T/B/M/C order).
+  // Returns false with err set on header-contract violations.
+  bool write_template(const std::vector<InputBatch>& per_input, int64_t t,
+                      int32_t idx, WriteScratch& sc) {
+    const size_t n_in = per_input.size();
+    auto& wset = writers_[idx];
+    const InputBatch& ib0 = per_input[0];
+    const RecEntry& e0 = ib0.recs[t];
+    auto& bc_segs = sc.bc_segs;
+    auto& umi_segs = sc.umi_segs;
+    bc_segs.clear();
+    umi_segs.clear();
+    for (size_t i = 0; i < n_in; i++) {
+      const InputBatch& ib = per_input[i];
+      const RecEntry& e = ib.recs[t];
+      for (const SegmentDef& sd : inputs_[i].segments) {
+        if (sd.kind != 'B' && sd.kind != 'M') continue;
+        uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
+                                     : static_cast<uint32_t>(sd.length);
+        const uint8_t* p = ib.arena.data() + e.seq_off + sd.offset;
+        if (sd.kind == 'B')
+          bc_segs.emplace_back(p, len);
+        else
+          umi_segs.emplace_back(p, len);
+      }
+    }
+    size_t extra_len = 0;  // header growth bound: umis + barcodes + seps
+    for (auto& s : bc_segs) extra_len += s.second + 1;
+    for (auto& s : umi_segs) extra_len += s.second + 1;
+    size_t head_max = 1 + e0.head_len + extra_len + 32;
+
+    size_t w = 0;
+    for (char ot : out_types_) {
+      int read_num = 0;
+      for (size_t i = 0; i < n_in; i++) {
+        const InputBatch& ib = per_input[i];
+        const RecEntry& e = ib.recs[t];
+        for (const SegmentDef& sd : inputs_[i].segments) {
+          if (sd.kind != ot) continue;
+          read_num++;
+          if (w >= wset.size()) {
+            w++;
+            continue;
+          }
+          uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
+                                       : static_cast<uint32_t>(sd.length);
+          const uint8_t* seq = ib.arena.data() + e.seq_off + sd.offset;
+          const uint8_t* qual = ib.arena.data() + e.qual_off + sd.offset;
+          size_t max_rec = head_max + 2 * len + 8;
+          std::string herr;
+          if (max_rec < kBgzfBlockInput) {
+            // format directly into the writer's block buffer
+            uint8_t* base = wset[w]->reserve(max_rec);
+            int64_t h = rewrite_header_buf(base,
+                                           ib0.arena.data() + e0.head_off,
+                                           e0.head_len, read_num, bc_segs,
+                                           umi_segs, &herr);
+            if (h < 0) {
+              err.set(herr);
+              return false;
+            }
+            uint8_t* p = base + h;
+            *p++ = '\n';
+            memcpy(p, seq, len);
+            p += len;
+            *p++ = '\n';
+            *p++ = '+';
+            *p++ = '\n';
+            memcpy(p, qual, len);
+            p += len;
+            *p++ = '\n';
+            wset[w]->commit(p - base);
+          } else {  // huge record fallback via the copy path
+            auto& rec_buf = sc.rec_buf;
+            rec_buf.clear();
+            if (!rewrite_header(rec_buf, ib0.arena.data() + e0.head_off,
+                                e0.head_len, read_num, bc_segs, umi_segs,
+                                &herr)) {
+              err.set(herr);
+              return false;
+            }
+            rec_buf.push_back('\n');
+            rec_buf.insert(rec_buf.end(), seq, seq + len);
+            rec_buf.push_back('\n');
+            rec_buf.push_back('+');
+            rec_buf.push_back('\n');
+            rec_buf.insert(rec_buf.end(), qual, qual + len);
+            rec_buf.push_back('\n');
+            wset[w]->write(rec_buf.data(), rec_buf.size());
+          }
+          w++;
+        }
+      }
+    }
+    return true;
+  }
+
   // Routes the subset of records whose assigned sample index % n_parts ==
   // part.  Writer sets touched by different parts are disjoint.
   void route_partition(BatchSlot& slot, const std::vector<int64_t>& rmap,
                        const int32_t* assigned, int64_t n, int part,
                        int n_parts) {
     uint64_t cpu0 = thread_cpu_ns();
-    const size_t n_in = scanners_.size();
-    std::vector<uint8_t> rec_buf;
-    std::vector<std::pair<const uint8_t*, size_t>> bc_segs, umi_segs;
+    WriteScratch sc;
     for (int64_t r = 0; r < n; r++) {
       int32_t idx = assigned[r];
       if (idx % n_parts != part) continue;
-      const int64_t t = rmap[r];
-      auto& wset = writers_[idx];
-      const InputBatch& ib0 = slot.per_input[0];
-      const RecEntry& e0 = ib0.recs[t];
-      bc_segs.clear();
-      umi_segs.clear();
-      for (size_t i = 0; i < n_in; i++) {
-        const InputBatch& ib = slot.per_input[i];
-        const RecEntry& e = ib.recs[t];
-        for (const SegmentDef& sd : inputs_[i].segments) {
-          if (sd.kind != 'B' && sd.kind != 'M') continue;
-          uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
-                                       : static_cast<uint32_t>(sd.length);
-          const uint8_t* p = ib.arena.data() + e.seq_off + sd.offset;
-          if (sd.kind == 'B')
-            bc_segs.emplace_back(p, len);
-          else
-            umi_segs.emplace_back(p, len);
-        }
-      }
-      size_t extra_len = 0;  // header growth bound: umis + barcodes + seps
-      for (auto& s : bc_segs) extra_len += s.second + 1;
-      for (auto& s : umi_segs) extra_len += s.second + 1;
-      size_t head_max = 1 + e0.head_len + extra_len + 32;
-
-      size_t w = 0;
-      for (char ot : out_types_) {
-        int read_num = 0;
-        for (size_t i = 0; i < n_in; i++) {
-          const InputBatch& ib = slot.per_input[i];
-          const RecEntry& e = ib.recs[t];
-          for (const SegmentDef& sd : inputs_[i].segments) {
-            if (sd.kind != ot) continue;
-            read_num++;
-            if (w >= wset.size()) {
-              w++;
-              continue;
-            }
-            uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
-                                         : static_cast<uint32_t>(sd.length);
-            const uint8_t* seq = ib.arena.data() + e.seq_off + sd.offset;
-            const uint8_t* qual = ib.arena.data() + e.qual_off + sd.offset;
-            size_t max_rec = head_max + 2 * len + 8;
-            std::string herr;
-            if (max_rec < kBgzfBlockInput) {
-              // format directly into the writer's block buffer
-              uint8_t* base = wset[w]->reserve(max_rec);
-              int64_t h = rewrite_header_buf(base,
-                                             ib0.arena.data() + e0.head_off,
-                                             e0.head_len, read_num, bc_segs,
-                                             umi_segs, &herr);
-              if (h < 0) {
-                err.set(herr);
-                route_ns_ += thread_cpu_ns() - cpu0;
-                return;
-              }
-              uint8_t* p = base + h;
-              *p++ = '\n';
-              memcpy(p, seq, len);
-              p += len;
-              *p++ = '\n';
-              *p++ = '+';
-              *p++ = '\n';
-              memcpy(p, qual, len);
-              p += len;
-              *p++ = '\n';
-              wset[w]->commit(p - base);
-            } else {  // huge record fallback via the copy path
-              rec_buf.clear();
-              if (!rewrite_header(rec_buf, ib0.arena.data() + e0.head_off,
-                                  e0.head_len, read_num, bc_segs, umi_segs,
-                                  &herr)) {
-                err.set(herr);
-                route_ns_ += thread_cpu_ns() - cpu0;
-                return;
-              }
-              rec_buf.push_back('\n');
-              rec_buf.insert(rec_buf.end(), seq, seq + len);
-              rec_buf.push_back('\n');
-              rec_buf.push_back('+');
-              rec_buf.push_back('\n');
-              rec_buf.insert(rec_buf.end(), qual, qual + len);
-              rec_buf.push_back('\n');
-              wset[w]->write(rec_buf.data(), rec_buf.size());
-            }
-            w++;
-          }
-        }
-      }
+      if (!write_template(slot.per_input, rmap[r], idx, sc)) break;
     }
     route_ns_ += thread_cpu_ns() - cpu0;
   }
@@ -1377,6 +1392,11 @@ class DemuxEngine {
     route_cv_.notify_all();
     routed_cv_.notify_all();
   }
+
+  // Reference-architecture measurement mode; defined after the RefProxy
+  // helper classes below.  Returns total templates or -1 (err set).
+  int64_t refproxy_run(const uint8_t* barcodes, int k, int max_mm, int delta,
+                       int reader_chunk);
 
   // Blocks until a non-empty window is ready.  Returns its template count
   // (>0), 0 on EOF, -1 on error.  *skipped_out accumulates the skip counts
@@ -1665,6 +1685,207 @@ class SubsampleEngine {
 };
 
 // ---------------------------------------------------------------------------
+// Reference-architecture baseline proxy.
+//
+// A faithful re-creation of fqtk's OWN pipeline shape (SURVEY.md §2c /
+// demux.rs:881-1001) used ONLY to measure a defensible Rust-baseline proxy
+// on this host (no Rust toolchain exists in the image):
+//   - one read-ahead thread per input feeding bounded chunk queues of 1000
+//     owned records (fgoxide read_ahead(1000, 1000));
+//   - ONE main thread doing extraction, scalar branch-and-bound barcode
+//     matching with a memo cache (barcode_matching.rs:119-182), header
+//     rewriting and record formatting into pooled writers;
+//   - (threads - main - readers) BGZF compressor threads (libdeflate — the
+//     same backend the reference's bgzf crate uses).
+// Where behavior differs from Rust fqtk, the proxy is GENEROUS to the
+// baseline: input decompression uses our whole-block libdeflate BGZF path
+// (faster than the reference's streaming zlib-ng), so the measured number
+// is an upper bound on fqtk's speed here.  See scripts/measure_baseline.py.
+// ---------------------------------------------------------------------------
+
+class RefProxyMatcher {
+ public:
+  RefProxyMatcher(const uint8_t* barcodes, int k, int len, int max_mm,
+                  int delta)
+      : k_(k), len_(len), max_mm_(max_mm), delta_(delta) {
+    masks_.resize(static_cast<size_t>(k) * len);
+    max_ns_ = 0;
+    for (int s = 0; s < k; s++) {
+      int ns = 0;
+      for (int j = 0; j < len; j++) {
+        uint8_t b = barcodes[s * len + j];
+        masks_[s * len + j] = kIupac.encode[b];
+        ns += kIupac.nocall[b];
+      }
+      max_ns_ = std::max(max_ns_, ns);
+    }
+    cache_.reserve(1 << 20);  // reference pre-sizes to 1M (ahash)
+  }
+
+  // returns sample index or -1 (unmatched); n == observed length
+  int32_t assign(const uint8_t* bc, int n) {
+    if (n < len_) return -1;  // too-short gate (assign() -> None)
+    int nocalls = 0;
+    for (int j = 0; j < n; j++) nocalls += kIupac.nocall[bc[j]];
+    if (nocalls > max_mm_ + max_ns_) return -1;
+    std::string key(reinterpret_cast<const char*>(bc), n);
+    auto it = cache_.find(key);
+    if (it != cache_.end()) return it->second;
+    // linear scan with branch-and-bound (barcode_matching.rs:119-147)
+    int best = -1, best_mm = 256, next_mm = 256;
+    for (int s = 0; s < k_; s++) {
+      int bound = std::min(255, next_mm + delta_);
+      int mm = 0;
+      const uint8_t* exp = masks_.data() + static_cast<size_t>(s) * len_;
+      for (int j = 0; j < len_ && mm < bound; j++) {
+        mm += (kIupac.encode[bc[j]] & ~exp[j]) != 0;
+      }
+      if (mm < best_mm) {
+        next_mm = best_mm;
+        best_mm = mm;
+        best = s;
+      } else if (mm < next_mm) {
+        next_mm = mm;
+      }
+    }
+    int32_t res = -1;
+    if (best >= 0 && best_mm <= max_mm_ && next_mm - best_mm >= delta_)
+      res = best;
+    if (res >= 0) cache_.emplace(std::move(key), res);  // successes only
+    return res;
+  }
+
+ private:
+  int k_, len_, max_mm_, delta_, max_ns_ = 0;
+  std::vector<uint8_t> masks_;
+  std::unordered_map<std::string, int32_t> cache_;
+};
+
+// Bounded queue of parsed record chunks (read_ahead analog).
+struct RefProxyQueue {
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<InputBatch> q;
+  bool done = false;
+  static constexpr size_t kMaxChunks = 4;
+
+  void push(InputBatch&& b) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_push.wait(lk, [&] { return q.size() < kMaxChunks || done; });
+    if (done) return;  // consumer bailed; drop
+    q.push_back(std::move(b));
+    cv_pop.notify_one();
+  }
+  bool pop(InputBatch* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_pop.wait(lk, [&] { return !q.empty() || done; });
+    if (q.empty()) return false;
+    *out = std::move(q.front());
+    q.pop_front();
+    cv_push.notify_one();
+    return true;
+  }
+  void finish() {
+    std::lock_guard<std::mutex> lk(mu);
+    done = true;
+    cv_pop.notify_all();
+  }
+};
+
+int64_t DemuxEngine::refproxy_run(const uint8_t* barcodes, int k, int max_mm,
+                                  int delta, int reader_chunk) {
+  const size_t n_in = scanners_.size();
+  RefProxyMatcher matcher(barcodes, k, bc_len_, max_mm, delta);
+  std::vector<std::unique_ptr<RefProxyQueue>> queues;
+  for (size_t i = 0; i < n_in; i++)
+    queues.push_back(std::make_unique<RefProxyQueue>());
+  std::vector<std::thread> readers;
+  for (size_t i = 0; i < n_in; i++) {
+    readers.emplace_back([this, i, &queues, reader_chunk] {
+      for (;;) {
+        InputBatch ib;
+        parse_input_window(i, ib, reader_chunk);
+        if (ib.failed) {
+          err.set(ib.error);
+          break;
+        }
+        if (ib.recs.empty()) break;  // EOF
+        queues[i]->push(std::move(ib));
+        if (err.failed) break;
+      }
+      queues[i]->finish();
+    });
+  }
+
+  // the reference's single main thread: extraction + scalar assign + write
+  int64_t total = 0;
+  std::vector<InputBatch> cur(n_in);
+  std::vector<uint8_t> bc;
+  WriteScratch sc;
+  const int32_t unmatched = static_cast<int32_t>(writers_.size()) - 1;
+  bool ok = true;
+  while (ok) {
+    size_t got = 0;
+    for (size_t i = 0; i < n_in; i++) {
+      cur[i] = InputBatch();
+      if (queues[i]->pop(&cur[i])) got++;
+    }
+    if (got == 0) break;
+    if (got != n_in) {
+      err.set("FASTQ sources out of sync (refproxy)");
+      break;
+    }
+    int64_t nmax = 0;
+    for (auto& ib : cur)
+      nmax = std::max<int64_t>(nmax, ib.recs.size());
+    for (int64_t t = 0; t < nmax && ok; t++) {
+      size_t present = 0;
+      for (size_t i = 0; i < n_in; i++)
+        if (t < static_cast<int64_t>(cur[i].recs.size())) present++;
+      if (present == 0) break;
+      if (present != n_in) {
+        err.set("FASTQ sources out of sync (refproxy)");
+        ok = false;
+        break;
+      }
+      bc.clear();
+      for (size_t i = 0; i < n_in && ok; i++) {
+        const RecEntry& e = cur[i].recs[t];
+        if (static_cast<int32_t>(e.seq_len) < inputs_[i].min_len) {
+          err.set("refproxy: read had too few bases to demux");
+          ok = false;
+          break;
+        }
+        for (const SegmentDef& sd : inputs_[i].segments) {
+          if (sd.kind != 'B') continue;
+          uint32_t len = sd.length < 0 ? e.seq_len - sd.offset
+                                       : static_cast<uint32_t>(sd.length);
+          const uint8_t* p = cur[i].arena.data() + e.seq_off + sd.offset;
+          bc.insert(bc.end(), p, p + len);
+        }
+      }
+      if (!ok) break;
+      int32_t a = matcher.assign(bc.data(), static_cast<int>(bc.size()));
+      int32_t idx = a < 0 ? unmatched : a;
+      if (!write_template(cur, t, idx, sc)) {
+        ok = false;
+        break;
+      }
+      total++;
+    }
+  }
+  for (auto& q : queues) {
+    std::lock_guard<std::mutex> lk(q->mu);
+    q->done = true;
+    q->cv_push.notify_all();
+    q->cv_pop.notify_all();
+  }
+  for (auto& t : readers) t.join();
+  finish();
+  return err.failed ? -1 : total;
+}
+
+// ---------------------------------------------------------------------------
 // Independent ChaCha8Rng composition (verification-only).
 //
 // A from-scratch scalar implementation of rand_core's seed_from_u64 (PCG32
@@ -1813,6 +2034,16 @@ FQTK_API int fqtk_demux_pipe_finish(DemuxEngine* e) {
 
 FQTK_API void fqtk_demux_counts(DemuxEngine* e, int64_t* out, int64_t n) {
   e->get_counts(out, n);
+}
+
+// Reference-architecture measurement mode (see RefProxyMatcher above):
+// runs the whole demux on the host with fqtk's own pipeline shape to
+// produce a measured baseline proxy.  `barcodes` is the K whitelist rows
+// concatenated (each bc_len bytes, uppercase).
+FQTK_API int64_t fqtk_demux_refproxy_run(DemuxEngine* e,
+                                         const uint8_t* barcodes, int k,
+                                         int max_mm, int delta) {
+  return e->refproxy_run(barcodes, k, max_mm, delta, 1000);
 }
 
 FQTK_API void fqtk_demux_stats(DemuxEngine* e, double* out, int n) {

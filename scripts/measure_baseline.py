@@ -1,0 +1,124 @@
+"""Measure a Rust-fqtk baseline proxy on this host.
+
+BASELINE.json asks for a locally measured 16-thread ``fqtk demux`` baseline,
+but this image has no Rust toolchain.  This script measures the closest
+defensible proxy instead: a C++ re-creation of the reference's OWN pipeline
+architecture (``native/fqtk_io.cpp`` ``refproxy_run``; see the comment block
+there), run on the same generated dual-index paired-end dataset the
+benchmark uses:
+
+- one read-ahead thread per input, bounded 1000-record chunk queues
+  (fgoxide ``read_ahead(1000, 1000)``, demux.rs:928-934)
+- ONE main thread: segment extraction, scalar branch-and-bound barcode
+  matching with a 1M-entry memo cache (barcode_matching.rs:119-182), header
+  rewriting, record formatting into pooled writers (demux.rs:945-977)
+- remaining threads BGZF-compress at level 5 via libdeflate — the same
+  backend the reference's ``bgzf`` crate links (Cargo.lock: bgzf ->
+  libdeflater)
+
+Known deltas, all GENEROUS to the baseline (so vs_baseline is conservative):
+input decompression uses the whole-block libdeflate BGZF path (faster than
+the reference's streaming zlib-ng via flate2), and reader threads number
+one per input (the reference's nominal budget reserves only 1-2).
+
+With --threads 16 (the BASELINE.json spec) on this 4-core host the extra
+compressor threads just oversubscribe, exactly as 16-thread Rust fqtk would.
+
+Writes BASELINE_MEASURED.json at the repo root; bench.py picks it up for
+``vs_baseline``.
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--reads", type=int, default=2_000_000)
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+
+    import bench
+    from fqtk_tpu.core.read_structure import ReadStructure
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        print("native library unavailable", file=sys.stderr)
+        return 1
+
+    bench.N_READS = args.reads
+    barcodes = bench.make_whitelist(bench.K, bench.L)
+    structures = [ReadStructure.from_str(s) for s in ["8B", "100T", "100T", "9B"]]
+
+    best = 0.0
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        paths, _meta = bench.write_inputs(tmp, barcodes, n_reads=args.reads)
+        inputs = [paths["i1"], paths["r1"], paths["r2"], paths["i2"]]
+        # reference thread budget (demux.rs:893-896): 1 main + 2 readers
+        # reserved, remainder compresses
+        compressor_threads = max(1, args.threads - 3)
+        for trial in range(args.trials):
+            out_dir = tmp / f"out{trial}"
+            out_dir.mkdir()
+            engine = native_io.NativeDemuxEngine(
+                threads=compressor_threads, compression_level=5
+            )
+            try:
+                for path, rs in zip(inputs, structures):
+                    engine.add_input(
+                        str(path),
+                        str(rs),
+                        [(s.offset, s.length, s.kind.value) for s in rs],
+                    )
+                names = [f"S{i:04d}" for i in range(len(barcodes))] + ["unmatched"]
+                for name in names:
+                    engine.add_sample(
+                        [str(out_dir / f"{name}.R{i}.fq.gz") for i in (1, 2)]
+                    )
+                engine.configure(
+                    bc_len=bench.L,
+                    nocall_budget=1,
+                    skip_too_few=False,
+                    first_sample_id="S0000",
+                    first_barcode=barcodes[0],
+                    out_types="T",
+                )
+                t0 = time.perf_counter()
+                total = engine.refproxy_run(barcodes, 1, 2)
+                dt = time.perf_counter() - t0
+            finally:
+                engine.close()
+            assert total == args.reads, (total, args.reads)
+            rps = args.reads / dt
+            print(f"trial {trial}: {rps/1e6:.3f}M reads/s ({dt:.2f}s)")
+            best = max(best, rps)
+
+    out = {
+        "metric": "rust_fqtk_demux_baseline_proxy_reads_per_sec",
+        "value": round(best, 1),
+        "threads": args.threads,
+        "method": (
+            "C++ re-creation of the reference pipeline architecture "
+            "(read-ahead threads + single scalar-matcher main thread + "
+            "libdeflate BGZF writer pool), generous-to-baseline deltas "
+            "documented in scripts/measure_baseline.py"
+        ),
+        "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2",
+        "host": "bench host (shared with TPU relay)",
+    }
+    (REPO / "BASELINE_MEASURED.json").write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
