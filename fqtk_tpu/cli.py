@@ -100,6 +100,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="Compute engine: auto = C++ host I/O + JAX matcher when "
         "available (engine extension).",
     )
+    demux.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="Device-mesh size for the matcher: default all local devices "
+        "(batch-parallel; whitelist-sharded for huge sample sets), 1 forces "
+        "single-device (engine extension).",
+    )
 
     ss = sub.add_parser(
         "subsample", help="Subsamples reads from one or more synchronized FASTQ files."
@@ -179,6 +187,7 @@ def _dispatch(args) -> int:
             skip_reasons=list(args.skip_reasons),
             batch_size=args.batch_size,
             engine=args.engine,
+            devices=args.devices,
         )
         run_demux(cfg)
         return 0

@@ -67,6 +67,9 @@ def make_sharded_assign_fn(
     min_mismatch_delta: int,
     mesh,
     k_chunk: int = 16384,
+    packed_masks: bool = False,
+    compact_output: bool = False,
+    with_counts: bool = True,
 ):
     """Build the sharded demux step: ``obs[B, L] -> (assigned[B], counts[K+1])``.
 
@@ -76,6 +79,12 @@ def make_sharded_assign_fn(
     - ``assigned`` comes back sharded over ``batch``; ``counts`` (per-sample
       template totals, with unmatched in slot K) is fully reduced
       (psum over both axes) and replicated.
+
+    ``packed_masks``: input is ``[B, ceil(L/2)] uint8`` (two 4-bit IUPAC
+    masks per byte, low nibble first — the native engine's layout).
+    ``compact_output``: uint8 ``assigned`` when ``K < 255``.
+    ``with_counts=False`` returns only ``assigned`` (the product pipeline
+    counts host-side where skip/length flags are applied).
 
     The returned callable is jitted; call it with a numpy/JAX array whose
     leading dim is divisible by the batch-axis size.
@@ -111,11 +120,20 @@ def make_sharded_assign_fn(
 
     from ..ops.device_encoding import byte_is_nocall, byte_to_mask
 
+    def _obs_masks(obs_in):
+        b = obs_in.shape[0]
+        if packed_masks:
+            lo = (obs_in & 0xF).astype(jnp.int32)
+            hi = (obs_in >> 4).astype(jnp.int32)
+            interleaved = jnp.stack([lo, hi], axis=-1).reshape(b, -1)
+            return interleaved[:, :length]
+        return byte_to_mask(obs_in)
+
     def local_top2(obs_bytes, compat_local):
         """Per-device top-2 over the local K shard (chunked like the
         single-device path so [b_local, K_local] never materializes whole)."""
         b = obs_bytes.shape[0]
-        obs_masks = byte_to_mask(obs_bytes)
+        obs_masks = _obs_masks(obs_bytes)
         onehot = (
             obs_masks[:, :, None] == jnp.arange(16, dtype=jnp.int32)[None, None, :]
         ).astype(jnp.int8)
@@ -190,19 +208,26 @@ def make_sharded_assign_fn(
                 acc = merge_top2(acc, (g[0][s], g[1][s], g[2][s]))
             best, bidx, nxt = acc
 
-        nocalls = jnp.sum(byte_is_nocall(obs_bytes), axis=1)
+        if packed_masks:
+            nocalls = jnp.sum((_obs_masks(obs_bytes) == 15).astype(jnp.int32), axis=1)
+        else:
+            nocalls = jnp.sum(byte_is_nocall(obs_bytes), axis=1)
         ok = (
             (nocalls <= nocall_budget)
             & (best <= max_mismatches)
             & (nxt - best >= min_mismatch_delta)
         )
-        assigned = jnp.where(ok, bidx, k).astype(jnp.int32)
+        out_dtype = jnp.uint8 if (compact_output and k < 255) else jnp.int32
+        assigned = jnp.where(ok, bidx, k).astype(out_dtype)
+
+        if not with_counts:
+            return assigned
 
         # per-sample counts: one-hot sum over the local batch, then psum over
         # the batch axis (whitelist axis already sees identical values)
         onehot_counts = jnp.sum(
             (
-                assigned[:, None]
+                assigned.astype(jnp.int32)[:, None]
                 == jnp.arange(k + 1, dtype=jnp.int32)[None, :]
             ).astype(jnp.int32),
             axis=0,
@@ -216,7 +241,7 @@ def make_sharded_assign_fn(
         step,
         mesh=mesh,
         in_specs=(P_obs, P_compat),
-        out_specs=(P("batch"), P(None)),
+        out_specs=(P("batch"), P(None)) if with_counts else P("batch"),
     )
     jitted = jax.jit(sharded)
 

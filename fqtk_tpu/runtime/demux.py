@@ -73,6 +73,9 @@ class DemuxConfig:
     # engine extensions (not in the reference CLI)
     batch_size: int = 1 << 17
     engine: str = "auto"  # auto | jax | numpy
+    #: device count for the batch/whitelist mesh: None = all local devices
+    #: (single-device path when only one is visible), 1 = force single
+    devices: Optional[int] = None
 
 
 @dataclass
@@ -210,19 +213,56 @@ PALLAS_K_THRESHOLD = 65536
 
 
 def _make_device_assign_fn(cfg: DemuxConfig, expected: ExpectedSet):
-    """Packed-input device matcher for the native engine; huge whitelists
-    route to the fused Pallas kernel, everything else to the XLA path."""
+    """Packed-input device matcher for the native engine, as an
+    ``obs_packed[B, L/2] -> assigned[B]`` callable.
+
+    Selection policy:
+    - multiple visible devices (or ``cfg.devices > 1``): shard over a mesh —
+      huge whitelists shard K (cross-shard top-2 merge), everything else
+      shards the batch axis (pure data parallelism, no collectives).
+    - single device + huge whitelist: fused Pallas kernel.
+    - otherwise: the XLA scan path.
+    """
     import jax
 
-    use_pallas = (
-        expected.count >= PALLAS_K_THRESHOLD
-        and expected.length <= 255
-        and jax.default_backend() != "cpu"
-    )
-    if use_pallas:
+    big_k = expected.count >= PALLAS_K_THRESHOLD and expected.length <= 255
+    n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
+    n_dev = max(1, min(n_dev, jax.local_device_count()))
+    if n_dev > 1 and cfg.batch_size % n_dev != 0:
+        logger.warning(
+            "batch size %d not divisible by %d devices; using a single device",
+            cfg.batch_size,
+            n_dev,
+        )
+        n_dev = 1
+
+    if n_dev > 1:
+        from ..parallel.mesh import make_demux_mesh, make_sharded_assign_fn
+
+        if big_k:
+            mesh = make_demux_mesh(n_batch=1, n_whitelist=n_dev)
+        else:
+            mesh = make_demux_mesh(n_batch=n_dev, n_whitelist=1)
+        logger.info(
+            "device mesh: %d-way %s parallelism over %d local devices",
+            n_dev,
+            "whitelist" if big_k else "batch",
+            jax.local_device_count(),
+        )
+        return make_sharded_assign_fn(
+            expected,
+            cfg.max_mismatches,
+            cfg.min_mismatch_delta,
+            mesh,
+            packed_masks=True,
+            compact_output=True,
+            with_counts=False,
+        )
+
+    if big_k and jax.default_backend() != "cpu":
         from ..ops.pallas_matcher import make_pallas_assign_fn
 
-        return make_pallas_assign_fn(
+        fn = make_pallas_assign_fn(
             expected,
             cfg.max_mismatches,
             cfg.min_mismatch_delta,
@@ -231,15 +271,22 @@ def _make_device_assign_fn(cfg: DemuxConfig, expected: ExpectedSet):
             packed_masks=True,
             compact_output=True,
         )
-    from ..ops.matcher import make_assign_fn
+    else:
+        from ..ops.matcher import make_assign_fn
 
-    return make_assign_fn(
-        expected,
-        cfg.max_mismatches,
-        cfg.min_mismatch_delta,
-        packed_masks=True,
-        compact_output=True,
-    )
+        fn = make_assign_fn(
+            expected,
+            cfg.max_mismatches,
+            cfg.min_mismatch_delta,
+            packed_masks=True,
+            compact_output=True,
+        )
+
+    def assign(obs_packed):
+        idx, _, _ = fn(obs_packed)
+        return idx
+
+    return assign
 
 
 def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None):
@@ -329,11 +376,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
     k = expected.count
     # packed 4-bit-mask transfer + compact uint8 results: halves/quarters the
     # host<->device traffic on the hot path
-    assign_fn = _make_device_assign_fn(cfg, expected)
-
-    def assign(obs_packed):
-        idx, _, _ = assign_fn(obs_packed)
-        return idx
+    assign = _make_device_assign_fn(cfg, expected)
 
     packed_len = (bc_len + 1) // 2
 
