@@ -100,6 +100,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="Compute engine: auto = C++ host I/O + JAX matcher when "
         "available (engine extension).",
     )
+    # per-subcommand --version, as clap's #[command(version)] provides
+    demux.add_argument(
+        "--version", action="version", version=f"fqtk-tpu demux {__version__}"
+    )
     demux.add_argument(
         "--devices",
         type=int,
@@ -144,6 +148,9 @@ def _build_parser() -> argparse.ArgumentParser:
             "seed is derived from all other parameters via the reference's "
             "DefaultHasher (SipHash-1-3) derivation."
         ),
+    )
+    ss.add_argument(
+        "--version", action="version", version=f"fqtk-tpu subsample {__version__}"
     )
     ss.add_argument(
         "--disable-read-name-checking", action="store_true",

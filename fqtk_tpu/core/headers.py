@@ -14,7 +14,8 @@ Behavioral equivalent of the reference's ``ReadSet::write_header_internal``
   is already present).
 
 This module is the executable spec; the C++ fast path in ``native/`` must
-produce byte-identical output (tested in ``tests/test_native_io.py``).
+produce byte-identical output (tested in ``tests/test_headers.py`` and the
+native-vs-python fuzz in ``tests/test_fuzz_differential.py``).
 """
 
 from __future__ import annotations

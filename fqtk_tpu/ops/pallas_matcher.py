@@ -23,7 +23,6 @@ prefers the earlier tile on ties.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 

@@ -25,8 +25,7 @@ DCN across hosts).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -176,6 +176,16 @@ def validate_and_prepare(cfg: DemuxConfig):
         if not Path(inp).exists():
             errors.append(f'Provided input file "{inp}" doesn\'t exist')
 
+    # attempt to open the files for reading (collected, first failure only —
+    # the reference's Result collect short-circuits; demux.rs:843-851)
+    for inp in cfg.inputs:
+        try:
+            with open(inp, "rb"):
+                pass
+        except OSError as e:
+            errors.append(f"Error opening input files for reading: {e}")
+            break
+
     if cfg.threads < 5:
         errors.append(
             f"Threads provided {cfg.threads} was too low! Must be 5 or more."

@@ -18,13 +18,17 @@ hashing — in :mod:`fqtk_tpu.utils.siphash`.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional
 
-from ..io.fastq import BUFFER_SIZE, BgzfWriter, open_reader
+from ..io.fastq import BgzfWriter, open_reader
 
 logger = logging.getLogger("fqtk")
+
+#: reference progress cadence: one log line per 5M record sets
+#: (subsample.rs:224,277-285)
+PROGRESS_LOG_UNIT = 5_000_000
 
 
 class SubsampleError(RuntimeError):
@@ -132,14 +136,26 @@ def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResu
             cfg.output,
         )
         chunk = 1 << 16
+        log_unit = PROGRESS_LOG_UNIT
         total_read = 0
         total_kept = 0
         while True:
-            mask = (rng.random_f64_batch(chunk) < cfg.fraction).astype("uint8")
+            # never straddle a progress boundary so the 5M lines carry the
+            # exact counts the reference would log
+            until_log = log_unit - (total_read % log_unit)
+            take = min(chunk, until_log)
+            mask = (rng.random_f64_batch(take) < cfg.fraction).astype("uint8")
             consumed, kept = engine.process_chunk(mask)
             total_read += consumed
             total_kept += kept
-            if consumed < chunk:
+            if total_read and total_read % log_unit == 0 and consumed == take:
+                logger.info(
+                    "[fqtk subsample] Read %s record sets and wrote %s (%.1f%%).",
+                    fmt_count(total_read),
+                    fmt_count(total_kept),
+                    total_kept / total_read * 100.0,
+                )
+            if consumed < take:
                 break
         logger.info("Finished reading input FASTQs.")
         engine.finish()
@@ -219,7 +235,7 @@ def run_subsample(cfg: SubsampleConfig, use_native: Optional[bool] = None) -> Su
         cfg.output,
     )
 
-    log_unit = 5_000_000
+    log_unit = PROGRESS_LOG_UNIT
     num_inputs = len(sources)
     check_names = not cfg.disable_read_name_checking and num_inputs > 1
     expected_name = b""

@@ -1,9 +1,11 @@
 #!/usr/bin/env bash
-# Repo check: byte-compile, build the native engine, run the test suite.
-# (Analog of the reference's ci/check.sh: fmt + clippy + test.)
+# Repo check: lint, byte-compile, build the native engine (-Werror), run
+# the test suite.  (Analog of the reference's ci/check.sh: fmt + clippy
+# -D warnings + test.)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+python scripts/lint.py
 python -m compileall -q fqtk_tpu tests bench.py __graft_entry__.py
 make -C native
 python -m pytest tests/ -q

@@ -87,3 +87,16 @@ def test_subsample_cli_validation_error(tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "Fraction must be in [0.0, 1.0]" in err
+
+
+@pytest.mark.parametrize("sub", ["demux", "subsample"])
+def test_per_subcommand_version(sub, capsys):
+    """Each subcommand exposes --version, as clap's #[command(version)]
+    derives on the reference's Demux/Subsample structs."""
+    from fqtk_tpu import __version__
+    from fqtk_tpu.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main([sub, "--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out

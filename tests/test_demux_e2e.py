@@ -660,3 +660,24 @@ def test_out_of_sync_lists_present_headers(tmp_path, engine):
                 batch_size=3,
             )
         )
+
+
+def test_input_open_error_collected(tmp_path):
+    """An existing-but-unopenable input surfaces as the collected 'Error
+    opening input files for reading' validation error (demux.rs:843-851),
+    not a later hard failure.  (A directory is used since the suite runs as
+    root, where permission bits don't block open.)"""
+    unopenable = tmp_path / "a_directory.fq"
+    unopenable.mkdir()
+    cfg = _cfg(
+        tmp_path,
+        [unopenable],
+        ["+T"],
+        metadata(tmp_path),
+        tmp_path / "out",
+        "numpy",
+    )
+    with pytest.raises(DemuxError) as e:
+        run_demux(cfg)
+    assert "Error opening input files for reading:" in str(e.value)
+    assert "Inputs failed validation!" in str(e.value)

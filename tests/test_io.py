@@ -9,8 +9,6 @@ from fqtk_tpu.io.fastq import (
     _BGZF_EOF,
     BgzfWriter,
     FastqParseError,
-    FastqReader,
-    open_reader,
     read_fastq,
 )
 

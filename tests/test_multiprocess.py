@@ -14,8 +14,6 @@ import subprocess
 import sys
 from pathlib import Path
 
-import pytest
-
 WORKER = Path(__file__).parent / "_mp_worker.py"
 REPO = Path(__file__).parent.parent
 

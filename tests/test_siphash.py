@@ -12,8 +12,6 @@ are asserted directly.
 import subprocess
 import sys
 
-import pytest
-
 from fqtk_tpu.utils.siphash import (
     RustDefaultHasher,
     hash_path,

@@ -259,3 +259,27 @@ def test_chacha_composition_cross_validated_native():
         )
         got_f = ChaCha8Rng(seed).random_f64_batch(n)
         assert np.array_equal(got_f, expect_f), f"f64 stream diverges, seed={seed}"
+
+
+def test_native_subsample_progress_lines(tmp_path, caplog, monkeypatch):
+    """The native path emits the reference's 5M-interval progress lines with
+    exact boundary counts (subsample.rs:224,277-285); cadence shrunk for the
+    test via PROGRESS_LOG_UNIT."""
+    import gzip
+    import logging
+
+    from fqtk_tpu.runtime import subsample as ss
+
+    monkeypatch.setattr(ss, "PROGRESS_LOG_UNIT", 8)
+    p = tmp_path / "in.fq.gz"
+    with gzip.open(p, "wb") as fh:
+        for i in range(20):
+            fh.write(f"@r{i}\nACGT\n+\nIIII\n".encode())
+    with caplog.at_level(logging.INFO, logger="fqtk"):
+        res = ss.run_subsample(
+            ss.SubsampleConfig(inputs=[p], output=tmp_path / "o", fraction=1.0, seed=1)
+        )
+    assert res.total_read == 20
+    lines = [r.message for r in caplog.records if "Read 8 record sets" in r.message]
+    assert lines, caplog.text
+    assert any("Read 16 record sets" in r.message for r in caplog.records)

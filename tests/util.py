@@ -4,7 +4,7 @@ test fixtures (``/root/reference/src/bin/commands/demux.rs:1018-1093``)."""
 from pathlib import Path
 from typing import List, Sequence, Tuple
 
-from fqtk_tpu.io.fastq import FastqRecord, read_fastq
+from fqtk_tpu.io.fastq import read_fastq
 
 SAMPLE1_BARCODE = "GATTGGG"
 
