@@ -125,6 +125,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.fqtk_bigk_new.restype = ctypes.c_void_p
+    lib.fqtk_bigk_new.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.fqtk_bigk_assign.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
+    lib.fqtk_bigk_free.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_finish.restype = ctypes.c_int
     lib.fqtk_demux_finish.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_error.restype = ctypes.c_char_p
@@ -378,6 +395,58 @@ class NativeSubsampleEngine:
     def close(self) -> None:
         if self._h:
             self._lib.fqtk_subsample_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeBigKMatcher:
+    """Pigeonhole exact-candidate matcher for huge pure-ACGT whitelists
+    (see ``BigKMatcher`` in ``native/fqtk_io.cpp``).  Input is the packed
+    4-bit-mask layout the demux pipeline already produces."""
+
+    def __init__(self, barcodes, max_mismatches: int, min_delta: int,
+                 threads: int = 4):
+        lib = get_lib()
+        if lib is None:
+            raise NativeDemuxError("native library unavailable")
+        self._lib = lib
+        self._threads = threads
+        self.length = len(barcodes[0])
+        concat = "".join(b.upper() for b in barcodes).encode()
+        buf = (ctypes.c_uint8 * len(concat)).from_buffer_copy(concat)
+        self._h = lib.fqtk_bigk_new(
+            buf, len(barcodes), self.length, max_mismatches, min_delta
+        )
+        if not self._h:
+            raise NativeDemuxError(
+                "whitelist not eligible for the pigeonhole fast path "
+                "(non-ACGT barcodes, or too many parts for the length)"
+            )
+
+    def assign(self, obs_packed: np.ndarray) -> np.ndarray:
+        """obs_packed[N, ceil(L/2)] uint8 (two 4-bit masks per byte) ->
+        assigned[N] int32 with K = unmatched."""
+        obs_packed = np.ascontiguousarray(obs_packed, dtype=np.uint8)
+        n = obs_packed.shape[0]
+        out = np.empty(n, dtype=np.int32)
+        self._lib.fqtk_bigk_assign(
+            self._h,
+            obs_packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            obs_packed.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._threads,
+        )
+        return out
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fqtk_bigk_free(self._h)
             self._h = None
 
     def __del__(self):  # pragma: no cover

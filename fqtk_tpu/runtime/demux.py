@@ -222,11 +222,16 @@ def _too_few_bases_allowed(cfg: DemuxConfig) -> bool:
 PALLAS_K_THRESHOLD = 65536
 
 
-def _make_device_assign_fn(cfg: DemuxConfig, expected: ExpectedSet):
+def _make_device_assign_fn(
+    cfg: DemuxConfig, expected: ExpectedSet, barcodes=None
+):
     """Packed-input device matcher for the native engine, as an
     ``obs_packed[B, L/2] -> assigned[B]`` callable.
 
     Selection policy:
+    - huge pure-ACGT whitelist + native lib: the host pigeonhole matcher
+      (exact-candidate filtering beats brute force — even MXU brute force —
+      by orders of magnitude; see ``BigKMatcher`` in native/fqtk_io.cpp).
     - multiple visible devices (or ``cfg.devices > 1``): shard over a mesh —
       huge whitelists shard K (cross-shard top-2 merge), everything else
       shards the batch axis (pure data parallelism, no collectives).
@@ -236,6 +241,26 @@ def _make_device_assign_fn(cfg: DemuxConfig, expected: ExpectedSet):
     import jax
 
     big_k = expected.count >= PALLAS_K_THRESHOLD and expected.length <= 255
+
+    if big_k and barcodes is not None:
+        from ..io import native as native_io
+
+        if native_io.available():
+            try:
+                matcher = native_io.NativeBigKMatcher(
+                    barcodes,
+                    cfg.max_mismatches,
+                    cfg.min_mismatch_delta,
+                    threads=max(1, min(4, cfg.threads - 2)),
+                )
+                logger.info(
+                    "big-K pigeonhole host matcher selected (K=%d, %d parts)",
+                    expected.count,
+                    cfg.max_mismatches + max(cfg.min_mismatch_delta, 1),
+                )
+                return matcher.assign
+            except native_io.NativeDemuxError:
+                pass  # ineligible whitelist: fall through to device paths
     n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
     n_dev = max(1, min(n_dev, jax.local_device_count()))
     if n_dev > 1 and cfg.batch_size % n_dev != 0:
@@ -386,7 +411,9 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
     k = expected.count
     # packed 4-bit-mask transfer + compact uint8 results: halves/quarters the
     # host<->device traffic on the hot path
-    assign = _make_device_assign_fn(cfg, expected)
+    assign = _make_device_assign_fn(
+        cfg, expected, barcodes=[s.barcode for s in sample_group.samples]
+    )
 
     packed_len = (bc_len + 1) // 2
 

@@ -1685,6 +1685,240 @@ class SubsampleEngine {
 };
 
 // ---------------------------------------------------------------------------
+// Big-K pigeonhole matcher (host fast path for huge whitelists).
+//
+// For a whitelist of K pure-ACGT barcodes (e.g. 737K single-cell barcodes),
+// the brute-force [B, K] mismatch matrix is O(B*K*L) — wasteful even on an
+// MXU.  Pigeonhole: any barcode within max_mm + max(delta,1) - 1 mismatches
+// of a read must match at least one of max_mm + max(delta,1) disjoint parts
+// EXACTLY, so candidates come from part-indexed exact-match tables (CSR over
+// 2-bit-packed part values) and only candidates get a full mismatch count.
+// Exactness argument for the delta gate: every barcode with
+// mm <= max_mm + delta - 1 is a candidate, so the candidate-derived
+// (best, next) decide accept/reject identically to the full scan (a
+// non-candidate has mm >= max_mm + delta >= best + delta and can neither
+// win nor violate the delta gate).  Ties replicate the reference's strict-<
+// update (equal best counts toward next_best; lowest index wins best).
+//
+// Requires: expected barcodes strictly A/C/G/T (IUPAC-ambiguous whitelists
+// fall back to the device path — exact-match hashing is unsound for them).
+// Observed bytes canonicalize through the IUPAC mask (U == T; any
+// multi-bit/no-call mask can never exact-match a pure-ACGT part).
+// ---------------------------------------------------------------------------
+
+class BigKMatcher {
+ public:
+  // barcodes: K rows of len bytes, uppercase ACGT only (caller-checked ok_)
+  BigKMatcher(const uint8_t* barcodes, int64_t k, int len, int max_mm,
+              int delta)
+      : k_(k), len_(len), max_mm_(max_mm), delta_(delta) {
+    n_parts_ = max_mm + std::max(delta, 1);
+    if (n_parts_ > len || len > 32) {
+      ok_ = false;
+      return;
+    }
+    // 2-bit codes for the whole whitelist; reject non-ACGT
+    codes_.resize(k * len);
+    packed2_.resize(k);
+    for (int64_t s = 0; s < k; s++) {
+      uint64_t packed = 0;
+      for (int j = 0; j < len; j++) {
+        int c = base_code(barcodes[s * len + j]);
+        if (c < 0) {
+          ok_ = false;
+          return;
+        }
+        codes_[s * len + j] = static_cast<uint8_t>(c);
+        packed |= static_cast<uint64_t>(c) << (2 * j);
+      }
+      packed2_[s] = packed;
+    }
+    // part boundaries: len split as evenly as possible
+    int base = len / n_parts_, extra = len % n_parts_;
+    int off = 0;
+    for (int p = 0; p < n_parts_; p++) {
+      int plen = base + (p < extra ? 1 : 0);
+      part_off_.push_back(off);
+      part_len_.push_back(plen);
+      off += plen;
+    }
+    // CSR table per part: key = packed 2-bit part value -> barcode ids
+    tables_.resize(n_parts_);
+    for (int p = 0; p < n_parts_; p++) {
+      auto& t = tables_[p];
+      t.n_keys = 1u << (2 * part_len_[p]);
+      t.offsets.assign(t.n_keys + 1, 0);
+      std::vector<uint32_t> keys(k);
+      for (int64_t s = 0; s < k; s++) {
+        uint32_t key = 0;
+        const uint8_t* c = codes_.data() + s * len_ + part_off_[p];
+        for (int j = 0; j < part_len_[p]; j++) key = (key << 2) | c[j];
+        keys[s] = key;
+        t.offsets[key + 1]++;
+      }
+      for (size_t i = 1; i < t.offsets.size(); i++)
+        t.offsets[i] += t.offsets[i - 1];
+      t.ids.resize(k);
+      t.packs.resize(k);
+      std::vector<uint32_t> cursor(t.offsets.begin(), t.offsets.end() - 1);
+      for (int64_t s = 0; s < k; s++) {
+        uint32_t slot = cursor[keys[s]]++;
+        t.ids[slot] = static_cast<uint32_t>(s);
+        // inline the packed barcode: candidate loads stream sequentially
+        // through the bucket instead of random-accessing packed2_
+        t.packs[slot] = packed2_[s];
+      }
+    }
+  }
+
+  bool ok() const { return ok_; }
+
+  static int base_code(uint8_t b) {
+    switch (kIupac.encode[b]) {
+      case 1: return 0;   // A
+      case 2: return 1;   // C
+      case 4: return 2;   // G
+      case 8: return 3;   // T (and U)
+      default: return -1; // ambiguous / no-call: cannot exact-match ACGT
+    }
+  }
+
+  // obs: packed 4-bit IUPAC masks, 2 per byte (the pipeline's device
+  // layout); row r at obs + r*stride.  Writes assigned[r] in [0, k] (k =
+  // unmatched).  Parallelized over rows.
+  void assign_batch(const uint8_t* obs, int64_t n, int64_t stride,
+                    int32_t* assigned, int n_threads) {
+    n_threads = std::max(1, n_threads);
+    std::vector<std::thread> ts;
+    int64_t per = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * per, hi = std::min(n, lo + per);
+      if (lo >= hi) break;
+      ts.emplace_back([this, obs, stride, assigned, lo, hi] {
+        for (int64_t r = lo; r < hi; r++)
+          assigned[r] = assign_one(obs + r * stride);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+
+  // Duplicate candidates (a barcode exact-matching several parts) are
+  // PROVABLY harmless without dedup except when the duplicate is the
+  // current best (its re-arrival with mm == best would count itself as its
+  // own runner-up): the first processing establishes best <= mm and
+  // next <= mm, and all update paths use strict <, so re-arrivals cannot
+  // update anything — except the mm == best path, guarded by the id check.
+  // This removes the visited-stamp array (a [K] random-access cache killer).
+  int32_t assign_one(const uint8_t* row) {
+    // unpack nibbles -> masks; canonical 2-bit codes (or -1) + no-call count
+    uint8_t masks[32];
+    int8_t codes[32];
+    int nocalls = 0;
+    bool pure = true;
+    uint64_t obs2 = 0;  // 2-bit packed observed codes (valid when pure)
+    for (int j = 0; j < len_; j++) {
+      uint8_t m = (j & 1) ? (row[j >> 1] >> 4) : (row[j >> 1] & 0xF);
+      masks[j] = m;
+      nocalls += (m == 15);
+      int8_t c;
+      switch (m) {
+        case 1: c = 0; break;
+        case 2: c = 1; break;
+        case 4: c = 2; break;
+        case 8: c = 3; break;
+        default: c = -1; pure = false; break;
+      }
+      codes[j] = c;
+      if (c >= 0) obs2 |= static_cast<uint64_t>(c) << (2 * j);
+    }
+    // no-call prefilter (max_ns_in_barcodes == 0: whitelist is pure ACGT)
+    if (nocalls > max_mm_) return static_cast<int32_t>(k_);
+
+    const int cap = max_mm_ + std::max(delta_, 1);  // counts >= cap are moot
+    int best = 256, next = 256;
+    int64_t best_id = k_;
+    for (int p = 0; p < n_parts_; p++) {
+      uint32_t key = 0;
+      bool eligible = true;
+      const int off = part_off_[p], plen = part_len_[p];
+      for (int j = 0; j < plen && eligible; j++) {
+        int8_t c = codes[off + j];
+        if (c < 0)
+          eligible = false;
+        else
+          key = (key << 2) | static_cast<uint32_t>(c);
+      }
+      if (!eligible) continue;
+      const auto& t = tables_[p];
+      const uint32_t lo = t.offsets[key], hi = t.offsets[key + 1];
+      if (pure) {
+        // hot path: XOR of 2-bit-packed codes; a position mismatches iff
+        // either of its 2 bits differs -> fold pairs, popcount
+        for (uint32_t i = lo; i < hi; i++) {
+          const uint32_t id = t.ids[i];
+          const uint64_t x = obs2 ^ t.packs[i];
+          const uint64_t y = (x | (x >> 1)) & 0x5555555555555555ull;
+          const int mm = __builtin_popcountll(y);
+          if (mm > cap) continue;
+          if (mm < best) {
+            next = best;
+            best = mm;
+            best_id = id;
+          } else if (mm == best) {
+            if (id == best_id) continue;  // duplicate of current best
+            // strict-< reference update: equal best feeds next_best; the
+            // lower index keeps best (order-independent via min)
+            next = best;
+            best_id = std::min<int64_t>(best_id, id);
+          } else if (mm < next) {
+            next = mm;
+          }
+        }
+      } else {
+        // rare path (IUPAC/no-call bytes in the read): per-position masks
+        for (uint32_t i = lo; i < hi; i++) {
+          const uint32_t id = t.ids[i];
+          const uint8_t* exp = codes_.data() + static_cast<int64_t>(id) * len_;
+          int mm = 0;
+          for (int j = 0; j < len_ && mm <= cap; j++)
+            mm += (masks[j] & ~(1u << exp[j])) != 0;
+          if (mm > cap) continue;
+          if (mm < best) {
+            next = best;
+            best = mm;
+            best_id = id;
+          } else if (mm == best) {
+            if (id == best_id) continue;
+            next = best;
+            best_id = std::min<int64_t>(best_id, id);
+          } else if (mm < next) {
+            next = mm;
+          }
+        }
+      }
+    }
+    if (best > max_mm_) return static_cast<int32_t>(k_);
+    if (next - best < delta_) return static_cast<int32_t>(k_);
+    return static_cast<int32_t>(best_id);
+  }
+
+ private:
+  struct CsrTable {
+    uint32_t n_keys = 0;
+    std::vector<uint32_t> offsets;
+    std::vector<uint32_t> ids;
+    std::vector<uint64_t> packs;  // packed2_ of ids, bucket-ordered
+  };
+  int64_t k_;
+  int len_, max_mm_, delta_, n_parts_ = 0;
+  bool ok_ = true;
+  std::vector<uint8_t> codes_;    // [K, L] 2-bit codes
+  std::vector<uint64_t> packed2_; // [K] 2-bit-packed codes (hot-path XOR)
+  std::vector<int> part_off_, part_len_;
+  std::vector<CsrTable> tables_;
+};
+
+// ---------------------------------------------------------------------------
 // Reference-architecture baseline proxy.
 //
 // A faithful re-creation of fqtk's OWN pipeline shape (SURVEY.md §2c /
@@ -2035,6 +2269,26 @@ FQTK_API int fqtk_demux_pipe_finish(DemuxEngine* e) {
 FQTK_API void fqtk_demux_counts(DemuxEngine* e, int64_t* out, int64_t n) {
   e->get_counts(out, n);
 }
+
+// ---- big-K pigeonhole matcher ----
+
+FQTK_API BigKMatcher* fqtk_bigk_new(const uint8_t* barcodes, int64_t k,
+                                    int len, int max_mm, int delta) {
+  auto* m = new BigKMatcher(barcodes, k, len, max_mm, delta);
+  if (!m->ok()) {
+    delete m;
+    return nullptr;
+  }
+  return m;
+}
+
+FQTK_API void fqtk_bigk_assign(BigKMatcher* m, const uint8_t* obs_packed,
+                               int64_t n, int64_t stride, int32_t* out,
+                               int n_threads) {
+  m->assign_batch(obs_packed, n, stride, out, n_threads);
+}
+
+FQTK_API void fqtk_bigk_free(BigKMatcher* m) { delete m; }
 
 // Reference-architecture measurement mode (see RefProxyMatcher above):
 // runs the whole demux on the host with fqtk's own pipeline shape to

@@ -1,0 +1,160 @@
+"""Big-K pigeonhole matcher: differential fuzz vs the NumPy executable spec.
+
+The C++ ``BigKMatcher`` (exact-candidate filtering over part-indexed CSR
+tables) must agree with ``assign_batch_np`` — the validated spec of the
+reference's ``BarcodeMatcher::assign`` — on every read, including ties,
+no-calls, IUPAC observed bases, and U/lowercase canonicalization.
+"""
+
+import numpy as np
+import pytest
+
+from fqtk_tpu.core.encoding import ENCODE_LUT
+from fqtk_tpu.io import native as native_io
+from fqtk_tpu.ops.matcher import ExpectedSet, assign_batch_np
+
+pytestmark = pytest.mark.skipif(
+    not native_io.available(), reason="native library unavailable"
+)
+
+
+def _pack(obs: np.ndarray) -> np.ndarray:
+    masks = ENCODE_LUT[obs].astype(np.uint8)
+    n, length = masks.shape
+    if length % 2:
+        masks = np.concatenate(
+            [masks, np.zeros((n, 1), dtype=np.uint8)], axis=1
+        )
+    return (masks[:, 0::2] | (masks[:, 1::2] << 4)).astype(np.uint8)
+
+
+def _whitelist(rng, k, length):
+    out, seen = [], set()
+    while len(out) < k:
+        b = "".join(rng.choice(list("ACGT"), size=length))
+        if b not in seen:
+            seen.add(b)
+            out.append(b)
+    return out
+
+
+@pytest.mark.parametrize(
+    "max_mm,delta,length,k",
+    [(1, 2, 16, 300), (0, 2, 12, 200), (2, 1, 17, 257), (1, 0, 10, 64), (2, 3, 16, 128)],
+)
+def test_bigk_matches_numpy_spec(max_mm, delta, length, k):
+    rng = np.random.default_rng(100 + max_mm * 10 + delta)
+    barcodes = _whitelist(rng, k, length)
+    expected = ExpectedSet.from_barcodes(barcodes)
+    m = native_io.NativeBigKMatcher(barcodes, max_mm, delta, threads=3)
+
+    n = 4000
+    obs_rows = []
+    weird = np.frombuffer(b"NRYacgtU.", dtype=np.uint8)
+    for i in range(n):
+        base = list(barcodes[int(rng.integers(0, k))].encode())
+        n_mut = int(rng.integers(0, max_mm + delta + 2))
+        for _ in range(n_mut):
+            pos = int(rng.integers(0, length))
+            if rng.integers(0, 3) == 0:
+                base[pos] = int(weird[int(rng.integers(0, len(weird)))])
+            else:
+                base[pos] = ord("ACGT"[int(rng.integers(0, 4))])
+        obs_rows.append(bytes(base))
+    obs = np.frombuffer(b"".join(obs_rows), dtype=np.uint8).reshape(n, length)
+
+    got = m.assign(_pack(obs))
+    want, _, _ = assign_batch_np(obs, expected, max_mm, delta)
+    want = np.where(want < 0, k, want).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+    m.close()
+
+
+def test_bigk_tie_break_first_index():
+    # two barcodes equidistant from the read: strict-< semantics reject via
+    # the delta gate; with delta=0 the LOWER index wins
+    barcodes = ["AAAAAAAA", "AAAAAAAT", "TTTTTTTT"]
+    obs = np.frombuffer(b"AAAAAAAC", dtype=np.uint8).reshape(1, 8)
+    m = native_io.NativeBigKMatcher(barcodes, 1, 0, threads=1)
+    got = m.assign(_pack(obs))
+    assert got[0] == 0  # both idx 0 and 1 at mm=1; first index wins
+    m.close()
+    m2 = native_io.NativeBigKMatcher(barcodes, 1, 1, threads=1)
+    got2 = m2.assign(_pack(obs))
+    assert got2[0] == 3  # delta gate: next - best == 0 < 1 -> unmatched
+    m2.close()
+
+
+def test_bigk_nocall_prefilter():
+    barcodes = ["ACGTACGT", "TGCATGCA"]
+    m = native_io.NativeBigKMatcher(barcodes, 1, 2, threads=1)
+    obs = np.frombuffer(b"NNGTACGT", dtype=np.uint8).reshape(1, 8)
+    # 2 no-calls > max_mm + max_ns(0) -> unmatched even though mm would be 2
+    assert m.assign(_pack(obs))[0] == 2
+    obs1 = np.frombuffer(b"NCGTACGT", dtype=np.uint8).reshape(1, 8)
+    assert m.assign(_pack(obs1))[0] == 0  # 1 no-call allowed, mm=1
+    m.close()
+
+
+def test_bigk_rejects_iupac_whitelist():
+    with pytest.raises(native_io.NativeDemuxError):
+        native_io.NativeBigKMatcher(["ACGN", "ACGT"], 1, 2)
+
+
+def test_bigk_u_matches_t():
+    barcodes = ["ACGTACGT", "GGGGCCCC"]
+    m = native_io.NativeBigKMatcher(barcodes, 0, 2, threads=1)
+    obs = np.frombuffer(b"ACGUACGU", dtype=np.uint8).reshape(1, 8)
+    assert m.assign(_pack(obs))[0] == 0  # U encodes as T: exact match
+    m.close()
+
+
+def test_pigeonhole_selected_in_driver_matches_numpy_engine(tmp_path, monkeypatch):
+    """Lower the big-K threshold so run_demux auto-selects the pigeonhole
+    matcher, and verify byte-identical outputs vs the numpy engine."""
+    import gzip
+
+    from fqtk_tpu.runtime import demux as demux_mod
+    from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+    monkeypatch.setattr(demux_mod, "PALLAS_K_THRESHOLD", 16)
+    rng = np.random.default_rng(3)
+    barcodes = _whitelist(rng, 48, 12)
+    meta = tmp_path / "metadata.tsv"
+    meta.write_text(
+        "sample_id\tbarcode\n"
+        + "".join(f"S{i:03d}\t{b}\n" for i, b in enumerate(barcodes))
+    )
+    i1 = tmp_path / "in.fq.gz"
+    with gzip.open(i1, "wb") as fh:
+        for r in range(150):
+            bc = list(barcodes[int(rng.integers(0, 48))])
+            if rng.integers(0, 3) == 0:
+                bc[int(rng.integers(0, 12))] = "ACGTN"[int(rng.integers(0, 5))]
+            fh.write(
+                b"@q%d 1:N:0:0\n%sACGTAC\n+\n%s\n"
+                % (r, "".join(bc).encode(), b"I" * 18)
+            )
+
+    def cfg(out, engine, devices=1):
+        return DemuxConfig(
+            inputs=[i1],
+            read_structures=["12B+T"],
+            sample_metadata=meta,
+            output=tmp_path / out,
+            batch_size=32,
+            engine=engine,
+            devices=devices,
+        )
+
+    res_n = run_demux(cfg("out_native", "native"))
+    monkeypatch.setattr(demux_mod, "PALLAS_K_THRESHOLD", 1 << 30)
+    res_p = run_demux(cfg("out_numpy", "numpy"))
+    assert res_n.total_templates == res_p.total_templates == 150
+    for p in sorted((tmp_path / "out_numpy").glob("*.fq.gz")):
+        a = gzip.decompress(p.read_bytes())
+        b = gzip.decompress((tmp_path / "out_native" / p.name).read_bytes())
+        assert a == b, p.name
+    assert (tmp_path / "out_native" / "demux-metrics.txt").read_text() == (
+        tmp_path / "out_numpy" / "demux-metrics.txt"
+    ).read_text()
