@@ -2,27 +2,35 @@
 
 Headline: end-to-end ``demux`` reads/sec on the dual-index paired-end config
 (BASELINE.json config #2: I1+I2+R1+R2, 8B+9B, 96 samples, max-mismatches=1,
-min-delta=2) with the native engine (C++ host I/O + JAX/XLA matcher),
-measured on this machine's default JAX backend (the real TPU chip under the
-driver).  Also reports the device-side assignment-kernel throughput.
+min-delta=2) with the native engine (C++ pipelined host I/O + JAX/XLA
+matcher), measured on this machine's default JAX backend (the real TPU chip
+under the driver).  The ``configs`` array additionally covers every
+BASELINE.md benchmark config:
 
-Methodology notes:
-- A warmup pass with identical program shapes runs first so cold XLA
-  compiles (1-2 min via the axon remote-compile relay) are excluded; the
-  persistent compilation cache is enabled as well.
+1. single-end inline index (17B+T, 16 samples, 0 mismatches)
+2. dual-index paired-end (the headline)
+3. IUPAC/N expected barcodes (same program shape as #1 — the whitelist is a
+   runtime argument, so no extra XLA compile)
+4. single-cell 16B-style 737K-barcode whitelist — matcher-level (a 737K-
+   sample demux e2e is impossible for ANY implementation: fd limits), the
+   product's pigeonhole path vs the reference-architecture scalar matcher
+5. variable-length ``+`` read structures, paired-end (same compiled shape
+   as #2)
+
+Each e2e config reports ``vs_config_baseline`` against the measured
+reference-architecture proxy run ON THE SAME INPUTS (scripts/
+measure_baseline.py documents the proxy and its generous-to-baseline
+deltas).  Methodology notes:
+
+- A warmup pass per program shape runs first so cold XLA compiles (1-2 min
+  via the axon remote-compile relay) are excluded; the persistent
+  compilation cache is enabled as well.
 - Kernel timing rotates between distinct device inputs: the axon relay
   memoizes executions on identical buffers, which otherwise inflates
   numbers ~1000x.
-
-``vs_baseline``: the reference publishes no numbers (BASELINE.md) and this
-image has no Rust toolchain, so the ratio is computed against the MEASURED
-reference-architecture proxy in ``BASELINE_MEASURED.json`` (produced by
-``scripts/measure_baseline.py``: a C++ re-creation of fqtk's own pipeline
-shape — read-ahead threads, single scalar-matcher main thread, libdeflate
-BGZF pool — with all deltas generous to the baseline).  Falls back to a
-documented 1.5M reads/s estimate if the measurement is absent.
 """
 
+import ctypes
 import json
 import sys
 import tempfile
@@ -32,6 +40,15 @@ from pathlib import Path
 import numpy as np
 
 RUST_BASELINE_READS_PER_SEC_ESTIMATE = 1.5e6
+
+N_READS = 2_000_000
+N_READS_SECONDARY = 1_000_000
+WARMUP_READS = 2_000
+K = 96
+BC1, BC2 = 8, 9
+L = BC1 + BC2
+TEMPLATE_LEN = 100
+BATCH = 1 << 17
 
 
 def rust_baseline() -> tuple:
@@ -49,53 +66,52 @@ def rust_baseline() -> tuple:
         "toolchain in image)"
     )
 
-N_READS = 2_000_000
-WARMUP_READS = 2_000
-K = 96
-BC1, BC2 = 8, 9
-L = BC1 + BC2
-TEMPLATE_LEN = 100
-BATCH = 1 << 17
 
-
-def make_whitelist(k, length):
-    rng = np.random.default_rng(7)
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+def make_whitelist(k, length, seed=7, alphabet="ACGT"):
+    rng = np.random.default_rng(seed)
     out, seen = [], set()
     while len(out) < k:
-        bc = bytes(rng.choice(bases, size=length))
+        bc = "".join(rng.choice(list(alphabet), size=length))
         if bc not in seen:
             seen.add(bc)
-            out.append(bc.decode())
+            out.append(bc)
     return out
 
 
-def write_inputs(tmp: Path, barcodes, n_reads=N_READS, name=""):
-    """Inputs are BGZF-compressed — the reference's documented input
-    workflow (`... | bgzip -c > s_R1.fq.gz`, fqtk README)."""
+def _writers(paths):
     import gzip
 
     from fqtk_tpu.io import native as native_io
 
-    rng = np.random.default_rng(11)
-    meta = tmp / "metadata.tsv"
+    if native_io.available():
+        return {
+            n: native_io.NativeBgzfWriter(p, 1, threads=3)
+            for n, p in paths.items()
+        }
+    return {n: gzip.open(p, "wb", compresslevel=1) for n, p in paths.items()}  # pragma: no cover
+
+
+def write_metadata(tmp, barcodes, name="metadata.tsv"):
+    meta = tmp / name
     with open(meta, "w") as fh:
         fh.write("sample_id\tbarcode\n")
         for i, b in enumerate(barcodes):
             fh.write(f"S{i:04d}\t{b}\n")
+    return meta
+
+
+def write_inputs(tmp: Path, barcodes, n_reads=N_READS, name=""):
+    """Dual-index PE inputs (headline config).  BGZF-compressed — the
+    reference's documented input workflow (``... | bgzip -c``)."""
+    rng = np.random.default_rng(11)
+    meta = write_metadata(tmp, barcodes, f"{name}metadata.tsv")
     choices = rng.integers(0, K, size=n_reads)
     mism = rng.integers(0, 10, size=n_reads) == 0
     tmpl = ("ACGT" * 25).encode()
     qual = b"I" * TEMPLATE_LEN
     qb1, qb2 = b"I" * BC1, b"I" * BC2
     paths = {n: tmp / f"{name}{n}.fq.gz" for n in ("i1", "r1", "r2", "i2")}
-    if native_io.available():
-        fhs = {
-            n: native_io.NativeBgzfWriter(p, 1, threads=3)
-            for n, p in paths.items()
-        }
-    else:  # pragma: no cover
-        fhs = {n: gzip.open(p, "wb", compresslevel=1) for n, p in paths.items()}
+    fhs = _writers(paths)
     heads = [b"@inst:1:AB:1:2:%d:3 1:N:0:0" % i for i in range(n_reads)]
     bcs = [barcodes[c].encode() for c in range(K)]
     chunk = 100_000
@@ -121,6 +137,32 @@ def write_inputs(tmp: Path, barcodes, n_reads=N_READS, name=""):
     return paths, meta
 
 
+def write_single_end_inputs(tmp, barcodes, n_reads, name, var_template=False):
+    """One FASTQ with an inline index: ``{L}B`` + template (config #1/#3);
+    ``var_template=True`` varies template length (config #5 inputs)."""
+    rng = np.random.default_rng(13)
+    length = len(barcodes[0])
+    choices = rng.integers(0, len(barcodes), size=n_reads)
+    path = tmp / f"{name}.fq.gz"
+    fh = _writers({"x": path})["x"]
+    tmpl_full = ("ACGT" * 40).encode()
+    chunk = 100_000
+    for lo in range(0, n_reads, chunk):
+        hi = min(lo + chunk, n_reads)
+        parts = []
+        for i in range(lo, hi):
+            bc = barcodes[choices[i]].encode()
+            tl = 100 if not var_template else 60 + (i % 81)
+            seq = bc + tmpl_full[:tl]
+            parts.append(
+                b"@inst:1:AB:1:2:%d:3 1:N:0:0\n%s\n+\n%s\n"
+                % (i, seq, b"I" * len(seq))
+            )
+        fh.write(b"".join(parts))
+    fh.close()
+    return path, length
+
+
 def bench_kernel(barcodes):
     """Device-side assignment throughput (reads/s) on resident data,
     rotating inputs to defeat relay-level execution memoization."""
@@ -134,8 +176,6 @@ def bench_kernel(barcodes):
     iters = 5
     rng = np.random.default_rng(3)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    # every timed call gets a DISTINCT input buffer: the axon relay memoizes
-    # repeat executions on identical inputs, which inflates rates ~100x
     inputs = [
         jax.device_put(rng.choice(bases, size=(batch, L)).astype(np.uint8))
         for _ in range(iters)
@@ -145,8 +185,6 @@ def bench_kernel(barcodes):
     warm = jax.device_put(rng.choice(bases, size=(batch, L)).astype(np.uint8))
     int(jnp.sum(assign(warm)[0]))  # compile + warm
     del warm
-    # force completion per call via an on-device reduction fetch; plain
-    # block_until_ready returns before remote execution completes here
     t0 = time.perf_counter()
     for i in range(iters):
         _ = int(jnp.sum(assign(inputs[i])[0]))
@@ -154,42 +192,171 @@ def bench_kernel(barcodes):
     return batch * iters / dt
 
 
-def _demux_cfg(paths, meta, out_dir):
+def _demux_cfg(inputs, structures, meta, out_dir, max_mm=1, delta=2):
     from fqtk_tpu.runtime.demux import DemuxConfig
 
     return DemuxConfig(
-        inputs=[paths["i1"], paths["r1"], paths["r2"], paths["i2"]],
-        read_structures=["8B", "100T", "100T", "9B"],
+        inputs=list(inputs),
+        read_structures=list(structures),
         sample_metadata=meta,
         output=out_dir,
-        max_mismatches=1,
-        min_mismatch_delta=2,
+        max_mismatches=max_mm,
+        min_mismatch_delta=delta,
         batch_size=BATCH,
         engine="auto",
     )
 
 
-def bench_e2e(tmp: Path, barcodes):
+def run_e2e(tmp, inputs, structures, meta, n_reads, tag, trials=2,
+            max_mm=1, delta=2, warm_inputs=None):
+    """Best-of-N e2e run; returns (reads_per_sec, timings of best)."""
     from fqtk_tpu.runtime.demux import run_demux
 
-    # warmup: identical program shapes, tiny input -> pays the cold compile
-    wpaths, wmeta = write_inputs(tmp, barcodes, n_reads=WARMUP_READS, name="w_")
-    run_demux(_demux_cfg(wpaths, wmeta, tmp / "warm_out"))
-
-    paths, meta = write_inputs(tmp, barcodes, n_reads=N_READS)
-    # best of 3: the 4-core bench host is shared with the TPU relay daemon,
-    # giving +-30% run-to-run variance
-    best = 0.0
-    best_timings = {}
-    for trial in range(3):
+    if warm_inputs is not None:
+        run_demux(
+            _demux_cfg(
+                warm_inputs, structures, meta, tmp / f"warm_{tag}",
+                max_mm=max_mm, delta=delta,
+            )
+        )
+    best, best_t = 0.0, {}
+    for trial in range(trials):
         t0 = time.perf_counter()
-        result = run_demux(_demux_cfg(paths, meta, tmp / f"out{trial}"))
+        result = run_demux(
+            _demux_cfg(
+                inputs, structures, meta, tmp / f"out_{tag}{trial}",
+                max_mm=max_mm, delta=delta,
+            )
+        )
         dt = time.perf_counter() - t0
-        assert result.total_templates == N_READS
-        if N_READS / dt > best:
-            best = N_READS / dt
-            best_timings = {k: round(v, 3) for k, v in result.timings.items()}
-    return best, best_timings
+        assert result.total_templates == n_reads, (result.total_templates, n_reads)
+        if n_reads / dt > best:
+            best = n_reads / dt
+            best_t = {k: round(v, 3) for k, v in result.timings.items()}
+    return best, best_t
+
+
+def run_refproxy(tmp, inputs, structures, barcodes, n_reads, tag,
+                 max_mm=1, delta=2, trials=2, threads=16):
+    """Reference-architecture proxy on the same inputs; best-of-N reads/s."""
+    from fqtk_tpu.core.read_structure import ReadStructure
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        return None
+    rss = [ReadStructure.from_str(s) for s in structures]
+    bc_len = len(barcodes[0])
+    best = 0.0
+    for trial in range(trials):
+        out_dir = tmp / f"proxy_{tag}{trial}"
+        out_dir.mkdir()
+        engine = native_io.NativeDemuxEngine(
+            threads=max(1, threads - 3), compression_level=5
+        )
+        try:
+            for path, rs in zip(inputs, rss):
+                engine.add_input(
+                    str(path),
+                    str(rs),
+                    [(s.offset, s.length, s.kind.value) for s in rs],
+                )
+            from fqtk_tpu.core.read_structure import SegmentType
+
+            n_t = sum(len(rs.segments_by_type(SegmentType.Template)) for rs in rss)
+            names = [f"S{i:04d}" for i in range(len(barcodes))] + ["unmatched"]
+            for name in names:
+                engine.add_sample(
+                    [str(out_dir / f"{name}.R{i}.fq.gz") for i in range(1, n_t + 1)]
+                )
+            engine.configure(
+                bc_len=bc_len,
+                nocall_budget=max_mm,
+                skip_too_few=False,
+                first_sample_id="S0000",
+                first_barcode=barcodes[0],
+                out_types="T",
+            )
+            t0 = time.perf_counter()
+            total = engine.refproxy_run(barcodes, max_mm, delta)
+            dt = time.perf_counter() - t0
+        finally:
+            engine.close()
+        assert total == n_reads, (total, n_reads)
+        best = max(best, n_reads / dt)
+    return best
+
+
+def bench_bigk_config():
+    """Config #4: 737K-barcode whitelist, matcher-level (see module doc)."""
+    from fqtk_tpu.core.encoding import ENCODE_LUT
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        return None
+    rng = np.random.default_rng(1)
+    k, length = 737_280, 16
+    vals = rng.choice(
+        np.iinfo(np.uint32).max, size=k + 1000, replace=False
+    )[:k].astype(np.uint32)
+    codes = np.zeros((k, length), dtype=np.uint8)
+    v = vals.copy()
+    for j in range(length):
+        codes[:, j] = v & 3
+        v >>= 2
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    bc_bytes = letters[codes]
+    barcodes = [bytes(r).decode() for r in bc_bytes]
+
+    b = 1 << 17
+    choice = rng.integers(0, k, size=b)
+    obs = bc_bytes[choice].copy()
+    mut = rng.integers(0, 10, size=b) == 0
+    pos = rng.integers(0, length, size=b)
+    obs[mut, pos[mut]] = letters[rng.integers(0, 4, size=int(mut.sum()))]
+    masks = ENCODE_LUT[obs].astype(np.uint8)
+    packed = (masks[:, 0::2] | (masks[:, 1::2] << 4)).astype(np.uint8)
+
+    # product path: pigeonhole matcher (auto-selected for K >= 65536)
+    m = native_io.NativeBigKMatcher(barcodes, 1, 2, threads=4)
+    m.assign(packed[:1024])  # warm
+    t0 = time.perf_counter()
+    out = m.assign(packed)
+    dt = time.perf_counter() - t0
+    pigeonhole_rps = b / dt
+    matched = float((out < k).mean())
+    m.close()
+
+    # baseline proxy: the reference's scalar branch-and-bound + cache
+    lib = native_io.get_lib()
+    lib.fqtk_refproxy_matcher_bench.restype = ctypes.c_double
+    lib.fqtk_refproxy_matcher_bench.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    concat = b"".join(bc_bytes[i].tobytes() for i in range(k))
+    cbuf = (ctypes.c_uint8 * len(concat)).from_buffer_copy(concat)
+    n_proxy = 2000  # scalar scan is slow; extrapolating from 2K reads
+    obs_c = np.ascontiguousarray(obs[:n_proxy])
+    proxy_rps = float(
+        lib.fqtk_refproxy_matcher_bench(
+            cbuf, k, length, 1, 2,
+            obs_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_proxy,
+        )
+    )
+    return {
+        "name": "single_cell_737K_whitelist_16B",
+        "level": "matcher",
+        "reads_per_sec": round(pigeonhole_rps, 1),
+        "engine": "pigeonhole (product auto-path for K>=65536)",
+        "matched_frac": round(matched, 4),
+        "proxy_reads_per_sec": round(proxy_rps, 1),
+        "vs_config_baseline": round(pigeonhole_rps / proxy_rps, 1)
+        if proxy_rps > 0
+        else None,
+        "note": "737K-sample demux e2e impossible for any implementation "
+        "(fd limits); both sides measured matcher-level on identical reads",
+    }
 
 
 def main():
@@ -198,9 +365,114 @@ def main():
     enable_compilation_cache()
     barcodes = make_whitelist(K, L)
     kernel_rps = bench_kernel(barcodes)
+    configs = []
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
-        e2e_rps, stage_timings = bench_e2e(tmp, barcodes)
+
+        # ---- headline: dual-index PE, 96 samples ----
+        wpaths, wmeta = write_inputs(tmp, barcodes, n_reads=WARMUP_READS, name="w_")
+        paths, meta = write_inputs(tmp, barcodes, n_reads=N_READS)
+        di_inputs = [paths["i1"], paths["r1"], paths["r2"], paths["i2"]]
+        di_structs = ["8B", "100T", "100T", "9B"]
+        e2e_rps, stage_timings = run_e2e(
+            tmp, di_inputs, di_structs, meta, N_READS, "headline", trials=3,
+            warm_inputs=[wpaths["i1"], wpaths["r1"], wpaths["r2"], wpaths["i2"]],
+        )
+        proxy_di = run_refproxy(
+            tmp, di_inputs, di_structs, barcodes, N_READS, "headline"
+        )
+        configs.append(
+            {
+                "name": "dual_index_PE_96samples_8B9B_mm1_d2",
+                "level": "e2e",
+                "reads_per_sec": round(e2e_rps, 1),
+                "proxy_reads_per_sec": round(proxy_di, 1) if proxy_di else None,
+                "vs_config_baseline": round(e2e_rps / proxy_di, 2) if proxy_di else None,
+            }
+        )
+
+        # ---- config 1: single-end inline 17B+T, 16 samples, mm=0 ----
+        se_bcs = make_whitelist(16, 17, seed=21)
+        se_meta = write_metadata(tmp, se_bcs, "se_meta.tsv")
+        wse, _ = write_single_end_inputs(tmp, se_bcs, WARMUP_READS, "w_se")
+        se_path, _ = write_single_end_inputs(tmp, se_bcs, N_READS_SECONDARY, "se")
+        se_rps, _t = run_e2e(
+            tmp, [se_path], ["17B+T"], se_meta, N_READS_SECONDARY, "se",
+            max_mm=0, delta=2, warm_inputs=[wse],
+        )
+        proxy_se = run_refproxy(
+            tmp, [se_path], ["17B+T"], se_bcs, N_READS_SECONDARY, "se",
+            max_mm=0, delta=2,
+        )
+        configs.append(
+            {
+                "name": "single_end_inline_17B+T_16samples_mm0",
+                "level": "e2e",
+                "reads_per_sec": round(se_rps, 1),
+                "proxy_reads_per_sec": round(proxy_se, 1) if proxy_se else None,
+                "vs_config_baseline": round(se_rps / proxy_se, 2) if proxy_se else None,
+            }
+        )
+
+        # ---- config 3: IUPAC/N expected barcodes (same shape as #1) ----
+        iupac_bcs = make_whitelist(16, 17, seed=23)
+        iupac_bcs = [
+            b[:4] + "N" + b[5:10] + "RY"[i % 2] + b[11:] for i, b in enumerate(iupac_bcs)
+        ]
+        iu_meta = write_metadata(tmp, iupac_bcs, "iu_meta.tsv")
+        iu_reads = [b.replace("N", "A").replace("R", "G").replace("Y", "C")
+                    for b in iupac_bcs]
+        iu_path, _ = write_single_end_inputs(tmp, iu_reads, N_READS_SECONDARY, "iu")
+        iu_rps, _t = run_e2e(
+            tmp, [iu_path], ["17B+T"], iu_meta, N_READS_SECONDARY, "iu",
+            max_mm=1, delta=2,
+        )
+        proxy_iu = run_refproxy(
+            tmp, [iu_path], ["17B+T"], iupac_bcs, N_READS_SECONDARY, "iu",
+            max_mm=1, delta=2,
+        )
+        configs.append(
+            {
+                "name": "iupac_N_expected_barcodes_17B+T_16samples",
+                "level": "e2e",
+                "reads_per_sec": round(iu_rps, 1),
+                "proxy_reads_per_sec": round(proxy_iu, 1) if proxy_iu else None,
+                "vs_config_baseline": round(iu_rps / proxy_iu, 2) if proxy_iu else None,
+            }
+        )
+
+        # ---- config 5: variable-length '+' structures, PE (headline shape) ----
+        v1, _ = write_single_end_inputs(
+            tmp, [b[:BC1] for b in barcodes], N_READS_SECONDARY, "v1",
+            var_template=True,
+        )
+        v2, _ = write_single_end_inputs(
+            tmp, [b[BC1:] for b in barcodes], N_READS_SECONDARY, "v2",
+            var_template=True,
+        )
+        var_rps, _t = run_e2e(
+            tmp, [v1, v2], ["8B+T", "9B+T"], meta, N_READS_SECONDARY, "var",
+        )
+        proxy_var = run_refproxy(
+            tmp, [v1, v2], ["8B+T", "9B+T"], barcodes, N_READS_SECONDARY, "var",
+        )
+        configs.append(
+            {
+                "name": "variable_length_plus_structures_PE_96samples",
+                "level": "e2e",
+                "reads_per_sec": round(var_rps, 1),
+                "proxy_reads_per_sec": round(proxy_var, 1) if proxy_var else None,
+                "vs_config_baseline": round(var_rps / proxy_var, 2) if proxy_var else None,
+                "note": "multi-host streaming validated separately "
+                "(tests/test_multiprocess.py on a 2-process jax.distributed run)",
+            }
+        )
+
+        # ---- config 4: 737K single-cell whitelist (matcher-level) ----
+        bigk = bench_bigk_config()
+        if bigk:
+            configs.append(bigk)
+
     baseline_rps, baseline_note = rust_baseline()
     print(
         json.dumps(
@@ -213,6 +485,7 @@ def main():
                 "stage_seconds": stage_timings,
                 "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2, native engine",
                 "baseline_note": baseline_note,
+                "configs": configs,
             }
         )
     )

@@ -2270,6 +2270,22 @@ FQTK_API void fqtk_demux_counts(DemuxEngine* e, int64_t* out, int64_t n) {
   e->get_counts(out, n);
 }
 
+// Matcher-only baseline proxy bench: the reference's scalar branch-and-bound
+// scan + memo cache over an arbitrary whitelist (used for the 737K config,
+// whose 737K-sample e2e is impossible — fd limits — for ANY implementation).
+// Returns reads/sec.
+FQTK_API double fqtk_refproxy_matcher_bench(const uint8_t* barcodes, int64_t k,
+                                            int len, int max_mm, int delta,
+                                            const uint8_t* obs, int64_t n) {
+  RefProxyMatcher m(barcodes, static_cast<int>(k), len, max_mm, delta);
+  uint64_t t0 = now_ns();
+  int64_t acc = 0;
+  for (int64_t i = 0; i < n; i++) acc += m.assign(obs + i * len, len);
+  double dt = (now_ns() - t0) * 1e-9;
+  if (acc == -1234567) return -1;  // keep the loop observable
+  return dt > 0 ? n / dt : 0;
+}
+
 // ---- big-K pigeonhole matcher ----
 
 FQTK_API BigKMatcher* fqtk_bigk_new(const uint8_t* barcodes, int64_t k,
