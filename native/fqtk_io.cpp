@@ -881,6 +881,15 @@ class DemuxEngine {
     return true;
   }
 
+  // Per-input zero-copy parse state: the slot arena doubles as the inflate
+  // target, records are scanned in place (offsets stay stable because the
+  // arena only grows within a window), and the partial tail carries over.
+  struct ParseState {
+    std::unique_ptr<InputStream> in;
+    std::vector<uint8_t> carry;
+    bool eof = false;
+  };
+
   bool add_input(const char* path, const char* structure_str,
                  const SegmentDef* segs, int n_segs) {
     InputDef def;
@@ -896,7 +905,9 @@ class DemuxEngine {
       err.set(str_printf("Error opening input file for reading: %s", path));
       return false;
     }
-    scanners_.push_back(std::make_unique<FastqScanner>(std::move(in)));
+    auto st = std::make_unique<ParseState>();
+    st->in = std::move(in);
+    parse_states_.push_back(std::move(st));
     inputs_.push_back(std::move(def));
     return true;
   }
@@ -931,29 +942,103 @@ class DemuxEngine {
     out_types_.assign(out_types, out_types + n_out_types);
   }
 
-  // Parse up to `max_templates` records from input `i` into `ib`.
+  // Parse up to `max_templates` records from input `i` into `ib`, scanning
+  // IN PLACE over the slot arena: decompressed bytes land in the arena once
+  // and RecEntry offsets point straight at them — no per-record copies (the
+  // old path memcpy'd every record out of the scanner buffer).
   void parse_input_window(size_t i, InputBatch& ib, int64_t max_templates) {
     ib.reset();
-    FastqScanner& sc = *scanners_[i];
-    RecordView rv;
-    for (int64_t t = 0; t < max_templates; t++) {
-      int r = sc.next(&rv);
-      if (r < 0) {
-        ib.failed = true;
-        ib.error = sc.error_msg();
+    ParseState& st = *parse_states_[i];
+    std::vector<uint8_t>& arena = ib.arena;
+    const std::string& path = st.in->path();
+    arena.insert(arena.end(), st.carry.begin(), st.carry.end());
+    st.carry.clear();
+
+    auto fail = [&](std::string msg) {
+      ib.failed = true;
+      ib.error = std::move(msg);
+    };
+    auto fill = [&]() -> bool {  // append ~1MB of decompressed input
+      const size_t want = 1 << 20;
+      size_t old = arena.size();
+      arena.resize(old + want);
+      size_t n = st.in->read(arena.data() + old, want);
+      arena.resize(old + n);
+      if (!st.in->ok()) {
+        fail(str_printf("%s: read/decompress error", path.c_str()));
+        return false;
+      }
+      if (n == 0) st.eof = true;
+      return true;
+    };
+
+    size_t pos = 0;
+    int64_t count = 0;
+    while (count < max_templates) {
+    rescan_record:
+      size_t p = pos;
+      size_t offs[4], lens[4];
+      bool clean_eof = false;
+      for (int li = 0; li < 4; li++) {
+        const uint8_t* base = arena.data();
+        const uint8_t* nl = static_cast<const uint8_t*>(
+            p < arena.size() ? memchr(base + p, '\n', arena.size() - p)
+                             : nullptr);
+        if (nl == nullptr) {
+          if (!st.eof) {
+            if (!fill()) return;
+            goto rescan_record;
+          }
+          if (arena.size() > p) {  // final line without trailing newline
+            offs[li] = p;
+            size_t l = arena.size() - p;
+            lens[li] = (l > 0 && arena[p + l - 1] == '\r') ? l - 1 : l;
+            p = arena.size();
+            continue;
+          }
+          if (li == 0) {
+            clean_eof = true;
+            break;
+          }
+          fail(str_printf("%s: truncated FASTQ record", path.c_str()));
+          return;
+        }
+        offs[li] = p;
+        size_t l = nl - (base + p);
+        lens[li] = (l > 0 && base[p + l - 1] == '\r') ? l - 1 : l;
+        p = (nl - base) + 1;
+      }
+      if (clean_eof) break;
+      const uint8_t* base = arena.data();
+      if (lens[0] < 1 || base[offs[0]] != '@') {
+        fail(str_printf("%s: FASTQ record header must start with '@'",
+                        path.c_str()));
         return;
       }
-      if (r == 0) return;  // EOF
+      if (lens[2] < 1 || base[offs[2]] != '+') {
+        fail(str_printf("%s: FASTQ separator line must start with '+'",
+                        path.c_str()));
+        return;
+      }
+      if (lens[1] != lens[3]) {
+        fail(str_printf("%s: sequence and quality lengths differ (%zu vs %zu)",
+                        path.c_str(), lens[1], lens[3]));
+        return;
+      }
       RecEntry e;
-      e.head_len = static_cast<uint32_t>(rv.head_len);
-      e.seq_len = static_cast<uint32_t>(rv.seq_len);
-      e.head_off = static_cast<uint32_t>(ib.arena.size());
-      ib.arena.insert(ib.arena.end(), rv.head, rv.head + rv.head_len);
-      e.seq_off = static_cast<uint32_t>(ib.arena.size());
-      ib.arena.insert(ib.arena.end(), rv.seq, rv.seq + rv.seq_len);
-      e.qual_off = static_cast<uint32_t>(ib.arena.size());
-      ib.arena.insert(ib.arena.end(), rv.qual, rv.qual + rv.qual_len);
+      e.head_off = static_cast<uint32_t>(offs[0] + 1);
+      e.head_len = static_cast<uint32_t>(lens[0] - 1);
+      e.seq_off = static_cast<uint32_t>(offs[1]);
+      e.seq_len = static_cast<uint32_t>(lens[1]);
+      e.qual_off = static_cast<uint32_t>(offs[3]);
       ib.recs.push_back(e);
+      pos = p;
+      count++;
+    }
+    // carry the unconsumed tail (bounded by one fill chunk) to next window
+    if (pos < arena.size()) {
+      st.carry.assign(arena.begin() + pos, arena.end());
+      arena.resize(pos);
     }
   }
 
@@ -964,7 +1049,7 @@ class DemuxEngine {
   int64_t gate_pack(BatchSlot& slot, uint8_t* bc_out, uint8_t* flags_out,
                     std::vector<int64_t>& rmap, int64_t* skipped_out,
                     int64_t* max_count_out) {
-    const size_t n_in = scanners_.size();
+    const size_t n_in = parse_states_.size();
     rmap.clear();
     int64_t max_count = 0;
     for (size_t i = 0; i < n_in; i++)
@@ -1259,7 +1344,7 @@ class DemuxEngine {
     counts_.assign(writers_.size(), 0);
     pslots_.reset(new PipeSlot[kPipeSlots]);
     for (int s = 0; s < kPipeSlots; s++) {
-      pslots_[s].batch.per_input.resize(scanners_.size());
+      pslots_[s].batch.per_input.resize(parse_states_.size());
       pslots_[s].bc.assign(static_cast<size_t>(batch) * row_stride_,
                            pack_masks_ ? 0x11 : 'A');
       pslots_[s].flags.assign(batch, 0);
@@ -1267,13 +1352,13 @@ class DemuxEngine {
       pslots_[s].ready_for = s;
     }
     route_thread_ = std::thread([this] { pipe_route_worker(); });
-    for (size_t i = 0; i < scanners_.size(); i++)
+    for (size_t i = 0; i < parse_states_.size(); i++)
       parse_threads_.emplace_back([this, i] { pipe_parse_worker(i); });
     return true;
   }
 
   void pipe_parse_worker(size_t i) {
-    const size_t n_in = scanners_.size();
+    const size_t n_in = parse_states_.size();
     for (int64_t w = 0;; w++) {
       PipeSlot* ps = &pslots_[w % kPipeSlots];
       {
@@ -1365,12 +1450,15 @@ class DemuxEngine {
           route_partition(ps->batch, ps->rmap, ps->assigned.data(), ps->n, 0,
                           1);
         } else {
+          // spawn n-1 helpers; this thread routes partition n-1 itself
           std::vector<std::thread> ts;
-          for (int j = 0; j < n_threads; j++)
+          for (int j = 0; j < n_threads - 1; j++)
             ts.emplace_back([&, j] {
               route_partition(ps->batch, ps->rmap, ps->assigned.data(), ps->n,
                               j, n_threads);
             });
+          route_partition(ps->batch, ps->rmap, ps->assigned.data(), ps->n,
+                          n_threads - 1, n_threads);
           for (auto& t : ts) t.join();
         }
       }
@@ -1502,7 +1590,7 @@ class DemuxEngine {
 
  private:
   std::vector<InputDef> inputs_;
-  std::vector<std::unique_ptr<FastqScanner>> scanners_;
+  std::vector<std::unique_ptr<ParseState>> parse_states_;
   // NB: pool_ declared before the writer containers below so it is
   // destroyed after them (writers submit their final blocks on close).
   std::unique_ptr<CompressorPool> pool_;
@@ -2028,7 +2116,7 @@ struct RefProxyQueue {
 
 int64_t DemuxEngine::refproxy_run(const uint8_t* barcodes, int k, int max_mm,
                                   int delta, int reader_chunk) {
-  const size_t n_in = scanners_.size();
+  const size_t n_in = parse_states_.size();
   RefProxyMatcher matcher(barcodes, k, bc_len_, max_mm, delta);
   std::vector<std::unique_ptr<RefProxyQueue>> queues;
   for (size_t i = 0; i < n_in; i++)
