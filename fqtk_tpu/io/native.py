@@ -107,6 +107,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.fqtk_demux_pipe_finish.restype = ctypes.c_int
     lib.fqtk_demux_pipe_finish.argtypes = [ctypes.c_void_p]
+    lib.fqtk_demux_pipe_exceptional.restype = ctypes.c_int64
+    lib.fqtk_demux_pipe_exceptional.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
     lib.fqtk_demux_counts.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int64),
@@ -241,7 +248,14 @@ class NativeDemuxEngine:
         first_barcode: str,
         out_types: str,
         pack_masks: bool = False,
+        pack_mode: Optional[int] = None,
     ) -> None:
+        """``pack_mode``: 0 raw bytes, 1 4-bit IUPAC nibbles, 2 2-bit ACGT
+        codes (ambiguous rows flagged exceptional); ``pack_masks=True`` is
+        shorthand for mode 1."""
+        if pack_mode is None:
+            pack_mode = 1 if pack_masks else 0
+        self._bc_len = bc_len
         self._lib.fqtk_demux_configure(
             self._h,
             bc_len,
@@ -251,7 +265,7 @@ class NativeDemuxEngine:
             first_barcode.encode(),
             out_types.encode(),
             len(out_types),
-            1 if pack_masks else 0,
+            pack_mode,
         )
 
     def pipe_start(self, batch: int, row_stride: int) -> None:
@@ -279,6 +293,23 @@ class NativeDemuxEngine:
             return 0, -1, None, int(skipped.value)
         view = np.ctypeslib.as_array(bc, shape=(self._pipe_batch, self._row_stride))
         return int(n), int(slot.value), view, int(skipped.value)
+
+    def pipe_exceptional(self, slot: int):
+        """Rows of an acquired 2-bit-mode window that need host-side
+        resolution: returns (row_indices[int32], raw_bytes[n, bc_len]) or
+        (None, None) when the window had none."""
+        rows = ctypes.POINTER(ctypes.c_int32)()
+        raw = ctypes.POINTER(ctypes.c_uint8)()
+        n = int(
+            self._lib.fqtk_demux_pipe_exceptional(
+                self._h, slot, ctypes.byref(rows), ctypes.byref(raw)
+            )
+        )
+        if n == 0:
+            return None, None
+        idx = np.ctypeslib.as_array(rows, shape=(n,))
+        raw_arr = np.ctypeslib.as_array(raw, shape=(n, self._bc_len))
+        return idx, raw_arr
 
     def pipe_submit(self, slot: int, assigned: np.ndarray) -> None:
         """Hand device assignments for an acquired window to the native

@@ -165,6 +165,7 @@ def make_assign_fn(
     k_chunk: int = 16384,
     accum_dtype=None,
     packed_masks: bool = False,
+    packed2: bool = False,
     compact_output: bool = False,
 ):
     """Build a jitted ``obs[B, L] -> (assigned, best, next)`` function.
@@ -181,27 +182,45 @@ def make_assign_fn(
     host->device transfer, and the no-call gate becomes ``mask == 15`` (only
     N/n/. encode to 15).  The native engine emits this layout.
 
+    ``packed2``: input is ``[B, ceil(L/4)] uint8`` with four 2-bit ACGT
+    codes per byte (low pair = lowest position) — QUARTER-width transfers
+    and a 4x narrower one-hot contraction on the MXU.  Only pure-ACGT/U
+    reads can be encoded; the native engine flags ambiguous rows as
+    exceptional and the driver resolves them host-side (including the
+    no-call gate, so this path skips it entirely).
+
     ``compact_output``: return ``assigned`` as uint8 when ``K < 255`` (4x
     less device->host traffic).
     """
     import jax
     import jax.numpy as jnp
 
+    if packed_masks and packed2:
+        raise ValueError("packed_masks and packed2 are mutually exclusive")
     k = expected.count
     length = expected.length
     kc = min(k_chunk, k)
     n_chunks = -(-k // kc)
     k_pad = n_chunks * kc
-    compat = expected.compat
+    if packed2:
+        # compat4[l*4 + c, k] = 1 iff 2-bit code c mismatches barcode k at l
+        code_masks = np.array([1, 2, 4, 8], dtype=np.uint8)
+        viol4 = (code_masks[None, None, :] & ~expected.masks.T[:, :, None]) & 0xF
+        compat = np.ascontiguousarray(
+            (viol4 != 0).astype(np.int8).transpose(0, 2, 1).reshape(length * 4, k)
+        )
+    else:
+        compat = expected.compat
+    onehot_width = 4 if packed2 else 16
     if k_pad != k:
         # Padding columns get "every position mismatches" so they never win
         # (count = L, and if L < delta gates they still lose to real columns;
         # to be safe, force them to MAX_COUNT after the matmul via index mask).
         pad = np.ones((compat.shape[0], k_pad - k), dtype=np.int8)
         compat = np.concatenate([compat, pad], axis=1)
-    # [n_chunks, L*16, kc] so scan slices are contiguous
+    # [n_chunks, L*W, kc] so scan slices are contiguous (W = one-hot width)
     compat_chunks = np.ascontiguousarray(
-        compat.reshape(length * 16, n_chunks, kc).transpose(1, 0, 2)
+        compat.reshape(length * onehot_width, n_chunks, kc).transpose(1, 0, 2)
     )
     nocall_budget = max_mismatches + expected.max_ns_in_barcodes
     acc = accum_dtype or jnp.int32
@@ -216,17 +235,29 @@ def make_assign_fn(
     def _assign(obs_in, cc):
         obs_in = obs_in.astype(jnp.uint8)
         b = obs_in.shape[0]
-        if packed_masks:
-            lo = (obs_in & 0xF).astype(jnp.int32)
-            hi = (obs_in >> 4).astype(jnp.int32)
-            interleaved = jnp.stack([lo, hi], axis=-1).reshape(b, -1)
-            obs_masks = interleaved[:, :length]  # [B, L] int32 4-bit masks
+        if packed2:
+            parts = [
+                ((obs_in >> (2 * i)) & 3).astype(jnp.int32) for i in range(4)
+            ]
+            codes = jnp.stack(parts, axis=-1).reshape(b, -1)[:, :length]
+            onehot = (
+                codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.int8)
+            obs16 = onehot.reshape(b, length * 4)
+            obs_masks = None
         else:
-            obs_masks = byte_to_mask(obs_in)  # [B, L] int32 (no gathers)
-        onehot = (
-            obs_masks[:, :, None] == jnp.arange(16, dtype=jnp.int32)[None, None, :]
-        ).astype(jnp.int8)
-        obs16 = onehot.reshape(b, length * 16)
+            if packed_masks:
+                lo = (obs_in & 0xF).astype(jnp.int32)
+                hi = (obs_in >> 4).astype(jnp.int32)
+                interleaved = jnp.stack([lo, hi], axis=-1).reshape(b, -1)
+                obs_masks = interleaved[:, :length]  # [B, L] int32 4-bit masks
+            else:
+                obs_masks = byte_to_mask(obs_in)  # [B, L] int32 (no gathers)
+            onehot = (
+                obs_masks[:, :, None]
+                == jnp.arange(16, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.int8)
+            obs16 = onehot.reshape(b, length * 16)
 
         # f32 combined-key reduction: key = count * kc + col encodes
         # (count, first-index) so ONE min yields both (exact: counts <= 255,
@@ -287,15 +318,21 @@ def make_assign_fn(
                 scan_body, init, (jnp.arange(n_chunks, dtype=jnp.int32), cc)
             )
 
-        if packed_masks:
-            nocalls = jnp.sum((obs_masks == 15).astype(jnp.int32), axis=1)
+        if packed2:
+            # pure-ACGT rows by construction: the no-call gate ran host-side
+            ok = (best <= max_mismatches) & (
+                nxt - best >= min_mismatch_delta
+            )
         else:
-            nocalls = jnp.sum(byte_is_nocall(obs_in), axis=1)
-        ok = (
-            (nocalls <= nocall_budget)
-            & (best <= max_mismatches)
-            & (nxt - best >= min_mismatch_delta)
-        )
+            if packed_masks:
+                nocalls = jnp.sum((obs_masks == 15).astype(jnp.int32), axis=1)
+            else:
+                nocalls = jnp.sum(byte_is_nocall(obs_in), axis=1)
+            ok = (
+                (nocalls <= nocall_budget)
+                & (best <= max_mismatches)
+                & (nxt - best >= min_mismatch_delta)
+            )
         out_dtype = jnp.uint8 if (compact_output and k < 255) else jnp.int32
         assigned = jnp.where(ok, bidx, k).astype(out_dtype)
         return assigned, best, nxt

@@ -225,8 +225,12 @@ PALLAS_K_THRESHOLD = 65536
 def _make_device_assign_fn(
     cfg: DemuxConfig, expected: ExpectedSet, barcodes=None
 ):
-    """Packed-input device matcher for the native engine, as an
-    ``obs_packed[B, L/2] -> assigned[B]`` callable.
+    """Packed-input device matcher for the native engine.  Returns
+    ``(assign, pack_mode)`` where ``assign`` maps a packed observation
+    matrix to ``assigned[B]`` and ``pack_mode`` tells the engine which
+    packing to produce: ``"nib4"`` ([B, ceil(L/2)] 4-bit IUPAC nibbles) or
+    ``"bit2"`` ([B, ceil(L/4)] 2-bit ACGT codes; ambiguous rows flagged
+    exceptional and resolved host-side).
 
     Selection policy:
     - huge pure-ACGT whitelist + native lib: the host pigeonhole matcher
@@ -258,7 +262,7 @@ def _make_device_assign_fn(
                     expected.count,
                     cfg.max_mismatches + max(cfg.min_mismatch_delta, 1),
                 )
-                return matcher.assign
+                return matcher.assign, "nib4"
             except native_io.NativeDemuxError:
                 pass  # ineligible whitelist: fall through to device paths
     n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
@@ -284,14 +288,17 @@ def _make_device_assign_fn(
             "whitelist" if big_k else "batch",
             jax.local_device_count(),
         )
-        return make_sharded_assign_fn(
-            expected,
-            cfg.max_mismatches,
-            cfg.min_mismatch_delta,
-            mesh,
-            packed_masks=True,
-            compact_output=True,
-            with_counts=False,
+        return (
+            make_sharded_assign_fn(
+                expected,
+                cfg.max_mismatches,
+                cfg.min_mismatch_delta,
+                mesh,
+                packed_masks=True,
+                compact_output=True,
+                with_counts=False,
+            ),
+            "nib4",
         )
 
     if big_k and jax.default_backend() != "cpu":
@@ -306,22 +313,26 @@ def _make_device_assign_fn(
             packed_masks=True,
             compact_output=True,
         )
+        pack_mode = "nib4"
     else:
         from ..ops.matcher import make_assign_fn
 
+        # 2-bit transfer pack: quarter-width host->device traffic and a 4x
+        # narrower one-hot contraction; ambiguous rows resolve host-side
         fn = make_assign_fn(
             expected,
             cfg.max_mismatches,
             cfg.min_mismatch_delta,
-            packed_masks=True,
+            packed2=True,
             compact_output=True,
         )
+        pack_mode = "bit2"
 
     def assign(obs_packed):
         idx, _, _ = fn(obs_packed)
         return idx
 
-    return assign
+    return assign, pack_mode
 
 
 def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None):
@@ -409,13 +420,13 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
     expected = ExpectedSet.from_barcodes([s.barcode for s in sample_group.samples])
     bc_len = expected.length
     k = expected.count
-    # packed 4-bit-mask transfer + compact uint8 results: halves/quarters the
-    # host<->device traffic on the hot path
-    assign = _make_device_assign_fn(
+    # packed transfers (2-bit codes or 4-bit masks) + compact uint8 results:
+    # quarters/halves the host<->device traffic on the hot path
+    assign, pack_mode = _make_device_assign_fn(
         cfg, expected, barcodes=[s.barcode for s in sample_group.samples]
     )
 
-    packed_len = (bc_len + 1) // 2
+    packed_len = (bc_len + 3) // 4 if pack_mode == "bit2" else (bc_len + 1) // 2
 
     engine = native_io.NativeDemuxEngine(
         threads=max(1, cfg.threads - 2), compression_level=cfg.compression_level
@@ -467,7 +478,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
             first_sample_id=sample_group.samples[0].sample_id,
             first_barcode=sample_group.samples[0].barcode.upper(),
             out_types="".join(t.value for t in requested),
-            pack_masks=True,
+            pack_mode=2 if pack_mode == "bit2" else 1,
         )
 
         skip_counts: Dict[str, int] = {}
@@ -503,10 +514,26 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                 with timers.time("assign"):
                     # dispatch + fetch; the zero-copy bc view is consumed by
                     # the device transfer before asarray returns
-                    assigned = np.asarray(assign(bc_view))[:n]
+                    assigned = np.asarray(assign(bc_view))[:n].astype(np.int32)
                 if first:
                     first = False
                     logger.info("device matcher ready.")
+                if pack_mode == "bit2":
+                    # rows with ambiguous/no-call bytes could not be 2-bit
+                    # encoded: resolve them with the NumPy spec (exact, incl.
+                    # IUPAC masks; the no-call gate already ran in C++)
+                    exc_idx, exc_raw = engine.pipe_exceptional(slot)
+                    if exc_idx is not None:
+                        with timers.time("exceptional"):
+                            eidx, _, _ = assign_batch_np(
+                                exc_raw,
+                                expected,
+                                cfg.max_mismatches,
+                                cfg.min_mismatch_delta,
+                            )
+                            assigned[exc_idx] = np.where(
+                                eidx < 0, k, eidx
+                            ).astype(np.int32)
                 with timers.time("submit"):
                     engine.pipe_submit(slot, assigned)
                 total += n

@@ -821,6 +821,18 @@ struct IupacTables {
 };
 const IupacTables kIupac;
 
+// byte -> 2-bit ACGT code via the IUPAC mask (U == T); -1 for any
+// ambiguous/no-call byte (mask not a single bit)
+inline int base_code2(uint8_t b) {
+  switch (kIupac.encode[b]) {
+    case 1: return 0;
+    case 2: return 1;
+    case 4: return 2;
+    case 8: return 3;
+    default: return -1;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // demux engine
 // ---------------------------------------------------------------------------
@@ -931,8 +943,10 @@ class DemuxEngine {
                  const char* first_sample_id, const char* first_barcode,
                  const char* out_types, int n_out_types, int pack_masks) {
     bc_len_ = bc_len;
-    pack_masks_ = pack_masks != 0;
-    row_stride_ = pack_masks ? (bc_len + 1) / 2 : bc_len;
+    pack_mode_ = pack_masks;  // 0 = raw bytes, 1 = 4-bit nibbles, 2 = 2-bit
+    row_stride_ = pack_masks == 2   ? (bc_len + 3) / 4
+                  : pack_masks == 1 ? (bc_len + 1) / 2
+                                    : bc_len;
     nocall_budget_ = nocall_budget;
     skip_too_few_ = skip_too_few != 0;
     first_sample_id_ = first_sample_id;
@@ -1048,9 +1062,14 @@ class DemuxEngine {
   // raw record count of the window (0 == true EOF).
   int64_t gate_pack(BatchSlot& slot, uint8_t* bc_out, uint8_t* flags_out,
                     std::vector<int64_t>& rmap, int64_t* skipped_out,
-                    int64_t* max_count_out) {
+                    int64_t* max_count_out,
+                    std::vector<int32_t>* exc_rows = nullptr,
+                    std::vector<uint8_t>* exc_bytes = nullptr) {
     const size_t n_in = parse_states_.size();
     rmap.clear();
+    if (exc_rows) exc_rows->clear();
+    if (exc_bytes) exc_bytes->clear();
+    std::vector<uint8_t> raw_row(pack_mode_ == 2 ? bc_len_ : 0);
     int64_t max_count = 0;
     for (size_t i = 0; i < n_in; i++)
       max_count = std::max<int64_t>(max_count, slot.per_input[i].recs.size());
@@ -1109,7 +1128,9 @@ class DemuxEngine {
       uint8_t* bc_row = bc_out + count * row_stride_;
       int bc_pos = 0;
       bool bc_overflow = false;
+      bool weird = false;  // 2-bit mode: any non-ACGT/U byte in the barcode
       int nocalls = 0;
+      if (pack_mode_ == 2) memset(bc_row, 0, row_stride_);
       for (size_t i = 0; i < n_in; i++) {
         const InputBatch& ib = slot.per_input[i];
         const RecEntry& e = ib.recs[t];
@@ -1122,7 +1143,18 @@ class DemuxEngine {
             uint8_t b = p[j];
             nocalls += kIupac.nocall[b];
             if (bc_pos < bc_len_) {
-              if (pack_masks_) {
+              if (pack_mode_ == 2) {
+                // 2-bit ACGT codes, 4 per byte — quarter-width transfers;
+                // rows with any ambiguous byte are flagged exceptional and
+                // resolved host-side (see make_assign_fn packed2)
+                int c = base_code2(b);
+                if (c < 0)
+                  weird = true;
+                else
+                  bc_row[bc_pos >> 2] |= static_cast<uint8_t>(
+                      c << (2 * (bc_pos & 3)));
+                raw_row[bc_pos] = b;
+              } else if (pack_mode_ == 1) {
                 // two 4-bit IUPAC masks per byte, low nibble first — halves
                 // the host->device transfer (see make_assign_fn packed_masks)
                 uint8_t m = kIupac.encode[b];
@@ -1146,7 +1178,8 @@ class DemuxEngine {
         // fires first (barcode_matching.rs:165-186)
         if (nocalls > nocall_budget_) {
           flag = 1;
-          memset(bc_row, pack_masks_ ? 0x11 : 'A', row_stride_);
+          memset(bc_row, pack_mode_ == 2 ? 0 : (pack_mode_ == 1 ? 0x11 : 'A'),
+                 row_stride_);
         } else {
           std::string obs;
           size_t obs_len = 0;
@@ -1174,7 +1207,19 @@ class DemuxEngine {
         }
       } else if (bc_pos < bc_len_) {
         flag = 1;  // too short overall: assign() -> None
-        memset(bc_row, pack_masks_ ? 0x11 : 'A', row_stride_);
+        memset(bc_row, pack_mode_ == 2 ? 0 : (pack_mode_ == 1 ? 0x11 : 'A'),
+               row_stride_);
+      } else if (pack_mode_ == 2) {
+        if (nocalls > nocall_budget_) {
+          flag = 1;  // no-call gate applied host-side in 2-bit mode
+        } else if (weird) {
+          flag = 2;  // ambiguous bytes: resolved host-side from raw bytes
+          if (exc_rows) {
+            exc_rows->push_back(static_cast<int32_t>(count));
+            exc_bytes->insert(exc_bytes->end(), raw_row.begin(),
+                              raw_row.end());
+          }
+        }
       }
       flags_out[count] = flag;
       // record the source template index for routing (skipped templates
@@ -1330,6 +1375,8 @@ class DemuxEngine {
     std::vector<uint8_t> bc;       // [pipe_batch, row_stride]
     std::vector<uint8_t> flags;    // per emitted template
     std::vector<int32_t> assigned; // filled by pipe_submit
+    std::vector<int32_t> exc_rows; // 2-bit mode: rows needing host resolve
+    std::vector<uint8_t> exc_bytes;  // [n_exc, bc_len] raw barcode bytes
     int64_t n = 0;                 // emitted templates
     int64_t max_count = 0;         // raw records in the window (0 == EOF)
     int64_t skipped = 0;
@@ -1345,8 +1392,9 @@ class DemuxEngine {
     pslots_.reset(new PipeSlot[kPipeSlots]);
     for (int s = 0; s < kPipeSlots; s++) {
       pslots_[s].batch.per_input.resize(parse_states_.size());
-      pslots_[s].bc.assign(static_cast<size_t>(batch) * row_stride_,
-                           pack_masks_ ? 0x11 : 'A');
+      pslots_[s].bc.assign(
+          static_cast<size_t>(batch) * row_stride_,
+          pack_mode_ == 2 ? 0 : (pack_mode_ == 1 ? 0x11 : 'A'));
       pslots_[s].flags.assign(batch, 0);
       pslots_[s].assigned.assign(batch, 0);
       pslots_[s].ready_for = s;
@@ -1386,7 +1434,8 @@ class DemuxEngine {
         uint64_t g0 = thread_cpu_ns();
         int64_t sk = 0, mx = 0;
         int64_t n = gate_pack(ps->batch, ps->bc.data(), ps->flags.data(),
-                              ps->rmap, &sk, &mx);
+                              ps->rmap, &sk, &mx, &ps->exc_rows,
+                              &ps->exc_bytes);
         gate_ns_ += thread_cpu_ns() - g0;
         std::lock_guard<std::mutex> lk(pmu_);
         if (n < 0) {
@@ -1435,7 +1484,7 @@ class DemuxEngine {
       bool bad = false;
       for (int64_t r = 0; r < ps->n; r++) {
         int32_t a = ps->assigned[r];
-        if (ps->flags[r]) a = unmatched;  // host gates force unmatched
+        if (ps->flags[r] == 1) a = unmatched;  // host gates force unmatched
         if (a < 0 || a > unmatched) {
           err.set(str_printf("route: assignment %d out of range", a));
           bad = true;
@@ -1523,6 +1572,16 @@ class DemuxEngine {
     }
   }
 
+  // Exceptional rows of an acquired 2-bit-mode window: returns count and
+  // exposes the row indices + raw barcode bytes for host-side resolution.
+  int64_t pipe_exceptional(int32_t slot, const int32_t** rows_out,
+                           const uint8_t** bytes_out) {
+    PipeSlot* ps = &pslots_[slot];
+    *rows_out = ps->exc_rows.data();
+    *bytes_out = ps->exc_bytes.data();
+    return static_cast<int64_t>(ps->exc_rows.size());
+  }
+
   bool pipe_submit(int32_t slot, const int32_t* assigned, int64_t n) {
     PipeSlot* ps = &pslots_[slot];
     if (n != ps->n) {
@@ -1600,7 +1659,7 @@ class DemuxEngine {
   int bc_len_ = 0;
   int route_threads_ = 1;
   int row_stride_ = 0;
-  bool pack_masks_ = false;
+  int pack_mode_ = 0;
   int nocall_budget_ = 0;
   bool skip_too_few_ = false;
   std::string first_sample_id_, first_barcode_;
@@ -1811,7 +1870,7 @@ class BigKMatcher {
     for (int64_t s = 0; s < k; s++) {
       uint64_t packed = 0;
       for (int j = 0; j < len; j++) {
-        int c = base_code(barcodes[s * len + j]);
+        int c = base_code2(barcodes[s * len + j]);
         if (c < 0) {
           ok_ = false;
           return;
@@ -1861,15 +1920,6 @@ class BigKMatcher {
 
   bool ok() const { return ok_; }
 
-  static int base_code(uint8_t b) {
-    switch (kIupac.encode[b]) {
-      case 1: return 0;   // A
-      case 2: return 1;   // C
-      case 4: return 2;   // G
-      case 8: return 3;   // T (and U)
-      default: return -1; // ambiguous / no-call: cannot exact-match ACGT
-    }
-  }
 
   // obs: packed 4-bit IUPAC masks, 2 per byte (the pipeline's device
   // layout); row r at obs + r*stride.  Writes assigned[r] in [0, k] (k =
@@ -2352,6 +2402,12 @@ FQTK_API int fqtk_demux_pipe_submit(DemuxEngine* e, int32_t slot,
 
 FQTK_API int fqtk_demux_pipe_finish(DemuxEngine* e) {
   return e->pipe_finish() ? 0 : -1;
+}
+
+FQTK_API int64_t fqtk_demux_pipe_exceptional(DemuxEngine* e, int32_t slot,
+                                             const int32_t** rows,
+                                             const uint8_t** bytes) {
+  return e->pipe_exceptional(slot, rows, bytes);
 }
 
 FQTK_API void fqtk_demux_counts(DemuxEngine* e, int64_t* out, int64_t n) {
