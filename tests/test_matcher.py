@@ -218,3 +218,49 @@ def test_jax_packed_masks_and_compact_output():
     np.testing.assert_array_equal(j_idx.astype(np.int32), expect)
     np.testing.assert_array_equal(j_best, np_best)
     np.testing.assert_array_equal(j_next, np_next)
+
+
+def test_jax_packed2_matches_numpy_random():
+    """The 2-bit-packed path (quarter-width transfers, 4-wide one-hot) must
+    agree with the NumPy spec on pure-ACGT reads — including whitelists that
+    themselves contain IUPAC/N codes (compat4 carries the containment
+    semantics; only the OBSERVED side is restricted to ACGT)."""
+    from fqtk_tpu.ops.matcher import make_assign_fn
+
+    rng = np.random.default_rng(17)
+    length, k, b = 13, 37, 512
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    barcodes = []
+    seen = set()
+    while len(barcodes) < k:
+        bc = bytes(rng.choice(bases, size=length))
+        if bc not in seen:
+            seen.add(bc)
+            barcodes.append(bc.decode())
+    # sprinkle IUPAC into some EXPECTED barcodes
+    barcodes[3] = "N" + barcodes[3][1:]
+    barcodes[11] = barcodes[11][:5] + "R" + barcodes[11][6:]
+    es = ExpectedSet.from_barcodes(barcodes)
+
+    obs = rng.choice(bases, size=(b, length)).astype(np.uint8)
+    for i in range(0, b, 3):  # majority near-matches to exercise the gates
+        row = np.frombuffer(barcodes[i % k].replace("N", "A").replace("R", "G").encode(), dtype=np.uint8).copy()
+        if i % 2:
+            row[rng.integers(0, length)] = bases[rng.integers(0, 4)]
+        obs[i] = row
+
+    # pack 2-bit codes (A0 C1 G2 T3), 4 per byte, low pair first
+    code = np.zeros_like(obs)
+    for v, c in zip(b"ACGT", range(4)):
+        code[obs == v] = c
+    stride = (length + 3) // 4
+    packed = np.zeros((b, stride), dtype=np.uint8)
+    for j in range(length):
+        packed[:, j >> 2] |= (code[:, j] << (2 * (j & 3))).astype(np.uint8)
+
+    for max_mm, delta in [(1, 2), (0, 0), (2, 1)]:
+        fn = make_assign_fn(es, max_mm, delta, packed2=True, compact_output=True)
+        got = np.asarray(fn(packed)[0]).astype(np.int32)
+        want, _, _ = assign_batch_np(obs, es, max_mm, delta)
+        want = np.where(want < 0, k, want).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
