@@ -6,6 +6,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 python scripts/lint.py
+JAX_PLATFORMS=cpu python scripts/update_docs.py --check
 python -m compileall -q fqtk_tpu tests bench.py __graft_entry__.py
 make -C native
 python -m pytest tests/ -q
