@@ -221,8 +221,36 @@ def _too_few_bases_allowed(cfg: DemuxConfig) -> bool:
 #: (it keeps the [B, K] count tiles VMEM-resident; measured 1.8x at 737K)
 PALLAS_K_THRESHOLD = 65536
 
+#: process-level memo of device assign fns: repeated runs over the same
+#: whitelist/params reuse the traced+compiled program (and, for the
+#: pigeonhole path, the built candidate tables) instead of paying the
+#: first-call tracing cost again
+_ASSIGN_FN_CACHE: Dict[tuple, tuple] = {}
+
 
 def _make_device_assign_fn(
+    cfg: DemuxConfig, expected: ExpectedSet, barcodes=None
+):
+    key = (
+        tuple(barcodes) if barcodes is not None else None,
+        cfg.max_mismatches,
+        cfg.min_mismatch_delta,
+        cfg.devices,
+        cfg.engine,
+        cfg.threads,
+        PALLAS_K_THRESHOLD,  # policy inputs: keep tests/monkeypatching sound
+    )
+    cached = _ASSIGN_FN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    result = _build_device_assign_fn(cfg, expected, barcodes)
+    if len(_ASSIGN_FN_CACHE) >= 4:  # bound device/table memory
+        _ASSIGN_FN_CACHE.pop(next(iter(_ASSIGN_FN_CACHE)))
+    _ASSIGN_FN_CACHE[key] = result
+    return result
+
+
+def _build_device_assign_fn(
     cfg: DemuxConfig, expected: ExpectedSet, barcodes=None
 ):
     """Packed-input device matcher for the native engine.  Returns
