@@ -112,6 +112,23 @@ def _build_parser() -> argparse.ArgumentParser:
         "(batch-parallel; whitelist-sharded for huge sample sets), 1 forces "
         "single-device (engine extension).",
     )
+    demux.add_argument(
+        "--distributed-coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help="Multi-host mode: jax.distributed coordinator address.  Each "
+        "process demuxes its own --inputs shard into "
+        "{output}/shard-{process_id}/ and the global demux-metrics.txt is "
+        "merged exactly across hosts (engine extension).",
+    )
+    demux.add_argument(
+        "--num-processes", type=int, default=None,
+        help="Multi-host mode: total process count.",
+    )
+    demux.add_argument(
+        "--process-id", type=int, default=None,
+        help="Multi-host mode: this process's id (0-based).",
+    )
 
     ss = sub.add_parser(
         "subsample", help="Subsamples reads from one or more synchronized FASTQ files."
@@ -196,6 +213,16 @@ def _dispatch(args) -> int:
             engine=args.engine,
             devices=args.devices,
         )
+        if args.distributed_coordinator is not None:
+            from .parallel.distributed import init_distributed, run_demux_multihost
+
+            init_distributed(
+                coordinator_address=args.distributed_coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+            run_demux_multihost(cfg)
+            return 0
         run_demux(cfg)
         return 0
     if args.command == "subsample":

@@ -24,12 +24,13 @@ def main() -> int:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=nproc,
-        process_id=pid,
-    )
-    assert jax.process_count() == nproc, jax.process_count()
+    if mode != "demux_cli":  # the CLI mode initializes via --distributed-*
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=nproc,
+            process_id=pid,
+        )
+        assert jax.process_count() == nproc, jax.process_count()
 
     import numpy as np
 
@@ -63,6 +64,30 @@ def main() -> int:
         if pid == 0:
             (wd / "metrics.json").write_text(json.dumps(metrics))
         print("DEMUX_OK")
+        return 0
+
+    if mode == "demux_cli":
+        from pathlib import Path
+
+        from fqtk_tpu.cli import main as cli_main
+
+        wd = Path(workdir)
+        rc = cli_main(
+            [
+                "demux",
+                "-i", str(wd / f"in{pid}.fastq"),
+                "-r", "7B+T",
+                "-s", str(wd / "metadata.tsv"),
+                "-o", str(wd / "out"),
+                "--engine", "numpy",
+                "--batch-size", "4",
+                "--distributed-coordinator", f"localhost:{port}",
+                "--num-processes", str(nproc),
+                "--process-id", str(pid),
+            ]
+        )
+        assert rc == 0
+        print("CLI_DEMUX_OK")
         return 0
 
     raise SystemExit(f"unknown mode {mode}")

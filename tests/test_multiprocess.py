@@ -86,3 +86,26 @@ def test_run_demux_multihost_two_processes(tmp_path):
     # per-host outputs exist under shard dirs
     assert (tmp_path / "out" / "shard-0" / "sA.R1.fq.gz").exists()
     assert (tmp_path / "out" / "shard-1" / "sA.R1.fq.gz").exists()
+
+
+def test_cli_distributed_demux_two_processes(tmp_path):
+    """`fqtk-tpu demux --distributed-coordinator ...` runs the full
+    multi-host path from the command line: per-process shard outputs plus
+    one exactly-merged global metrics file."""
+
+    def fq(path, bcs):
+        lines = []
+        for i, bc in enumerate(bcs):
+            lines += [f"@r{path.stem}_{i}", bc + "GGGGG", "+", ";" * (len(bc) + 5)]
+        path.write_text("\n".join(lines) + "\n")
+
+    fq(tmp_path / "in0.fastq", ["GATTACA"] * 4)
+    fq(tmp_path / "in1.fastq", ["GATTACA", "TTTTTTT"])
+    (tmp_path / "metadata.tsv").write_text("sample_id\tbarcode\nsA\tGATTACA\n")
+
+    _run_pair("demux_cli", tmp_path)
+
+    text = (tmp_path / "out" / "demux-metrics.txt").read_text()
+    assert "sA\tGATTACA\t5" in text
+    assert (tmp_path / "out" / "shard-0" / "sA.R1.fq.gz").exists()
+    assert (tmp_path / "out" / "shard-1" / "sA.R1.fq.gz").exists()
