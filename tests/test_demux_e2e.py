@@ -681,3 +681,29 @@ def test_input_open_error_collected(tmp_path):
         run_demux(cfg)
     assert "Error opening input files for reading:" in str(e.value)
     assert "Inputs failed validation!" in str(e.value)
+
+
+@pytest.mark.parametrize(
+    "content,match",
+    [
+        ("@r1\nACGT\n+\n", "truncated FASTQ record"),
+        ("r1\nACGT\n+\nIIII\n", "must start with '@'"),
+        ("@r1\nACGT\nplus\nIIII\n", "must start with '\\+'"),
+        ("@r1\nACGT\n+\nIII\n", "sequence and quality lengths differ"),
+    ],
+)
+def test_native_zero_copy_parse_errors(tmp_path, content, match):
+    """Malformed FASTQ surfaces the scanner's error through the pipelined
+    native engine (in-place arena scan paths)."""
+    bad = tmp_path / "bad.fastq"
+    bad.write_text("@ok\nAAAA\n+\nIIII\n" + content)
+    cfg = _cfg(
+        tmp_path,
+        [bad],
+        ["4B"],
+        metadata_file(tmp_path, ["AAAA"]),
+        tmp_path / "out",
+        "native",
+    )
+    with pytest.raises(DemuxError, match=match):
+        run_demux(cfg)
