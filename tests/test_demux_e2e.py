@@ -707,3 +707,60 @@ def test_native_zero_copy_parse_errors(tmp_path, content, match):
     )
     with pytest.raises(DemuxError, match=match):
         run_demux(cfg)
+
+
+def test_native_crlf_and_final_newline_free_records(tmp_path):
+    """CRLF line endings and a final record without a trailing newline both
+    parse identically through the zero-copy native scanner and the python
+    reader."""
+    crlf = tmp_path / "crlf.fastq"
+    crlf.write_bytes(
+        b"@a 1:N:0:0\r\nAAAAGGGG\r\n+\r\nIIIIIIII\r\n"
+        b"@b 1:N:0:0\r\nAAAATTTT\r\n+\r\nIIIIIIII"  # no trailing newline
+    )
+    meta = metadata_file(tmp_path, ["AAAA"])
+    import gzip
+
+    outs = {}
+    for engine in ("native", "numpy"):
+        out = tmp_path / f"out_{engine}"
+        res = run_demux(
+            _cfg(tmp_path, [crlf], ["4B+T"], meta, out, engine)
+        )
+        assert res.total_templates == 2
+        outs[engine] = gzip.decompress((out / "Sample0000.R1.fq.gz").read_bytes())
+    assert outs["native"] == outs["numpy"]
+    assert b"@a 1:N:0:AAAA\nGGGG\n" in outs["native"]
+
+
+def test_native_record_longer_than_fill_chunk(tmp_path):
+    """A record whose line exceeds the 1MB inflate chunk forces repeated
+    arena growth mid-record (zero-copy scanner resize path)."""
+    big = "G" * (3 << 20)
+    p = fastq_file(tmp_path, "big", "bg", ["AAAA" + big, "AAAA" + "T" * 8])
+    meta = metadata_file(tmp_path, ["AAAA"])
+    out = tmp_path / "out"
+    res = run_demux(
+        _cfg(tmp_path, [p], ["4B+T"], meta, out, "native", batch_size=4)
+    )
+    assert res.total_templates == 2
+    from fqtk_tpu.io.fastq import read_fastq
+
+    recs = read_fastq(out / "Sample0000.R1.fq.gz")
+    assert len(recs) == 2
+    assert recs[0].seq == big.encode()
+
+
+def test_native_empty_gzip_input(tmp_path):
+    """Zero-record inputs produce empty outputs and NaN-style metrics
+    through the pipelined engine (EOF window on the first acquire)."""
+    import gzip
+
+    p = tmp_path / "empty.fq.gz"
+    with gzip.open(p, "wb"):
+        pass
+    meta = metadata_file(tmp_path, ["AAAA"])
+    out = tmp_path / "out"
+    res = run_demux(_cfg(tmp_path, [p], ["4B+T"], meta, out, "native"))
+    assert res.total_templates == 0
+    assert "NaN" in (out / "demux-metrics.txt").read_text()
