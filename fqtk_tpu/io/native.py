@@ -1,9 +1,11 @@
 """ctypes bindings for the native host-I/O engine (``native/fqtk_io.cpp``).
 
-The native engine owns the demux host pipeline: FASTQ parsing (gzip-aware),
-segment extraction, header rewriting, and routed BGZF output with a
-compressor thread pool.  Python orchestrates batches and runs the TPU
-matcher between ``next_batch`` and ``route_batch``.
+The native engine owns the demux host pipeline: FASTQ parsing (gzip-aware,
+zero-copy into batch arenas), segment extraction, header rewriting, and
+routed BGZF output with a compressor thread pool — run as a persistent
+in-engine pipeline (``pipe_start``/``pipe_acquire``/``pipe_submit``/
+``pipe_finish``).  Python's only per-window work is the TPU matcher call
+between acquire and submit.
 
 Falls back gracefully (``available() -> False``) when the shared library is
 missing; the pure-Python path in :mod:`fqtk_tpu.io.fastq` is the behavioral

@@ -238,6 +238,7 @@ def _make_device_assign_fn(
         cfg.devices,
         cfg.engine,
         cfg.threads,
+        cfg.batch_size,  # mesh divisibility fallback depends on it
         PALLAS_K_THRESHOLD,  # policy inputs: keep tests/monkeypatching sound
     )
     cached = _ASSIGN_FN_CACHE.get(key)

@@ -1860,7 +1860,13 @@ class BigKMatcher {
               int delta)
       : k_(k), len_(len), max_mm_(max_mm), delta_(delta) {
     n_parts_ = max_mm + std::max(delta, 1);
-    if (n_parts_ > len || len > 32) {
+    // eligibility: parts must fit the length, lengths must fit 64-bit
+    // packing, and every part's key space must stay dense-table-sized
+    // (ceil(len / n_parts) 2-bit symbols -> 4^part_len offsets; cap at
+    // 4^12 = 16M keys).  Ineligible whitelists fall back to the device
+    // paths via fqtk_bigk_new returning null.
+    if (n_parts_ < 1 || n_parts_ > len || len > 32 ||
+        (len + n_parts_ - 1) / n_parts_ > 12) {
       ok_ = false;
       return;
     }

@@ -32,7 +32,6 @@ import argparse
 import json
 import sys
 import tempfile
-import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -47,7 +46,6 @@ def main() -> int:
     args = ap.parse_args()
 
     import bench
-    from fqtk_tpu.core.read_structure import ReadStructure
     from fqtk_tpu.io import native as native_io
 
     if not native_io.available():
@@ -56,51 +54,24 @@ def main() -> int:
 
     bench.N_READS = args.reads
     barcodes = bench.make_whitelist(bench.K, bench.L)
-    structures = [ReadStructure.from_str(s) for s in ["8B", "100T", "100T", "9B"]]
 
-    best = 0.0
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         paths, _meta = bench.write_inputs(tmp, barcodes, n_reads=args.reads)
         inputs = [paths["i1"], paths["r1"], paths["r2"], paths["i2"]]
-        # reference thread budget (demux.rs:893-896): 1 main + 2 readers
-        # reserved, remainder compresses
-        compressor_threads = max(1, args.threads - 3)
-        for trial in range(args.trials):
-            out_dir = tmp / f"out{trial}"
-            out_dir.mkdir()
-            engine = native_io.NativeDemuxEngine(
-                threads=compressor_threads, compression_level=5
-            )
-            try:
-                for path, rs in zip(inputs, structures):
-                    engine.add_input(
-                        str(path),
-                        str(rs),
-                        [(s.offset, s.length, s.kind.value) for s in rs],
-                    )
-                names = [f"S{i:04d}" for i in range(len(barcodes))] + ["unmatched"]
-                for name in names:
-                    engine.add_sample(
-                        [str(out_dir / f"{name}.R{i}.fq.gz") for i in (1, 2)]
-                    )
-                engine.configure(
-                    bc_len=bench.L,
-                    nocall_budget=1,
-                    skip_too_few=False,
-                    first_sample_id="S0000",
-                    first_barcode=barcodes[0],
-                    out_types="T",
-                )
-                t0 = time.perf_counter()
-                total = engine.refproxy_run(barcodes, 1, 2)
-                dt = time.perf_counter() - t0
-            finally:
-                engine.close()
-            assert total == args.reads, (total, args.reads)
-            rps = args.reads / dt
-            print(f"trial {trial}: {rps/1e6:.3f}M reads/s ({dt:.2f}s)")
-            best = max(best, rps)
+        # shared proxy harness (bench.run_refproxy): reference thread budget
+        # (1 main + 2 readers reserved, remainder compresses), best-of-N
+        best = bench.run_refproxy(
+            tmp,
+            inputs,
+            ["8B", "100T", "100T", "9B"],
+            barcodes,
+            args.reads,
+            "baseline",
+            trials=args.trials,
+            threads=args.threads,
+        )
+        print(f"best: {best/1e6:.3f}M reads/s over {args.trials} trial(s)")
 
     out = {
         "metric": "rust_fqtk_demux_baseline_proxy_reads_per_sec",

@@ -19,6 +19,9 @@ END = "<!-- END GENERATED CLI HELP -->"
 
 
 def render_help() -> str:
+    import os
+
+    os.environ["COLUMNS"] = "80"  # argparse wraps at terminal width
     sys.path.insert(0, str(REPO))
     from fqtk_tpu.cli import _build_parser as build_parser
 
