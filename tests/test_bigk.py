@@ -158,3 +158,57 @@ def test_pigeonhole_selected_in_driver_matches_numpy_engine(tmp_path, monkeypatc
     assert (tmp_path / "out_native" / "demux-metrics.txt").read_text() == (
         tmp_path / "out_numpy" / "demux-metrics.txt"
     ).read_text()
+
+
+def test_bigk_rejects_oversized_part_key_space():
+    """Configurations whose parts exceed the dense-table bound (4^12 keys)
+    are ineligible rather than undefined: mm=0, delta=1 makes ONE part of
+    the full 16bp barcode (4^16 keys — previously an out-of-bounds write)."""
+    barcodes = ["ACGTACGTACGTACGT", "TGCATGCATGCATGCA"]
+    with pytest.raises(native_io.NativeDemuxError):
+        native_io.NativeBigKMatcher(barcodes, 0, 1)
+    # boundary: 12-symbol parts are allowed (mm=0, delta=1, len=12)
+    m = native_io.NativeBigKMatcher(["ACGTACGTACGT", "TGCATGCATGCA"], 0, 1)
+    obs = np.frombuffer(b"ACGTACGTACGT", dtype=np.uint8).reshape(1, 12)
+    assert m.assign(_pack(obs))[0] == 0
+    m.close()
+
+
+def test_assign_fn_cache_respects_batch_size(tmp_path, monkeypatch):
+    """Regression: the assign-fn memo must key on batch_size — a mesh fn
+    built for a divisible batch must not be reused for an indivisible one
+    (shard_map would raise mid-demux)."""
+    import gzip
+
+    import jax
+
+    if jax.local_device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+    rng = np.random.default_rng(9)
+    barcodes = _whitelist(rng, 8, 8)
+    meta = tmp_path / "m.tsv"
+    meta.write_text(
+        "sample_id\tbarcode\n"
+        + "".join(f"S{i}\t{b}\n" for i, b in enumerate(barcodes))
+    )
+    p = tmp_path / "in.fq.gz"
+    with gzip.open(p, "wb") as fh:
+        for i in range(30):
+            fh.write(b"@q%d\n%sAC\n+\nIIIIIIIIII\n" % (i, barcodes[i % 8].encode()))
+
+    def cfg(out, batch):
+        return DemuxConfig(
+            inputs=[p],
+            read_structures=["8B+T"],
+            sample_metadata=meta,
+            output=tmp_path / out,
+            batch_size=batch,
+            engine="native",
+            devices=None,
+        )
+
+    r1 = run_demux(cfg("o1", 16))  # divisible by 8 -> mesh fn cached
+    r2 = run_demux(cfg("o2", 7))  # indivisible -> must NOT reuse the mesh fn
+    assert r1.total_templates == r2.total_templates == 30
