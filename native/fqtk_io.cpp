@@ -129,6 +129,7 @@ class InputStream {
   ~InputStream() {
     if (gzipped_ && !bgzf_ && ok_) inflateEnd(&strm_);
 #ifdef FQTK_HAVE_LIBDEFLATE
+    da_stop();
     if (bgzf_decomp_) libdeflate_free_decompressor(bgzf_decomp_);
 #endif
     if (file_) fclose(file_);
@@ -170,14 +171,174 @@ class InputStream {
 
   const std::string& path() const { return path_; }
 
+  // Enable block-parallel BGZF inflate with `n` worker threads (BGZF
+  // members decode independently).  Call before the first read(); no-op
+  // for n <= 1 or non-BGZF inputs.  Targets the case where fewer parse
+  // threads than cores exist (e.g. single-input demux): one IO thread
+  // streams compressed members, workers inflate them out of order, reads
+  // consume in order.
+  void set_decode_threads(int n) {
+#ifdef FQTK_HAVE_LIBDEFLATE
+    if (bgzf_ && ok_ && !da_ && n > 1) decode_threads_ = n;
+#else
+    (void)n;
+#endif
+  }
+
  private:
 #ifdef FQTK_HAVE_LIBDEFLATE
+  struct DecodeAhead {
+    std::mutex mu;
+    std::condition_variable cv_io, cv_work, cv_get;
+    // seq -> raw member bytes (past the 18-byte header) awaiting inflate
+    std::deque<std::pair<uint64_t, std::vector<uint8_t>>> comp_q;
+    std::map<uint64_t, std::vector<uint8_t>> done;  // seq -> decompressed
+    uint64_t produced = 0;   // members read from disk
+    uint64_t consumed = 0;   // members handed to read()
+    bool io_eof = false, failed = false, stopping = false;
+    std::vector<std::thread> workers;
+    std::thread io;
+    static constexpr uint64_t kMaxInflight = 64;
+  };
+
+  void da_start() {
+    da_ = std::make_unique<DecodeAhead>();
+    da_->io = std::thread([this] { da_io_loop(); });
+    for (int i = 0; i < decode_threads_; i++)
+      da_->workers.emplace_back([this] { da_worker(); });
+  }
+
+  void da_stop() {
+    if (!da_) return;
+    {
+      std::lock_guard<std::mutex> lk(da_->mu);
+      da_->stopping = true;
+      da_->cv_io.notify_all();
+      da_->cv_work.notify_all();
+      da_->cv_get.notify_all();
+    }
+    da_->io.join();
+    for (auto& t : da_->workers) t.join();
+  }
+
+  void da_io_loop() {
+    for (;;) {
+      uint8_t hdr[18];
+      size_t n = fread(hdr, 1, sizeof(hdr), file_);
+      bool bad = false, eof = (n == 0);
+      std::vector<uint8_t> body;
+      if (!eof) {
+        if (n != sizeof(hdr) || hdr[0] != 0x1f || hdr[1] != 0x8b ||
+            !(hdr[3] & 4) || hdr[10] != 6 || hdr[11] != 0 || hdr[12] != 'B' ||
+            hdr[13] != 'C' || hdr[14] != 2 || hdr[15] != 0) {
+          bad = true;
+        } else {
+          size_t bsize = (hdr[16] | (hdr[17] << 8)) + 1;
+          if (bsize < 26 || bsize > (1 << 16)) {
+            bad = true;
+          } else {
+            body.resize(bsize - 18);
+            if (fread(body.data(), 1, body.size(), file_) != body.size())
+              bad = true;
+          }
+        }
+      }
+      std::unique_lock<std::mutex> lk(da_->mu);
+      if (bad) {
+        da_->failed = true;
+        da_->cv_get.notify_all();
+        da_->cv_work.notify_all();
+        return;
+      }
+      if (eof) {
+        da_->io_eof = true;
+        da_->cv_get.notify_all();
+        da_->cv_work.notify_all();
+        return;
+      }
+      da_->cv_io.wait(lk, [&] {
+        return da_->stopping ||
+               da_->produced - da_->consumed < DecodeAhead::kMaxInflight;
+      });
+      if (da_->stopping) return;
+      da_->comp_q.emplace_back(da_->produced++, std::move(body));
+      da_->cv_work.notify_one();
+    }
+  }
+
+  void da_worker() {
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    for (;;) {
+      uint64_t seq;
+      std::vector<uint8_t> body;
+      {
+        std::unique_lock<std::mutex> lk(da_->mu);
+        da_->cv_work.wait(lk, [&] {
+          return da_->stopping || da_->failed || !da_->comp_q.empty() ||
+                 da_->io_eof;
+        });
+        if (da_->comp_q.empty()) {
+          if (da_->stopping || da_->failed || da_->io_eof) break;
+          continue;
+        }
+        seq = da_->comp_q.front().first;
+        body = std::move(da_->comp_q.front().second);
+        da_->comp_q.pop_front();
+      }
+      uint32_t isize;
+      memcpy(&isize, body.data() + body.size() - 4, 4);
+      std::vector<uint8_t> out;
+      bool ok = isize <= (1 << 16);
+      if (ok && isize > 0) {
+        out.resize(isize);
+        size_t out_n = 0;
+        auto r = libdeflate_deflate_decompress(d, body.data(), body.size() - 8,
+                                               out.data(), isize, &out_n);
+        ok = (r == LIBDEFLATE_SUCCESS && out_n == isize);
+      }
+      std::lock_guard<std::mutex> lk(da_->mu);
+      if (!ok) {
+        da_->failed = true;
+        da_->cv_get.notify_all();
+        break;
+      }
+      da_->done.emplace(seq, std::move(out));
+      da_->cv_get.notify_all();
+    }
+    libdeflate_free_decompressor(d);
+  }
+
+  // Pull the next in-order decompressed member into block_buf_.
+  bool da_next_block() {
+    std::unique_lock<std::mutex> lk(da_->mu);
+    for (;;) {
+      auto it = da_->done.find(da_->consumed);
+      if (it != da_->done.end()) {
+        block_buf_ = std::move(it->second);
+        da_->done.erase(it);
+        da_->consumed++;
+        block_len_ = block_buf_.size();
+        block_pos_ = 0;
+        da_->cv_io.notify_one();
+        if (block_len_ == 0) continue;  // EOF-marker member: next
+        return true;
+      }
+      if (da_->failed) {
+        ok_ = false;
+        return false;
+      }
+      if (da_->io_eof && da_->consumed >= da_->produced) return false;
+      da_->cv_get.wait(lk);
+    }
+  }
+
   // Whole-block BGZF decompression via libdeflate.
   size_t read_bgzf(uint8_t* dst, size_t len) {
+    if (decode_threads_ > 1 && !da_) da_start();
     size_t total = 0;
     while (total < len) {
       if (block_pos_ == block_len_) {
-        if (!next_bgzf_block()) break;
+        if (da_ ? !da_next_block() : !next_bgzf_block()) break;
       }
       size_t take = std::min(len - total, block_len_ - block_pos_);
       memcpy(dst + total, block_buf_.data() + block_pos_, take);
@@ -242,6 +403,8 @@ class InputStream {
   std::vector<uint8_t> in_buf_;
 #ifdef FQTK_HAVE_LIBDEFLATE
   libdeflate_decompressor* bgzf_decomp_ = nullptr;
+  int decode_threads_ = 1;
+  std::unique_ptr<DecodeAhead> da_;
 #endif
   std::vector<uint8_t> block_buf_, comp_buf_;
   size_t block_pos_ = 0, block_len_ = 0;
@@ -272,6 +435,7 @@ class FastqScanner {
   bool ok() const { return in_->ok() && !error_; }
   const std::string& error_msg() const { return error_msg_; }
   const std::string& path() const { return in_->path(); }
+  InputStream* stream() { return in_.get(); }
 
   // Returns: 1 = record, 0 = EOF, -1 = error.  The returned views point into
   // the scanner's buffer and stay valid until the next call to next().
@@ -1388,6 +1552,14 @@ class DemuxEngine {
     if (err.failed || pipe_started_) return false;
     pipe_started_ = true;
     pipe_batch_ = batch;
+    // block-parallel BGZF inflate when cores outnumber parse threads
+    // (e.g. single-input demux): up to 3 decode workers per input
+    int hw = static_cast<int>(std::thread::hardware_concurrency());
+    int dec = std::max(
+        1, std::min(3, hw / std::max(1, static_cast<int>(
+                                            parse_states_.size()) + 1)));
+    if (dec > 1)
+      for (auto& st : parse_states_) st->in->set_decode_threads(dec);
     counts_.assign(writers_.size(), 0);
     pslots_.reset(new PipeSlot[kPipeSlots]);
     for (int s = 0; s < kPipeSlots; s++) {
@@ -1735,6 +1907,14 @@ class SubsampleEngine {
 
   void configure(bool check_names) {
     check_names_ = check_names && scanners_.size() > 1;
+    // the subsample hot loop is single-threaded: give each BGZF input
+    // decode-ahead workers when cores allow
+    int hw = static_cast<int>(std::thread::hardware_concurrency());
+    int dec = std::max(
+        1, std::min(3, hw / std::max(1, static_cast<int>(
+                                            scanners_.size()) + 1)));
+    if (dec > 1)
+      for (auto& sc : scanners_) sc->stream()->set_decode_threads(dec);
   }
 
   // Process up to n record sets with the given keep mask; returns the number

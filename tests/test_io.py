@@ -160,3 +160,41 @@ def test_bgzf_input_fast_path_demux(tmp_path):
         assert res.total_templates == 3000
     for f in sorted((tmp_path / "out_bgzf").glob("*.fq.gz")):
         assert gzip.open(f).read() == gzip.open(tmp_path / "out_gz" / f.name).read()
+
+
+def test_bgzf_decode_ahead_parallel_inflate(tmp_path):
+    """A multi-block BGZF input through the single-input demux path (which
+    enables block-parallel decode-ahead when cores allow) must produce
+    byte-identical output to the python engine's streaming read."""
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    p = tmp_path / "in.fq.gz"
+    w = native_io.NativeBgzfWriter(p, 1, threads=2)
+    n = 20_000  # ~3MB decompressed -> dozens of BGZF blocks
+    for i in range(n):
+        w.write(b"@r%d 1:N:0:0\nAAAATTTTGGGGCCCC\n+\nIIIIIIIIIIIIIIII\n" % i)
+    w.close()
+    meta = tmp_path / "m.tsv"
+    meta.write_text("sample_id\tbarcode\nsA\tAAAATTTT\n")
+
+    outs = {}
+    for engine in ("native", "numpy"):
+        out = tmp_path / f"out_{engine}"
+        res = run_demux(
+            DemuxConfig(
+                inputs=[p],
+                read_structures=["8B+T"],
+                sample_metadata=meta,
+                output=out,
+                batch_size=4096,
+                engine=engine,
+                devices=1,
+            )
+        )
+        assert res.total_templates == n
+        outs[engine] = gzip.decompress((out / "sA.R1.fq.gz").read_bytes())
+    assert outs["native"] == outs["numpy"]
+    assert outs["native"].count(b"\n") == 4 * n
