@@ -239,7 +239,7 @@ def run_e2e(tmp, inputs, structures, meta, n_reads, tag, trials=2,
 def run_refproxy(tmp, inputs, structures, barcodes, n_reads, tag,
                  max_mm=1, delta=2, trials=2, threads=16):
     """Reference-architecture proxy on the same inputs; best-of-N reads/s."""
-    from fqtk_tpu.core.read_structure import ReadStructure
+    from fqtk_tpu.core.read_structure import ReadStructure, SegmentType
     from fqtk_tpu.io import native as native_io
 
     if not native_io.available():
@@ -260,8 +260,6 @@ def run_refproxy(tmp, inputs, structures, barcodes, n_reads, tag,
                     str(rs),
                     [(s.offset, s.length, s.kind.value) for s in rs],
                 )
-            from fqtk_tpu.core.read_structure import SegmentType
-
             n_t = sum(len(rs.segments_by_type(SegmentType.Template)) for rs in rss)
             names = [f"S{i:04d}" for i in range(len(barcodes))] + ["unmatched"]
             for name in names:

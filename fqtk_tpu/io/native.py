@@ -151,8 +151,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.fqtk_bigk_free.argtypes = [ctypes.c_void_p]
-    lib.fqtk_demux_finish.restype = ctypes.c_int
-    lib.fqtk_demux_finish.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_error.restype = ctypes.c_char_p
     lib.fqtk_demux_error.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_free.argtypes = [ctypes.c_void_p]
@@ -364,12 +362,6 @@ class NativeDemuxEngine:
             "native_compress_in_bytes": out[4],
             "native_compress_out_bytes": out[5],
         }
-
-    def finish(self) -> None:
-        if not self._finished:
-            self._finished = True
-            rc = self._lib.fqtk_demux_finish(self._h)
-            self._check(rc)
 
     def close(self) -> None:
         if self._h:

@@ -36,3 +36,15 @@ def byte_is_nocall(obs_bytes):
 
     b = obs_bytes.astype(jnp.int32)
     return ((b == 78) | (b == 110) | (b == 46)).astype(jnp.int32)
+
+
+def unpack_nib4(obs_in, length):
+    """Unpack ``[B, ceil(L/2)]`` 4-bit-mask bytes (low nibble = even
+    position) to ``[B, L]`` int32 masks — the device side of the native
+    engine's nib4 transfer layout."""
+    import jax.numpy as jnp
+
+    b = obs_in.shape[0]
+    lo = (obs_in & 0xF).astype(jnp.int32)
+    hi = (obs_in >> 4).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(b, -1)[:, :length]

@@ -225,7 +225,7 @@ def make_assign_fn(
     nocall_budget = max_mismatches + expected.max_ns_in_barcodes
     acc = accum_dtype or jnp.int32
 
-    from .device_encoding import byte_is_nocall, byte_to_mask
+    from .device_encoding import byte_is_nocall, byte_to_mask, unpack_nib4
 
     # Device-resident whitelist passed as an argument (constants this large
     # bloat the compiled program; see pallas_matcher for the same pattern).
@@ -247,10 +247,7 @@ def make_assign_fn(
             obs_masks = None
         else:
             if packed_masks:
-                lo = (obs_in & 0xF).astype(jnp.int32)
-                hi = (obs_in >> 4).astype(jnp.int32)
-                interleaved = jnp.stack([lo, hi], axis=-1).reshape(b, -1)
-                obs_masks = interleaved[:, :length]  # [B, L] int32 4-bit masks
+                obs_masks = unpack_nib4(obs_in, length)
             else:
                 obs_masks = byte_to_mask(obs_in)  # [B, L] int32 (no gathers)
             onehot = (

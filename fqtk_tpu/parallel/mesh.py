@@ -117,15 +117,11 @@ def make_sharded_assign_fn(
         compat = np.concatenate([compat, pad], axis=1)
     k_per_shard = k_padded // n_k_shards
 
-    from ..ops.device_encoding import byte_is_nocall, byte_to_mask
+    from ..ops.device_encoding import byte_is_nocall, byte_to_mask, unpack_nib4
 
     def _obs_masks(obs_in):
-        b = obs_in.shape[0]
         if packed_masks:
-            lo = (obs_in & 0xF).astype(jnp.int32)
-            hi = (obs_in >> 4).astype(jnp.int32)
-            interleaved = jnp.stack([lo, hi], axis=-1).reshape(b, -1)
-            return interleaved[:, :length]
+            return unpack_nib4(obs_in, length)
         return byte_to_mask(obs_in)
 
     def local_top2(obs_bytes, compat_local):

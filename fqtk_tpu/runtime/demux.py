@@ -5,14 +5,15 @@ TPU-native re-design of the reference's ``Demux::execute``
 record-at-a-time loop (parse -> extract -> match via scalar hamming with a
 memo cache -> write).  Here the pipeline is batch-oriented:
 
-1. host parses FASTQ records and extracts read-structure segments,
-2. observed sample barcodes are packed into a fixed-shape ``[B, L]`` uint8
-   byte matrix (too-short/too-long rows handled host-side, matching the
-   reference's gates),
-3. one jitted device call computes all assignments for the batch
-   (:func:`fqtk_tpu.ops.matcher.make_assign_fn`),
-4. assignments come back as an index vector and records are routed to
-   per-sample BGZF writers; metrics are accumulated with ``np.bincount``.
+1. the native engine's persistent parse threads scan FASTQ records
+   zero-copy into batch arenas and pack observed sample barcodes into a
+   fixed-shape matrix (2-bit codes or 4-bit masks; too-short/too-long rows
+   gated host-side, matching the reference),
+2. one jitted device call computes the batch's assignments
+   (:func:`fqtk_tpu.ops.matcher.make_assign_fn`, a mesh-sharded variant, or
+   the host pigeonhole matcher for huge whitelists),
+3. the engine's route thread rewrites headers and streams records to
+   per-sample BGZF writers, accumulating per-sample counts natively.
 
 Behavioral contract (error strings, skip-reason accounting, header rewriting,
 output naming ``{sample_id}.{R|I|U|C}{n}.fq.gz``, ``demux-metrics.txt``)

@@ -2567,8 +2567,6 @@ FQTK_API void fqtk_demux_configure(DemuxEngine* e, int bc_len,
                first_barcode, out_types, n_out_types, pack_masks);
 }
 
-FQTK_API int fqtk_demux_finish(DemuxEngine* e) { return e->finish() ? 0 : -1; }
-
 // ---- pipelined mode ----
 
 FQTK_API int fqtk_demux_pipe_start(DemuxEngine* e, int64_t batch) {
