@@ -163,7 +163,10 @@ def validate_and_prepare(cfg: DemuxConfig):
         logger.info('Output directory "%s" didn\'t exist, creating it.', output)
         output.mkdir(parents=True, exist_ok=True)
 
-    if not os.access(output, os.W_OK):
+    # the reference checks the permission BITS (fs::Permissions::readonly,
+    # demux.rs:824-827), not effective access — matters for root, where
+    # os.access() would say a chmod-555 directory is writable
+    if output.stat().st_mode & 0o222 == 0:
         # NB: "Ouput" typo is the reference's operator-facing text (demux.rs:826)
         errors.append(f'Ouput directory "{output}" cannot be read-only')
 

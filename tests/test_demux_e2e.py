@@ -764,3 +764,22 @@ def test_native_empty_gzip_input(tmp_path):
     res = run_demux(_cfg(tmp_path, [p], ["4B+T"], meta, out, "native"))
     assert res.total_templates == 0
     assert "NaN" in (out / "demux-metrics.txt").read_text()
+
+
+def test_read_only_output_dir_fails(tmp_path):
+    """Reference checks the output dir's permission BITS (demux.rs:824-827),
+    so the error fires even for root (mirrors
+    test_read_only_output_dir_fails)."""
+    inputs = [fastq_file(tmp_path, "r1", "ex", ["GATTACA"])]
+    out = tmp_path / "ro_out"
+    out.mkdir()
+    out.chmod(0o555)
+    try:
+        with pytest.raises(
+            DemuxError, match=r'Ouput directory .* cannot be read-only'
+        ):
+            run_demux(
+                _cfg(tmp_path, inputs, ["+T"], metadata(tmp_path), out, "numpy")
+            )
+    finally:
+        out.chmod(0o755)
