@@ -23,7 +23,6 @@ follows the reference exactly; see the assertions cited inline.
 from __future__ import annotations
 
 import logging
-import os
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
