@@ -81,8 +81,6 @@ def check_file(path: Path):
         for name, lineno in sorted(col.imports.items()):
             if name in used or name == "_" or lineno in noqa_lines:
                 continue
-            if f"{name}." in text:  # module used via attribute in strings/annotations
-                continue
             errors.append(f"{path}:{lineno}: unused import '{name}'")
     return errors
 
