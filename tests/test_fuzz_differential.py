@@ -163,3 +163,69 @@ def test_subsample_native_matches_python_fuzz(tmp_path, seed):
         a = gzip.open(tmp_path / f"ss_out_nat_{seed}.R{i + 1}.fq.gz").read()
         b = gzip.open(tmp_path / f"ss_out_py_{seed}.R{i + 1}.fq.gz").read()
         assert a == b
+
+
+@pytest.mark.parametrize("seed", [301, 302, 303, 304, 305])
+def test_native_matches_python_fuzz_extended(tmp_path, seed):
+    """Extended differential fuzz over the round-2 engine surface: BGZF
+    inputs (block-parallel decode-ahead), the multi-device mesh (batch
+    divisible by the 8 fake devices), and N-storm reads (mass host-side
+    exceptional resolution on the 2-bit path)."""
+    from fqtk_tpu.io import native as native_io
+
+    rng = random.Random(seed)
+    inputs, structures, meta = _random_scenario(rng, tmp_path, seed)
+
+    if seed % 2:  # N-storm: most reads carry multiple no-calls
+        for p in inputs:
+            lines = p.read_text().splitlines()
+            for i in range(1, len(lines), 4):
+                s = list(lines[i])
+                for _ in range(max(1, len(s) // 2)):
+                    if s:
+                        s[rng.randrange(len(s))] = "N"
+                lines[i] = "".join(s)
+                lines[i + 2] = "I" * len(s)
+            p.write_text("\n".join(lines) + "\n")
+
+    if native_io.available():  # recompress inputs as BGZF (decode-ahead path)
+        bgzf_inputs = []
+        for p in inputs:
+            q = p.with_suffix(".fq.gz")
+            w = native_io.NativeBgzfWriter(q, 1, threads=2)
+            w.write(p.read_bytes())
+            w.close()
+            bgzf_inputs.append(q)
+        inputs = bgzf_inputs
+
+    max_mm = rng.choice([0, 1])
+    results = {}
+    for engine, devices in (("native", None), ("numpy", 1)):
+        out = tmp_path / f"out_{engine}_{seed}"
+        cfg = DemuxConfig(
+            inputs=inputs,
+            read_structures=structures,
+            sample_metadata=meta,
+            output=out,
+            output_types=["T", "B", "M", "C"],
+            max_mismatches=max_mm,
+            min_mismatch_delta=1,
+            skip_reasons=["too-few-bases"],
+            batch_size=16,  # divisible by the 8 fake devices -> mesh engages
+            engine=engine,
+            devices=devices,
+        )
+        results[engine] = run_demux(cfg)
+
+    assert results["native"].skip_counts == results["numpy"].skip_counts
+    out_n = tmp_path / f"out_native_{seed}"
+    out_p = tmp_path / f"out_numpy_{seed}"
+    files_n = sorted(p.name for p in out_n.glob("*.fq.gz"))
+    assert files_n == sorted(p.name for p in out_p.glob("*.fq.gz"))
+    for name in files_n:
+        a = gzip.open(out_n / name).read()
+        b = gzip.open(out_p / name).read()
+        assert a == b, f"{name} differs (seed={seed})"
+    assert (out_n / "demux-metrics.txt").read_text() == (
+        out_p / "demux-metrics.txt"
+    ).read_text()
