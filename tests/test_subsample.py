@@ -283,3 +283,22 @@ def test_native_subsample_progress_lines(tmp_path, caplog, monkeypatch):
     lines = [r.message for r in caplog.records if "Read 8 record sets" in r.message]
     assert lines, caplog.text
     assert any("Read 16 record sets" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_subsample_empty_input(tmp_path, use_native):
+    """Zero-record inputs finish cleanly with empty (EOF-block-only) outputs
+    (mirrors the reference's test_empty_input)."""
+    import gzip
+
+    p = tmp_path / "empty.fq.gz"
+    with gzip.open(p, "wb"):
+        pass
+    from fqtk_tpu.runtime.subsample import SubsampleConfig, run_subsample
+
+    res = run_subsample(
+        SubsampleConfig(inputs=[p], output=tmp_path / "o", fraction=0.5, seed=1),
+        use_native=use_native,
+    )
+    assert res.total_read == 0 and res.total_kept == 0
+    assert gzip.decompress((tmp_path / "o.R1.fq.gz").read_bytes()) == b""
