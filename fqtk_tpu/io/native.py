@@ -56,6 +56,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
     if not _LIB_PATH.exists() or _is_stale():
         _try_build()
+        if _LIB_PATH.exists() and _is_stale():
+            import logging
+
+            logging.getLogger("fqtk").warning(
+                "native/fqtk_io.cpp is newer than libfqtk_io.so and the "
+                "rebuild failed; loading the STALE binary (run `make -C "
+                "native` to see the build error)"
+            )
     if not _LIB_PATH.exists():
         _load_failed = True
         return None

@@ -234,8 +234,11 @@ _ASSIGN_FN_CACHE: Dict[tuple, tuple] = {}
 def _make_device_assign_fn(
     cfg: DemuxConfig, expected: ExpectedSet, barcodes=None
 ):
+    if barcodes is None:
+        # without the whitelist identity there is no safe cache key
+        return _build_device_assign_fn(cfg, expected, barcodes)
     key = (
-        tuple(barcodes) if barcodes is not None else None,
+        tuple(barcodes),
         cfg.max_mismatches,
         cfg.min_mismatch_delta,
         cfg.devices,
@@ -244,8 +247,9 @@ def _make_device_assign_fn(
         cfg.batch_size,  # mesh divisibility fallback depends on it
         PALLAS_K_THRESHOLD,  # policy inputs: keep tests/monkeypatching sound
     )
-    cached = _ASSIGN_FN_CACHE.get(key)
+    cached = _ASSIGN_FN_CACHE.pop(key, None)
     if cached is not None:
+        _ASSIGN_FN_CACHE[key] = cached  # LRU: refresh on hit
         return cached
     result = _build_device_assign_fn(cfg, expected, barcodes)
     if len(_ASSIGN_FN_CACHE) >= 4:  # bound device/table memory

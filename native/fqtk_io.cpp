@@ -80,6 +80,40 @@ struct ErrorState {
   }
 };
 
+// Python bytes-repr of a byte string (b'...'), matching CPython's rules:
+// prefer single quotes, switch to double quotes iff the data contains a
+// single quote and no double quote; escape backslash, the quote, \t \n \r,
+// and non-printables as \xNN.  Used so native error text renders headers
+// exactly like the Python engine's f-string of a bytes list.
+std::string py_bytes_repr(const uint8_t* data, size_t len) {
+  bool has_sq = memchr(data, '\'', len) != nullptr;
+  bool has_dq = memchr(data, '"', len) != nullptr;
+  char quote = (has_sq && !has_dq) ? '"' : '\'';
+  std::string out = "b";
+  out += quote;
+  char buf[8];
+  for (size_t i = 0; i < len; i++) {
+    uint8_t c = data[i];
+    if (c == static_cast<uint8_t>(quote) || c == '\\') {
+      out += '\\';
+      out += static_cast<char>(c);
+    } else if (c == '\t') {
+      out += "\\t";
+    } else if (c == '\n') {
+      out += "\\n";
+    } else if (c == '\r') {
+      out += "\\r";
+    } else if (c < 0x20 || c >= 0x7f) {
+      snprintf(buf, sizeof(buf), "\\x%02x", c);
+      out += buf;
+    } else {
+      out += static_cast<char>(c);
+    }
+  }
+  out += quote;
+  return out;
+}
+
 std::string str_printf(const char* fmt, ...) {
   va_list args;
   va_start(args, fmt);
@@ -1270,18 +1304,15 @@ class DemuxEngine {
       }
       if (got != n_in) {
         // list the present records' headers, same rendering as the Python
-        // path (runtime/demux.py) so the operator-facing contract matches
+        // path (runtime/demux.py f-string of a bytes list, i.e. CPython
+        // bytes repr) so the operator-facing contract matches byte-for-byte
         std::string heads = "[";
         for (size_t i = 0; i < n_in; i++) {
           const InputBatch& ib = slot.per_input[i];
           if (t >= static_cast<int64_t>(ib.recs.size())) continue;
           const RecEntry& e = ib.recs[t];
           if (heads.size() > 1) heads += ", ";
-          heads += "b'";
-          heads.append(reinterpret_cast<const char*>(ib.arena.data()) +
-                           e.head_off,
-                       e.head_len);
-          heads += "'";
+          heads += py_bytes_repr(ib.arena.data() + e.head_off, e.head_len);
         }
         heads += "]";
         err.set(str_printf("FASTQ sources out of sync at records: %s",

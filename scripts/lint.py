@@ -77,7 +77,19 @@ def check_file(path: Path):
                 used.add(node.id)
             elif isinstance(node, ast.Attribute):
                 pass  # attribute roots are Names, already collected
-        # names referenced in __all__ strings or doctests stay imported
+        # names re-exported via __all__ count as used
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Assign)
+                and any(
+                    isinstance(t, ast.Name) and t.id == "__all__"
+                    for t in node.targets
+                )
+                and isinstance(node.value, (ast.List, ast.Tuple))
+            ):
+                for elt in node.value.elts:
+                    if isinstance(elt, ast.Constant) and isinstance(elt.value, str):
+                        used.add(elt.value)
         for name, lineno in sorted(col.imports.items()):
             if name in used or name == "_" or lineno in noqa_lines:
                 continue

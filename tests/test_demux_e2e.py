@@ -783,3 +783,28 @@ def test_read_only_output_dir_fails(tmp_path):
             )
     finally:
         out.chmod(0o755)
+
+
+@pytest.mark.parametrize("engine", ["numpy", "native"])
+def test_out_of_sync_header_rendering_matches_bytes_repr(tmp_path, engine):
+    """Headers with quotes render identically in both engines' out-of-sync
+    error (CPython bytes-repr rules, incl. the quote-flip case)."""
+    (tmp_path / "bc.fastq").write_text("@a'q\nAAAA\n+\nIIII\n")
+    (tmp_path / "t.fastq").write_text(
+        "@b'x y\nGGGGGGGGGGGGGGGGGGGG\n+\nIIIIIIIIIIIIIIIIIIII\n"
+        "@b2\nGGGGGGGGGGGGGGGGGGGG\n+\nIIIIIIIIIIIIIIIIIIII\n"
+    )
+    meta = metadata_file(tmp_path, ["AAAA"])
+    with pytest.raises(DemuxError) as e:
+        run_demux(
+            _cfg(
+                tmp_path,
+                [tmp_path / "bc.fastq", tmp_path / "t.fastq"],
+                ["4B", "20T"],
+                meta,
+                tmp_path / f"out_{engine}",
+                engine,
+                batch_size=3,
+            )
+        )
+    assert 'b"b\'x y"' in str(e.value) or "b\"b'x y\"" in str(e.value)
