@@ -790,9 +790,11 @@ def test_out_of_sync_header_rendering_matches_bytes_repr(tmp_path, engine):
     """Headers with quotes render identically in both engines' out-of-sync
     error (CPython bytes-repr rules, incl. the quote-flip case)."""
     (tmp_path / "bc.fastq").write_text("@a'q\nAAAA\n+\nIIII\n")
+    # the second template desyncs: only t.fastq has a record, and ITS header
+    # carries a single quote to force the repr quote-flip
     (tmp_path / "t.fastq").write_text(
+        "@b1\nGGGGGGGGGGGGGGGGGGGG\n+\nIIIIIIIIIIIIIIIIIIII\n"
         "@b'x y\nGGGGGGGGGGGGGGGGGGGG\n+\nIIIIIIIIIIIIIIIIIIII\n"
-        "@b2\nGGGGGGGGGGGGGGGGGGGG\n+\nIIIIIIIIIIIIIIIIIIII\n"
     )
     meta = metadata_file(tmp_path, ["AAAA"])
     with pytest.raises(DemuxError) as e:
