@@ -373,7 +373,7 @@ def main():
         di_inputs = [paths["i1"], paths["r1"], paths["r2"], paths["i2"]]
         di_structs = ["8B", "100T", "100T", "9B"]
         e2e_rps, stage_timings = run_e2e(
-            tmp, di_inputs, di_structs, meta, N_READS, "headline", trials=3,
+            tmp, di_inputs, di_structs, meta, N_READS, "headline", trials=4,
             warm_inputs=[wpaths["i1"], wpaths["r1"], wpaths["r2"], wpaths["i2"]],
         )
         proxy_di = run_refproxy(
