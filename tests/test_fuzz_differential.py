@@ -188,15 +188,25 @@ def test_native_matches_python_fuzz_extended(tmp_path, seed):
                 lines[i + 2] = "I" * len(s)
             p.write_text("\n".join(lines) + "\n")
 
-    if native_io.available():  # recompress inputs as BGZF (decode-ahead path)
-        bgzf_inputs = []
-        for p in inputs:
-            q = p.with_suffix(".fq.gz")
-            w = native_io.NativeBgzfWriter(q, 1, threads=2)
-            w.write(p.read_bytes())
-            w.close()
-            bgzf_inputs.append(q)
-        inputs = bgzf_inputs
+    if native_io.available():
+        # mix input formats within one run: BGZF (decode-ahead path),
+        # streaming gzip, and plain — the auto-detect must handle all
+        mixed_inputs = []
+        for j, p in enumerate(inputs):
+            if j % 3 == 0:
+                q = p.with_suffix(".fq.gz")
+                w = native_io.NativeBgzfWriter(q, 1, threads=2)
+                w.write(p.read_bytes())
+                w.close()
+                mixed_inputs.append(q)
+            elif j % 3 == 1:
+                q = p.with_suffix(".gzip.fq.gz")
+                with gzip.open(q, "wb", compresslevel=1) as fh:
+                    fh.write(p.read_bytes())
+                mixed_inputs.append(q)
+            else:
+                mixed_inputs.append(p)
+        inputs = mixed_inputs
 
     max_mm = rng.choice([0, 1])
     results = {}

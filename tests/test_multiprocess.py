@@ -109,3 +109,53 @@ def test_cli_distributed_demux_two_processes(tmp_path):
     assert "sA\tGATTACA\t5" in text
     assert (tmp_path / "out" / "shard-0" / "sA.R1.fq.gz").exists()
     assert (tmp_path / "out" / "shard-1" / "sA.R1.fq.gz").exists()
+
+
+def test_multihost_shards_concatenate_to_single_process_output(tmp_path):
+    """The documented global view of multi-host output — per-sample shard
+    files concatenated in shard order — must equal a single-process run
+    over the concatenated inputs, byte for byte."""
+    import gzip
+
+    def fq(path, bcs):
+        lines = []
+        for i, bc in enumerate(bcs):
+            lines += [f"@{path.stem}_{i} 1:N:0:0", bc + "GGGGG", "+", ";" * (len(bc) + 5)]
+        path.write_text("\n".join(lines) + "\n")
+
+    shard0 = ["GATTACA", "GATTACA", "TTTTTTT", "GATTACA"]
+    shard1 = ["GATTACA", "CCCCCCC", "GATTACA"]
+    fq(tmp_path / "in0.fastq", shard0)
+    fq(tmp_path / "in1.fastq", shard1)
+    (tmp_path / "metadata.tsv").write_text("sample_id\tbarcode\nsA\tGATTACA\n")
+
+    _run_pair("demux_multihost", tmp_path)
+
+    # single-process over the concatenated input
+    combined = tmp_path / "combined.fastq"
+    combined.write_text(
+        (tmp_path / "in0.fastq").read_text() + (tmp_path / "in1.fastq").read_text()
+    )
+    from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+    run_demux(
+        DemuxConfig(
+            inputs=[combined],
+            read_structures=["7B+T"],
+            sample_metadata=tmp_path / "metadata.tsv",
+            output=tmp_path / "single",
+            engine="numpy",
+            batch_size=4,
+        )
+    )
+    for name in ("sA.R1.fq.gz", "unmatched.R1.fq.gz"):
+        sharded = b"".join(
+            gzip.decompress((tmp_path / "out" / f"shard-{p}" / name).read_bytes())
+            for p in range(2)
+        )
+        single = gzip.decompress((tmp_path / "single" / name).read_bytes())
+        assert sharded == single, name
+    # and the merged metrics equal the single-process metrics
+    assert (tmp_path / "out" / "demux-metrics.txt").read_text() == (
+        tmp_path / "single" / "demux-metrics.txt"
+    ).read_text()
