@@ -810,3 +810,56 @@ def test_out_of_sync_header_rendering_matches_bytes_repr(tmp_path, engine):
             )
         )
     assert 'b"b\'x y"' in str(e.value) or "b\"b'x y\"" in str(e.value)
+
+
+def test_device_failure_mid_run_tears_down_cleanly(tmp_path, monkeypatch):
+    """If the device matcher raises mid-stream (e.g. a TPU backend error),
+    the exception must propagate promptly and the engine teardown must join
+    its parse/route threads without deadlock."""
+    from fqtk_tpu.runtime import demux as dmod
+
+    calls = {"n": 0}
+
+    def flaky_factory(cfg, expected, barcodes=None):
+        import numpy as np
+
+        def assign(obs):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated device backend failure")
+            return np.zeros(obs.shape[0], dtype=np.int32)
+
+        return assign, "nib4"
+
+    monkeypatch.setattr(dmod, "_build_device_assign_fn", flaky_factory)
+    dmod._ASSIGN_FN_CACHE.clear()
+
+    reads = ["AAAA" + "G" * 10] * 40
+    inputs = [fastq_file(tmp_path, "in", "df", reads)]
+    cfg = _cfg(
+        tmp_path,
+        inputs,
+        ["4B+T"],
+        metadata_file(tmp_path, ["AAAA"]),
+        tmp_path / "out",
+        "native",
+        batch_size=8,
+    )
+    with pytest.raises(RuntimeError, match="simulated device backend failure"):
+        run_demux(cfg)
+    # the engine must be fully torn down: a fresh run on the same inputs
+    # succeeds (no leaked global state, no stuck threads)
+    dmod._ASSIGN_FN_CACHE.clear()
+    monkeypatch.undo()
+    res = run_demux(
+        _cfg(
+            tmp_path,
+            inputs,
+            ["4B+T"],
+            metadata_file(tmp_path, ["AAAA"]),
+            tmp_path / "out2",
+            "native",
+            batch_size=8,
+        )
+    )
+    assert res.total_templates == 40
