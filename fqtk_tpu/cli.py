@@ -100,6 +100,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="Compute engine: auto = C++ host I/O + JAX matcher when "
         "available (engine extension).",
     )
+    demux.add_argument(
+        "--matcher",
+        choices=["auto", "host", "device"],
+        default="auto",
+        help="Assignment placement: auto keeps tiny whitelists on the host "
+        "(the per-batch device round-trip would dominate; threshold "
+        "FQTK_HOST_MATCHER_MAX_K) and uses the device paths otherwise "
+        "(engine extension).",
+    )
     # per-subcommand --version, as clap's #[command(version)] provides
     demux.add_argument(
         "--version", action="version", version=f"fqtk-tpu demux {__version__}"
@@ -212,6 +221,7 @@ def _dispatch(args) -> int:
             batch_size=args.batch_size,
             engine=args.engine,
             devices=args.devices,
+            matcher=args.matcher,
         )
         if args.distributed_coordinator is not None:
             from .parallel.distributed import init_distributed, run_demux_multihost

@@ -159,6 +159,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.fqtk_bigk_free.argtypes = [ctypes.c_void_p]
+    lib.fqtk_smallk_new.restype = ctypes.c_void_p
+    lib.fqtk_smallk_new.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.fqtk_smallk_assign.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
+    lib.fqtk_smallk_free.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_error.restype = ctypes.c_char_p
     lib.fqtk_demux_error.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_free.argtypes = [ctypes.c_void_p]
@@ -480,6 +497,59 @@ class NativeBigKMatcher:
     def close(self) -> None:
         if self._h:
             self._lib.fqtk_bigk_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeSmallKMatcher:
+    """Brute-force host matcher for small whitelists (``SmallKMatcher`` in
+    ``native/fqtk_io.cpp``).  Full IUPAC containment semantics over the
+    pipeline's packed 4-bit-mask layout; used by the demux auto policy when
+    the per-batch device round-trip would exceed the K*L host scan cost."""
+
+    def __init__(self, barcodes, max_mismatches: int, min_delta: int,
+                 threads: int = 4):
+        lib = get_lib()
+        if lib is None:
+            raise NativeDemuxError("native library unavailable")
+        self._lib = lib
+        self._threads = threads
+        self.length = len(barcodes[0])
+        concat = "".join(b.upper() for b in barcodes).encode()
+        buf = (ctypes.c_uint8 * len(concat)).from_buffer_copy(concat)
+        self._h = lib.fqtk_smallk_new(
+            buf, len(barcodes), self.length, max_mismatches, min_delta
+        )
+        if not self._h:
+            raise NativeDemuxError(
+                "whitelist not eligible for the small-K host matcher "
+                "(invalid IUPAC bytes, or barcode length > 256)"
+            )
+
+    def assign(self, obs_packed: np.ndarray) -> np.ndarray:
+        """obs_packed[N, ceil(L/2)] uint8 (two 4-bit masks per byte) ->
+        assigned[N] int32 with K = unmatched."""
+        obs_packed = np.ascontiguousarray(obs_packed, dtype=np.uint8)
+        n = obs_packed.shape[0]
+        out = np.empty(n, dtype=np.int32)
+        self._lib.fqtk_smallk_assign(
+            self._h,
+            obs_packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            obs_packed.shape[1],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._threads,
+        )
+        return out
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fqtk_smallk_free(self._h)
             self._h = None
 
     def __del__(self):  # pragma: no cover

@@ -76,6 +76,10 @@ class DemuxConfig:
     #: device count for the batch/whitelist mesh: None = all local devices
     #: (single-device path when only one is visible), 1 = force single
     devices: Optional[int] = None
+    #: assignment placement: "auto" picks host matchers when the per-batch
+    #: device round-trip would dominate (tiny K, single device) and the
+    #: device paths otherwise; "host"/"device" force one side
+    matcher: str = "auto"
 
 
 @dataclass
@@ -224,6 +228,22 @@ def _too_few_bases_allowed(cfg: DemuxConfig) -> bool:
 #: (it keeps the [B, K] count tiles VMEM-resident; measured 1.8x at 737K)
 PALLAS_K_THRESHOLD = 65536
 
+
+def _host_matcher_max_k() -> int:
+    """Whitelist size at or below which the auto policy keeps assignment on
+    the host (brute-force ``SmallKMatcher``) instead of paying the per-batch
+    device round-trip.  The default is the measured crossover on this
+    environment (device leg ~25 ms dispatch + ~40 MB/s relay transfer per
+    128K-read window vs the K*L host scan; see DESIGN.md).  Hosts with
+    directly-attached TPUs should lower it (``FQTK_HOST_MATCHER_MAX_K=0``
+    routes every whitelist to the device paths)."""
+    import os
+
+    try:
+        return int(os.environ.get("FQTK_HOST_MATCHER_MAX_K", "4096"))
+    except ValueError:
+        return 4096
+
 #: process-level memo of device assign fns: repeated runs over the same
 #: whitelist/params reuse the traced+compiled program (and, for the
 #: pigeonhole path, the built candidate tables) instead of paying the
@@ -243,9 +263,11 @@ def _make_device_assign_fn(
         cfg.min_mismatch_delta,
         cfg.devices,
         cfg.engine,
+        cfg.matcher,
         cfg.threads,
         cfg.batch_size,  # mesh divisibility fallback depends on it
         PALLAS_K_THRESHOLD,  # policy inputs: keep tests/monkeypatching sound
+        _host_matcher_max_k(),
     )
     cached = _ASSIGN_FN_CACHE.pop(key, None)
     if cached is not None:
@@ -268,21 +290,28 @@ def _build_device_assign_fn(
     ``"bit2"`` ([B, ceil(L/4)] 2-bit ACGT codes; ambiguous rows flagged
     exceptional and resolved host-side).
 
-    Selection policy:
+    Selection policy (``cfg.matcher`` forces one side; "auto" below):
     - huge pure-ACGT whitelist + native lib: the host pigeonhole matcher
       (exact-candidate filtering beats brute force — even MXU brute force —
       by orders of magnitude; see ``BigKMatcher`` in native/fqtk_io.cpp).
+    - tiny whitelist + single device + native lib: the host brute-force
+      matcher (``SmallKMatcher``) — the per-batch device round-trip exceeds
+      the whole K*L host scan below ``FQTK_HOST_MATCHER_MAX_K``.
     - multiple visible devices (or ``cfg.devices > 1``): shard over a mesh —
       huge whitelists shard K (cross-shard top-2 merge), everything else
       shards the batch axis (pure data parallelism, no collectives).
     - single device + huge whitelist: fused Pallas kernel.
     - otherwise: the XLA scan path.
     """
+    import os
+
     import jax
 
     big_k = expected.count >= PALLAS_K_THRESHOLD and expected.length <= 255
+    policy = cfg.matcher or "auto"
+    host_threads = max(2, min(cfg.threads - 1, os.cpu_count() or 4))
 
-    if big_k and barcodes is not None:
+    if policy != "device" and big_k and barcodes is not None:
         from ..io import native as native_io
 
         if native_io.available():
@@ -291,16 +320,18 @@ def _build_device_assign_fn(
                     barcodes,
                     cfg.max_mismatches,
                     cfg.min_mismatch_delta,
-                    threads=max(1, min(4, cfg.threads - 2)),
+                    threads=host_threads,
                 )
                 logger.info(
-                    "big-K pigeonhole host matcher selected (K=%d, %d parts)",
+                    "big-K pigeonhole host matcher selected (K=%d, %d parts, "
+                    "%d threads)",
                     expected.count,
                     cfg.max_mismatches + max(cfg.min_mismatch_delta, 1),
+                    host_threads,
                 )
-                return matcher.assign, "nib4"
+                return matcher.assign, "nib4", True
             except native_io.NativeDemuxError:
-                pass  # ineligible whitelist: fall through to device paths
+                pass  # ineligible whitelist: fall through
     n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
     n_dev = max(1, min(n_dev, jax.local_device_count()))
     if n_dev > 1 and cfg.batch_size % n_dev != 0:
@@ -310,6 +341,37 @@ def _build_device_assign_fn(
             n_dev,
         )
         n_dev = 1
+
+    small_k_host = policy == "host" or (
+        policy == "auto"
+        and n_dev == 1
+        and expected.count <= _host_matcher_max_k()
+    )
+    if small_k_host and barcodes is not None:
+        from ..io import native as native_io
+
+        if native_io.available():
+            try:
+                matcher = native_io.NativeSmallKMatcher(
+                    barcodes,
+                    cfg.max_mismatches,
+                    cfg.min_mismatch_delta,
+                    threads=host_threads,
+                )
+                logger.info(
+                    "small-K brute-force host matcher selected (K=%d, "
+                    "%d threads; device round-trip would dominate)",
+                    expected.count,
+                    host_threads,
+                )
+                return matcher.assign, "nib4", True
+            except native_io.NativeDemuxError:
+                pass  # ineligible whitelist: fall through to device paths
+        elif policy == "host":
+            logger.warning(
+                "matcher=host requested but the native library is "
+                "unavailable; using the device paths"
+            )
 
     if n_dev > 1:
         from ..parallel.mesh import make_demux_mesh, make_sharded_assign_fn
@@ -335,6 +397,7 @@ def _build_device_assign_fn(
                 with_counts=False,
             ),
             "nib4",
+            False,
         )
 
     if big_k and jax.default_backend() != "cpu":
@@ -368,7 +431,7 @@ def _build_device_assign_fn(
         idx, _, _ = fn(obs_packed)
         return idx
 
-    return assign, pack_mode
+    return assign, pack_mode, False
 
 
 def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None):
@@ -458,7 +521,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
     k = expected.count
     # packed transfers (2-bit codes or 4-bit masks) + compact uint8 results:
     # quarters/halves the host<->device traffic on the hot path
-    assign, pack_mode = _make_device_assign_fn(
+    assign, pack_mode, host_matcher = _make_device_assign_fn(
         cfg, expected, barcodes=[s.barcode for s in sample_group.samples]
     )
 
@@ -541,7 +604,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                 skipped_total += sk
                 if n == 0:
                     break
-                if first:
+                if first and not host_matcher:
                     logger.info(
                         "compiling device matcher (first run of a new "
                         "samples/length/batch configuration can take minutes; "
@@ -553,7 +616,8 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                     assigned = np.asarray(assign(bc_view))[:n].astype(np.int32)
                 if first:
                     first = False
-                    logger.info("device matcher ready.")
+                    if not host_matcher:
+                        logger.info("device matcher ready.")
                 if pack_mode == "bit2":
                     # rows with ambiguous/no-call bytes could not be 2-bit
                     # encoded: resolve them with the NumPy spec (exact, incl.

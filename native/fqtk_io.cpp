@@ -2274,6 +2274,134 @@ class BigKMatcher {
 };
 
 // ---------------------------------------------------------------------------
+// Small-K host matcher: brute-force scan over nibble-mask-packed barcodes.
+//
+// TPU-policy context: when the whitelist is small, the per-batch device
+// round-trip (dispatch latency + PCIe/relay transfer) can exceed the entire
+// brute-force host cost (K*L nibble-ops per read).  The demux auto policy
+// (runtime/demux.py) routes such configurations here instead of stalling the
+// pipeline on the device leg; the device paths remain the production route
+// for every larger configuration.  Full IUPAC containment semantics
+// (reference barcode_matching.rs:119-159 + bitenc.rs:432-459): a position
+// mismatches iff observed_mask & ~expected_mask != 0, evaluated 16
+// bases-per-u64 via nibble folding + popcount.  Unlike BigKMatcher this
+// path accepts IUPAC-ambiguous whitelists (e.g. N-containing expected
+// barcodes) — the masks carry the ambiguity natively.
+// ---------------------------------------------------------------------------
+
+class SmallKMatcher {
+ public:
+  static constexpr int kMaxBlocks = 16;  // 16 nibbles per u64 -> len <= 256
+
+  // barcodes: K rows of len bytes, uppercase IUPAC (caller-validated)
+  SmallKMatcher(const uint8_t* barcodes, int64_t k, int len, int max_mm,
+                int delta)
+      : k_(k), len_(len), max_mm_(max_mm), delta_(delta) {
+    n_blocks_ = (len + 15) / 16;
+    if (k < 1 || len < 1 || n_blocks_ > kMaxBlocks) {
+      ok_ = false;
+      return;
+    }
+    exp_.assign(static_cast<size_t>(k) * n_blocks_, 0);
+    int max_ns = 0;
+    for (int64_t s = 0; s < k; s++) {
+      int ns = 0;
+      for (int j = 0; j < len; j++) {
+        uint8_t b = barcodes[s * len + j];
+        uint8_t m = kIupac.encode[b];
+        if (m == 0) {  // not a valid IUPAC byte
+          ok_ = false;
+          return;
+        }
+        ns += kIupac.nocall[b];
+        exp_[s * n_blocks_ + (j >> 4)] |= static_cast<uint64_t>(m)
+                                          << (4 * (j & 15));
+      }
+      max_ns = std::max(max_ns, ns);
+    }
+    // reference no-call prefilter budget (barcode_matching.rs:170-172)
+    nocall_budget_ = max_mm + max_ns;
+    int tail = len & 15;
+    tail_mask_ = tail ? (~0ull >> (64 - 4 * tail)) : ~0ull;
+  }
+
+  bool ok() const { return ok_; }
+
+  // obs: packed 4-bit IUPAC masks, 2 per byte (the pipeline's nib4 layout);
+  // row r at obs + r*stride.  Writes assigned[r] in [0, k] (k = unmatched).
+  void assign_batch(const uint8_t* obs, int64_t n, int64_t stride,
+                    int32_t* assigned, int n_threads) {
+    n_threads = std::max(1, n_threads);
+    std::vector<std::thread> ts;
+    int64_t per = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * per, hi = std::min(n, lo + per);
+      if (lo >= hi) break;
+      ts.emplace_back([this, obs, stride, assigned, lo, hi] {
+        for (int64_t r = lo; r < hi; r++)
+          assigned[r] = assign_one(obs + r * stride);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+
+  int32_t assign_one(const uint8_t* row) {
+    constexpr uint64_t kLow = 0x1111111111111111ull;
+    uint64_t obs[kMaxBlocks];
+    const int row_bytes = (len_ + 1) / 2;
+    memcpy(obs, row, row_bytes);
+    if (row_bytes < n_blocks_ * 8)
+      memset(reinterpret_cast<uint8_t*>(obs) + row_bytes, 0,
+             n_blocks_ * 8 - row_bytes);
+    obs[n_blocks_ - 1] &= tail_mask_;
+    // no-call count: nibbles equal to 15 (N/n/. encode to 15; mod.rs:49-61)
+    int nocalls = 0;
+    for (int b = 0; b < n_blocks_; b++) {
+      uint64_t v = obs[b];
+      uint64_t t = v & (v >> 1) & (v >> 2) & (v >> 3) & kLow;
+      nocalls += __builtin_popcountll(t);
+    }
+    if (nocalls > nocall_budget_) return static_cast<int32_t>(k_);
+
+    // counts >= cap cannot change the accept decision (see BigKMatcher)
+    const int cap = max_mm_ + std::max(delta_, 1);
+    int best = 256, next = 256;
+    int64_t best_id = k_;
+    const uint64_t* e = exp_.data();
+    for (int64_t s = 0; s < k_; s++, e += n_blocks_) {
+      int mm = 0;
+      for (int b = 0; b < n_blocks_; b++) {
+        // position mismatches iff any observed bit outside the expected mask
+        uint64_t v = obs[b] & ~e[b];
+        uint64_t t = v | (v >> 1);
+        t |= t >> 2;
+        mm += __builtin_popcountll(t & kLow);
+        if (mm > cap) break;
+      }
+      // strict-< updates reproduce the reference's first-wins tie behavior
+      // (barcode_matching.rs:132-146); clamped counts cannot flip decisions
+      if (mm < best) {
+        next = best;
+        best = mm;
+        best_id = s;
+      } else if (mm < next) {
+        next = mm;
+      }
+    }
+    if (best > max_mm_) return static_cast<int32_t>(k_);
+    if (next - best < delta_) return static_cast<int32_t>(k_);
+    return static_cast<int32_t>(best_id);
+  }
+
+ private:
+  int64_t k_;
+  int len_, max_mm_, delta_, n_blocks_ = 0, nocall_budget_ = 0;
+  bool ok_ = true;
+  uint64_t tail_mask_ = ~0ull;
+  std::vector<uint64_t> exp_;  // [K, n_blocks] nibble-mask-packed barcodes
+};
+
+// ---------------------------------------------------------------------------
 // Reference-architecture baseline proxy.
 //
 // A faithful re-creation of fqtk's OWN pipeline shape (SURVEY.md §2c /
@@ -2664,6 +2792,26 @@ FQTK_API void fqtk_bigk_assign(BigKMatcher* m, const uint8_t* obs_packed,
 }
 
 FQTK_API void fqtk_bigk_free(BigKMatcher* m) { delete m; }
+
+// ---- small-K brute-force host matcher ----
+
+FQTK_API SmallKMatcher* fqtk_smallk_new(const uint8_t* barcodes, int64_t k,
+                                        int len, int max_mm, int delta) {
+  auto* m = new SmallKMatcher(barcodes, k, len, max_mm, delta);
+  if (!m->ok()) {
+    delete m;
+    return nullptr;
+  }
+  return m;
+}
+
+FQTK_API void fqtk_smallk_assign(SmallKMatcher* m, const uint8_t* obs_packed,
+                                 int64_t n, int64_t stride, int32_t* out,
+                                 int n_threads) {
+  m->assign_batch(obs_packed, n, stride, out, n_threads);
+}
+
+FQTK_API void fqtk_smallk_free(SmallKMatcher* m) { delete m; }
 
 // Reference-architecture measurement mode (see RefProxyMatcher above):
 // runs the whole demux on the host with fqtk's own pipeline shape to

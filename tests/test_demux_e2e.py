@@ -829,7 +829,7 @@ def test_device_failure_mid_run_tears_down_cleanly(tmp_path, monkeypatch):
                 raise RuntimeError("simulated device backend failure")
             return np.zeros(obs.shape[0], dtype=np.int32)
 
-        return assign, "nib4"
+        return assign, "nib4", False
 
     monkeypatch.setattr(dmod, "_build_device_assign_fn", flaky_factory)
     dmod._ASSIGN_FN_CACHE.clear()
