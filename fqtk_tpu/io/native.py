@@ -54,6 +54,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
+    import os
+
+    override = os.environ.get("FQTK_NATIVE_LIB")
+    if override:
+        # Sanitizer harness hook (scripts/sanitize.sh): load an instrumented
+        # build instead of the production .so; same C API.
+        try:
+            lib = ctypes.CDLL(override)
+        except OSError:
+            _load_failed = True
+            return None
+        _bind(lib)
+        _lib = lib
+        return _lib
     if not _LIB_PATH.exists() or _is_stale():
         _try_build()
         if _LIB_PATH.exists() and _is_stale():
@@ -72,7 +86,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     except OSError:
         _load_failed = True
         return None
+    _bind(lib)
+    _lib = lib
+    return _lib
 
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare the C API's restype/argtypes on a freshly-loaded handle."""
     lib.fqtk_demux_new.restype = ctypes.c_void_p
     lib.fqtk_demux_new.argtypes = [ctypes.c_int, ctypes.c_int]
     lib.fqtk_demux_add_input.restype = ctypes.c_int
@@ -210,9 +230,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
     ]
     lib.fqtk_bgzf_close.argtypes = [ctypes.c_void_p]
-
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

@@ -57,6 +57,17 @@ class DemuxError(RuntimeError):
     pass
 
 
+#: default pipeline window: sized to amortize the device path's fixed
+#: per-dispatch cost (transfer + launch) over many reads
+DEFAULT_BATCH_SIZE = 1 << 17
+
+#: window used when a HOST matcher is auto-selected and the user left
+#: ``batch_size`` at the default: host assignment has no per-dispatch cost
+#: to amortize, and small windows overlap parse/assign/route/compress far
+#: better (measured +70% on the single-end configs at 16K vs 128K)
+HOST_MATCHER_BATCH = 1 << 14
+
+
 @dataclass
 class DemuxConfig:
     inputs: List[Path]
@@ -71,7 +82,7 @@ class DemuxConfig:
     compression_level: int = 5
     skip_reasons: List[str] = field(default_factory=list)
     # engine extensions (not in the reference CLI)
-    batch_size: int = 1 << 17
+    batch_size: int = DEFAULT_BATCH_SIZE
     engine: str = "auto"  # auto | jax | numpy
     #: device count for the batch/whitelist mesh: None = all local devices
     #: (single-device path when only one is visible), 1 = force single
@@ -294,9 +305,12 @@ def _build_device_assign_fn(
     - huge pure-ACGT whitelist + native lib: the host pigeonhole matcher
       (exact-candidate filtering beats brute force — even MXU brute force —
       by orders of magnitude; see ``BigKMatcher`` in native/fqtk_io.cpp).
-    - tiny whitelist + single device + native lib: the host brute-force
-      matcher (``SmallKMatcher``) — the per-batch device round-trip exceeds
-      the whole K*L host scan below ``FQTK_HOST_MATCHER_MAX_K``.
+    - tiny whitelist + native lib, unless ``--devices N>1``: the host
+      brute-force matcher (``SmallKMatcher``) — the per-batch device
+      round-trip exceeds the whole K*L host scan below
+      ``FQTK_HOST_MATCHER_MAX_K``, and batch-sharding a tiny-K whitelist is
+      transfer-bound, so this branch decides WITHOUT initializing JAX
+      (keeps CLI cold start off the device runtime entirely).
     - multiple visible devices (or ``cfg.devices > 1``): shard over a mesh —
       huge whitelists shard K (cross-shard top-2 merge), everything else
       shards the batch axis (pure data parallelism, no collectives).
@@ -304,8 +318,6 @@ def _build_device_assign_fn(
     - otherwise: the XLA scan path.
     """
     import os
-
-    import jax
 
     big_k = expected.count >= PALLAS_K_THRESHOLD and expected.length <= 255
     policy = cfg.matcher or "auto"
@@ -332,19 +344,10 @@ def _build_device_assign_fn(
                 return matcher.assign, "nib4", True
             except native_io.NativeDemuxError:
                 pass  # ineligible whitelist: fall through
-    n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
-    n_dev = max(1, min(n_dev, jax.local_device_count()))
-    if n_dev > 1 and cfg.batch_size % n_dev != 0:
-        logger.warning(
-            "batch size %d not divisible by %d devices; using a single device",
-            cfg.batch_size,
-            n_dev,
-        )
-        n_dev = 1
 
     small_k_host = policy == "host" or (
         policy == "auto"
-        and n_dev == 1
+        and cfg.devices in (None, 1)
         and expected.count <= _host_matcher_max_k()
     )
     if small_k_host and barcodes is not None:
@@ -372,6 +375,18 @@ def _build_device_assign_fn(
                 "matcher=host requested but the native library is "
                 "unavailable; using the device paths"
             )
+
+    import jax
+
+    n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
+    n_dev = max(1, min(n_dev, jax.local_device_count()))
+    if n_dev > 1 and cfg.batch_size % n_dev != 0:
+        logger.warning(
+            "batch size %d not divisible by %d devices; using a single device",
+            cfg.batch_size,
+            n_dev,
+        )
+        n_dev = 1
 
     if n_dev > 1:
         from ..parallel.mesh import make_demux_mesh, make_sharded_assign_fn
@@ -482,17 +497,20 @@ def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None
 
 
 def _resolve_engine(engine: str) -> str:
-    """auto -> native (C++ IO + JAX matcher) when both are available, else
-    jax (Python IO + JAX matcher), else numpy."""
+    """auto -> native (C++ IO + device/host matcher) when available, else
+    jax (Python IO + JAX matcher), else numpy.  Checked native-first so the
+    hot path (which may never need a device) stays off the JAX import."""
     if engine != "auto":
         return engine
+    from ..io import native as native_io
+
+    if native_io.available():
+        return "native"
     try:
         import jax  # noqa: F401
     except Exception:  # pragma: no cover
         return "numpy"
-    from ..io import native as native_io
-
-    return "native" if native_io.available() else "jax"
+    return "jax"
 
 
 def run_demux(cfg: DemuxConfig) -> DemuxResult:
@@ -585,6 +603,8 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
         skipped_total = 0
         next_log = 1_000_000
         batch = cfg.batch_size
+        if host_matcher and batch == DEFAULT_BATCH_SIZE:
+            batch = HOST_MATCHER_BATCH
 
         from ..utils.profiling import StageTimers, maybe_device_trace
 

@@ -210,7 +210,7 @@ def test_native_matches_python_fuzz_extended(tmp_path, seed):
 
     max_mm = rng.choice([0, 1])
     results = {}
-    for engine, devices in (("native", None), ("numpy", 1)):
+    for engine, devices in (("native", 8), ("numpy", 1)):
         out = tmp_path / f"out_{engine}_{seed}"
         cfg = DemuxConfig(
             inputs=inputs,

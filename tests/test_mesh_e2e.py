@@ -1,7 +1,7 @@
 """Multi-device demux through the PRODUCT driver (not just library fns).
 
-``run_demux`` with the native engine auto-shards the device matcher over all
-local devices (8 fake CPU devices here, via conftest).  Outputs must be
+``run_demux`` with the native engine and ``--devices 8`` shards the device
+matcher over the 8 fake CPU devices (conftest).  Outputs must be
 byte-identical to a single-device run: batch-axis sharding is pure data
 parallelism, and whitelist sharding's cross-shard top-2 merge preserves the
 reference's first-index tie-break.
@@ -84,7 +84,7 @@ def test_batch_sharded_mesh_matches_single_device(tmp_path):
     assert jax.local_device_count() == 8
     inputs, meta = _write_inputs(tmp_path)
     out1, res1 = _run(tmp_path, inputs, meta, "out_single", devices=1)
-    out8, res8 = _run(tmp_path, inputs, meta, "out_mesh", devices=None)
+    out8, res8 = _run(tmp_path, inputs, meta, "out_mesh", devices=8)
     assert res1.total_templates == res8.total_templates == 203
     _compare_outputs(out8, out1)
 
@@ -94,7 +94,7 @@ def test_whitelist_sharded_mesh_matches_single_device(tmp_path, monkeypatch):
     top-2 merge) runs through the product driver."""
     monkeypatch.setattr(demux_mod, "PALLAS_K_THRESHOLD", 8)
     inputs, meta = _write_inputs(tmp_path, seed=11)
-    out8, res8 = _run(tmp_path, inputs, meta, "out_ksharded", devices=None)
+    out8, res8 = _run(tmp_path, inputs, meta, "out_ksharded", devices=8)
     monkeypatch.setattr(demux_mod, "PALLAS_K_THRESHOLD", 1 << 30)
     out1, res1 = _run(tmp_path, inputs, meta, "out_single", devices=1)
     assert res1.total_templates == res8.total_templates == 203
@@ -104,7 +104,7 @@ def test_whitelist_sharded_mesh_matches_single_device(tmp_path, monkeypatch):
 def test_indivisible_batch_falls_back_to_single_device(tmp_path):
     inputs, meta = _write_inputs(tmp_path, n_reads=50, seed=7)
     out, res = _run(
-        tmp_path, inputs, meta, "out_odd", devices=None, batch_size=7
+        tmp_path, inputs, meta, "out_odd", devices=8, batch_size=7
     )
     assert res.total_templates == 50
     assert (out / "demux-metrics.txt").exists()
