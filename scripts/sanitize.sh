@@ -60,8 +60,57 @@ run_asan() {
     "$@"
 }
 
+# Canaries: prove each sanitizer actually detects bugs under THIS harness
+# (LD_PRELOAD runtime + dlopen'd instrumented .so) before trusting a clean
+# engine run.  A disarmed sanitizer must fail the script, not pass it.
+CANARY_DIR="$(mktemp -d)"
+trap 'rm -rf "$CANARY_DIR"' EXIT
+
+tsan_canary() {
+  cat > "$CANARY_DIR/race.cpp" <<'EOF'
+#include <thread>
+extern "C" int canary() {
+  int x = 0;
+  std::thread t1([&]{ for (int i = 0; i < 100000; i++) x++; });
+  std::thread t2([&]{ for (int i = 0; i < 100000; i++) x++; });
+  t1.join(); t2.join();
+  return x;
+}
+EOF
+  g++ -O1 -g -fPIC -fsanitize=thread -shared -pthread \
+    "$CANARY_DIR/race.cpp" -o "$CANARY_DIR/librace.so"
+  if env LD_PRELOAD="$TSAN_RT" TSAN_OPTIONS="exitcode=66" \
+      python -c "import ctypes; ctypes.CDLL('$CANARY_DIR/librace.so').canary()" \
+      2>/dev/null; then
+    echo "sanitize: TSAN CANARY NOT DETECTED — harness is disarmed" >&2
+    exit 1
+  fi
+  echo "== TSAN canary: race detected (harness armed)"
+}
+
+asan_canary() {
+  cat > "$CANARY_DIR/oob.cpp" <<'EOF'
+extern "C" int canary() {
+  int* p = new int[4];
+  int v = p[5];
+  delete[] p;
+  return v;
+}
+EOF
+  g++ -O1 -g -fPIC -fsanitize=address -shared \
+    "$CANARY_DIR/oob.cpp" -o "$CANARY_DIR/liboob.so"
+  if env LD_PRELOAD="$ASAN_RT" ASAN_OPTIONS="detect_leaks=0" \
+      python -c "import ctypes; ctypes.CDLL('$CANARY_DIR/liboob.so').canary()" \
+      2>/dev/null; then
+    echo "sanitize: ASAN CANARY NOT DETECTED — harness is disarmed" >&2
+    exit 1
+  fi
+  echo "== ASAN canary: heap overflow detected (harness armed)"
+}
+
 if [ "$MODE" = "tsan" ] || [ "$MODE" = "both" ]; then
   make -C native tsan
+  tsan_canary
   run_tsan python scripts/sanitize_stress.py
   run_tsan python -m pytest "${PYTESTS[@]}" -q -p no:cacheprovider
   echo "== TSAN: clean"
@@ -69,6 +118,7 @@ fi
 
 if [ "$MODE" = "asan" ] || [ "$MODE" = "both" ]; then
   make -C native asan
+  asan_canary
   run_asan python scripts/sanitize_stress.py
   run_asan python -m pytest "${PYTESTS[@]}" -q -p no:cacheprovider
   echo "== ASAN+UBSAN: clean"
