@@ -138,6 +138,39 @@ def _build_parser() -> argparse.ArgumentParser:
         "--process-id", type=int, default=None,
         help="Multi-host mode: this process's id (0-based).",
     )
+    demux.add_argument(
+        "--merge-output", action="store_true",
+        help="Multi-host mode: after all hosts finish, process 0 merges the "
+        "shard-N directories into single per-sample files at the output "
+        "root (BGZF block concatenation; also available offline as the "
+        "concat-shards subcommand) (engine extension).",
+    )
+
+    cs = sub.add_parser(
+        "concat-shards",
+        help="Merges a multi-host demux output's shard-N directories into "
+        "single per-sample FASTQs.",
+        description=(
+            "Merges {output}/shard-N/*.fq.gz (written by demux "
+            "--distributed-coordinator) into single per-sample files at the "
+            "output root. BGZF blocks are concatenated without "
+            "recompression; the merged files' decompressed contents are "
+            "identical to a single-process run over the concatenated "
+            "inputs."
+        ),
+    )
+    cs.add_argument(
+        "--output", "-o", required=True, type=Path,
+        help="The demux output directory containing shard-N subdirectories.",
+    )
+    cs.add_argument(
+        "--remove-shards", action="store_true",
+        help="Delete the shard-N directories after a successful merge.",
+    )
+    cs.add_argument(
+        "--version", action="version",
+        version=f"fqtk-tpu concat-shards {__version__}",
+    )
 
     ss = sub.add_parser(
         "subsample", help="Subsamples reads from one or more synchronized FASTQ files."
@@ -231,9 +264,14 @@ def _dispatch(args) -> int:
                 num_processes=args.num_processes,
                 process_id=args.process_id,
             )
-            run_demux_multihost(cfg)
+            run_demux_multihost(cfg, merge_output=args.merge_output)
             return 0
         run_demux(cfg)
+        return 0
+    if args.command == "concat-shards":
+        from .parallel.merge import concat_shards
+
+        concat_shards(args.output, remove_shards=args.remove_shards)
         return 0
     if args.command == "subsample":
         from .runtime.subsample import SubsampleConfig, run_subsample

@@ -14,7 +14,9 @@ The reference is single-process; its natural multi-host extension (SURVEY.md
 - Per-sample FASTQ outputs are written per host under ``shard-{pid}/``; a
   global view is the in-order concatenation of shards, mirroring what the
   reference produces after lane concatenation.  (Byte-level equality with a
-  single-process run over the concatenated input holds per shard.)
+  single-process run over the concatenated input holds per shard.)  The
+  merge that realizes this view is :mod:`fqtk_tpu.parallel.merge`
+  (``demux --merge-output`` / ``fqtk-tpu concat-shards``).
 
 Entry points:
 
@@ -80,7 +82,11 @@ def merge_host_counts(local_counts: np.ndarray) -> np.ndarray:
     return np.asarray(gathered).sum(axis=0).astype(np.int64)
 
 
-def run_demux_multihost(cfg, input_shards: Optional[Sequence[List]] = None):
+def run_demux_multihost(
+    cfg,
+    input_shards: Optional[Sequence[List]] = None,
+    merge_output: bool = False,
+):
     """Run demux across hosts: this process handles shard ``process_index``.
 
     ``input_shards``: optional per-host input lists (each entry is the
@@ -89,7 +95,15 @@ def run_demux_multihost(cfg, input_shards: Optional[Sequence[List]] = None):
 
     Outputs land in ``{cfg.output}/shard-{pid}/``; the merged
     ``demux-metrics.txt`` (global counts over all hosts) is written at
-    ``{cfg.output}/demux-metrics.txt`` by process 0.
+    ``{cfg.output}/demux-metrics.txt`` by process 0.  With
+    ``merge_output=True`` process 0 additionally concatenates the shard
+    FASTQs into single per-sample files (:func:`fqtk_tpu.parallel.merge.
+    concat_shards`) — safe because the count collective below completes
+    only after every host's local pipeline has finished and closed its
+    writers, so it doubles as the end-of-write barrier.  This requires a
+    shared filesystem across hosts (the usual POSIX-store deployment);
+    without one, run ``fqtk-tpu concat-shards`` offline after copying the
+    shard directories together.
     """
     import dataclasses
 
@@ -129,4 +143,8 @@ def run_demux_multihost(cfg, input_shards: Optional[Sequence[List]] = None):
             nproc,
             int(global_counts.sum()),
         )
+        if merge_output:
+            from .merge import concat_shards
+
+            concat_shards(Path(cfg.output))
     return metrics

@@ -84,6 +84,7 @@ def main() -> int:
                 "--distributed-coordinator", f"localhost:{port}",
                 "--num-processes", str(nproc),
                 "--process-id", str(pid),
+                "--merge-output",
             ]
         )
         assert rc == 0

@@ -109,6 +109,17 @@ def test_cli_distributed_demux_two_processes(tmp_path):
     assert "sA\tGATTACA\t5" in text
     assert (tmp_path / "out" / "shard-0" / "sA.R1.fq.gz").exists()
     assert (tmp_path / "out" / "shard-1" / "sA.R1.fq.gz").exists()
+    # --merge-output: process 0 merged the shards into root-level files whose
+    # decompressed contents are the in-order shard concatenation
+    import gzip
+
+    for name in ("sA.R1.fq.gz", "unmatched.R1.fq.gz"):
+        merged = gzip.decompress((tmp_path / "out" / name).read_bytes())
+        sharded = b"".join(
+            gzip.decompress((tmp_path / "out" / f"shard-{p}" / name).read_bytes())
+            for p in range(2)
+        )
+        assert merged == sharded, name
 
 
 def test_multihost_shards_concatenate_to_single_process_output(tmp_path):
