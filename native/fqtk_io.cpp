@@ -43,6 +43,11 @@
 #define FQTK_HAVE_LIBDEFLATE 1
 #endif
 
+#if defined(__x86_64__) && defined(__GNUC__)
+#include <immintrin.h>
+#define FQTK_X86_SIMD 1
+#endif
+
 #define FQTK_API extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -2064,6 +2069,145 @@ class SubsampleEngine {
 // multi-bit/no-call mask can never exact-match a pure-ACGT part).
 // ---------------------------------------------------------------------------
 
+// --- fused bucket-scan kernels (BigKMatcher hot loop, len <= 16) ----------
+//
+// Bucket entries fuse the candidate into one u64: low 2*len bits = the
+// 2-bit-packed barcode, high 32 bits = its id.  One 8-byte sequential load
+// per candidate (vs 12 bytes across two arrays) and a branch-free SIMD
+// filter: XOR vs the packed observation, fold bit pairs, per-lane popcount
+// (nibble shuffle + SAD), compare against the mismatch cap.  Candidates
+// almost always fail the cap (random barcodes differ in ~3/4 of positions),
+// so survivors are rare and finish on the scalar top-2 update.
+
+inline void top2_update(int mm, int64_t id, int& best, int& next,
+                        int64_t& best_id) {
+  if (mm < best) {
+    next = best;
+    best = mm;
+    best_id = id;
+  } else if (mm == best) {
+    // duplicate candidates (same barcode exact in several parts) must not
+    // count as their own runner-up; ties keep the lower index
+    if (id == best_id) return;
+    next = best;
+    best_id = std::min(best_id, id);
+  } else if (mm < next) {
+    next = mm;
+  }
+}
+
+using FusedScanFn = void (*)(const uint64_t*, uint32_t, uint32_t, uint64_t,
+                             uint64_t, int, int&, int&, int64_t&);
+
+void fused_scan_scalar(const uint64_t* data, uint32_t lo, uint32_t hi,
+                       uint64_t obs2, uint64_t low_mask, int cap, int& best,
+                       int& next, int64_t& best_id) {
+  for (uint32_t i = lo; i < hi; i++) {
+    const uint64_t f = data[i];
+    const uint64_t x = (f ^ obs2) & low_mask;
+    const uint64_t y = (x | (x >> 1)) & 0x5555555555555555ull;
+    const int mm = __builtin_popcountll(y);
+    if (mm > cap) continue;
+    top2_update(mm, static_cast<int64_t>(f >> 32), best, next, best_id);
+  }
+}
+
+#ifdef FQTK_X86_SIMD
+
+// GCC's avx512 intrinsic headers trip -Wmaybe-uninitialized (the
+// _mm512_undefined_* helpers behind broadcast); not our code.
+#pragma GCC diagnostic push
+#pragma GCC diagnostic ignored "-Wuninitialized"
+#pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
+
+__attribute__((target("avx2"))) void fused_scan_avx2(
+    const uint64_t* data, uint32_t lo, uint32_t hi, uint64_t obs2,
+    uint64_t low_mask, int cap, int& best, int& next, int64_t& best_id) {
+  const __m256i obs = _mm256_set1_epi64x(static_cast<long long>(obs2));
+  const __m256i lowm = _mm256_set1_epi64x(static_cast<long long>(low_mask));
+  const __m256i fives = _mm256_set1_epi64x(0x5555555555555555LL);
+  const __m256i nib = _mm256_set1_epi8(0x0f);
+  const __m256i lut = _mm256_broadcastsi128_si256(
+      _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
+  const __m256i capv = _mm256_set1_epi64x(cap);
+  const __m256i zero = _mm256_setzero_si256();
+  uint32_t i = lo;
+  for (; i + 4 <= hi; i += 4) {
+    __m256i e =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i));
+    __m256i x = _mm256_and_si256(_mm256_xor_si256(e, obs), lowm);
+    __m256i y =
+        _mm256_and_si256(_mm256_or_si256(x, _mm256_srli_epi64(x, 1)), fives);
+    __m256i cl = _mm256_shuffle_epi8(lut, _mm256_and_si256(y, nib));
+    __m256i ch = _mm256_shuffle_epi8(
+        lut, _mm256_and_si256(_mm256_srli_epi16(y, 4), nib));
+    __m256i sums = _mm256_sad_epu8(_mm256_add_epi8(cl, ch), zero);
+    // pass where sums <= cap (both small non-negative: signed cmp is safe)
+    int fail = _mm256_movemask_pd(
+        _mm256_castsi256_pd(_mm256_cmpgt_epi64(sums, capv)));
+    int pass = ~fail & 0xF;
+    while (pass) {
+      const int b = __builtin_ctz(static_cast<unsigned>(pass));
+      pass &= pass - 1;
+      const uint64_t f = data[i + b];
+      const uint64_t xx = (f ^ obs2) & low_mask;
+      const int mm = __builtin_popcountll((xx | (xx >> 1)) &
+                                          0x5555555555555555ull);
+      top2_update(mm, static_cast<int64_t>(f >> 32), best, next, best_id);
+    }
+  }
+  if (i < hi)
+    fused_scan_scalar(data, i, hi, obs2, low_mask, cap, best, next, best_id);
+}
+
+__attribute__((target("avx512f,avx512bw"))) void fused_scan_avx512(
+    const uint64_t* data, uint32_t lo, uint32_t hi, uint64_t obs2,
+    uint64_t low_mask, int cap, int& best, int& next, int64_t& best_id) {
+  const __m512i obs = _mm512_set1_epi64(static_cast<long long>(obs2));
+  const __m512i lowm = _mm512_set1_epi64(static_cast<long long>(low_mask));
+  const __m512i fives = _mm512_set1_epi64(0x5555555555555555LL);
+  const __m512i nib = _mm512_set1_epi8(0x0f);
+  const __m512i lut = _mm512_broadcast_i32x4(
+      _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
+  const __m512i capv = _mm512_set1_epi64(cap);
+  uint32_t i = lo;
+  for (; i + 8 <= hi; i += 8) {
+    __m512i e = _mm512_loadu_si512(data + i);
+    __m512i x = _mm512_and_si512(_mm512_xor_si512(e, obs), lowm);
+    __m512i y =
+        _mm512_and_si512(_mm512_or_si512(x, _mm512_srli_epi64(x, 1)), fives);
+    __m512i cl = _mm512_shuffle_epi8(lut, _mm512_and_si512(y, nib));
+    __m512i ch = _mm512_shuffle_epi8(
+        lut, _mm512_and_si512(_mm512_srli_epi16(y, 4), nib));
+    __m512i sums = _mm512_sad_epu8(_mm512_add_epi8(cl, ch),
+                                   _mm512_setzero_si512());
+    unsigned pass = _mm512_cmple_epu64_mask(sums, capv);
+    while (pass) {
+      const int b = __builtin_ctz(pass);
+      pass &= pass - 1;
+      const uint64_t f = data[i + b];
+      const uint64_t xx = (f ^ obs2) & low_mask;
+      const int mm = __builtin_popcountll((xx | (xx >> 1)) &
+                                          0x5555555555555555ull);
+      top2_update(mm, static_cast<int64_t>(f >> 32), best, next, best_id);
+    }
+  }
+  if (i < hi)
+    fused_scan_scalar(data, i, hi, obs2, low_mask, cap, best, next, best_id);
+}
+
+#pragma GCC diagnostic pop
+
+#endif  // FQTK_X86_SIMD
+
+FusedScanFn pick_fused_scan() {
+#ifdef FQTK_X86_SIMD
+  if (__builtin_cpu_supports("avx512bw")) return fused_scan_avx512;
+  if (__builtin_cpu_supports("avx2")) return fused_scan_avx2;
+#endif
+  return fused_scan_scalar;
+}
+
 class BigKMatcher {
  public:
   // barcodes: K rows of len bytes, uppercase ACGT only (caller-checked ok_)
@@ -2081,6 +2225,11 @@ class BigKMatcher {
       ok_ = false;
       return;
     }
+    // len <= 16 (every real single-cell whitelist): packed barcode fits 32
+    // bits, so bucket entries fuse (id << 32) | packed2 into one u64
+    fused_ = len <= 16 && k <= static_cast<int64_t>(UINT32_MAX);
+    low_mask_ = len == 32 ? ~0ull : ((1ull << (2 * len)) - 1);
+    scan_ = pick_fused_scan();
     // 2-bit codes for the whole whitelist; reject non-ACGT
     codes_.resize(k * len);
     packed2_.resize(k);
@@ -2122,15 +2271,25 @@ class BigKMatcher {
       }
       for (size_t i = 1; i < t.offsets.size(); i++)
         t.offsets[i] += t.offsets[i - 1];
-      t.ids.resize(k);
-      t.packs.resize(k);
       std::vector<uint32_t> cursor(t.offsets.begin(), t.offsets.end() - 1);
-      for (int64_t s = 0; s < k; s++) {
-        uint32_t slot = cursor[keys[s]]++;
-        t.ids[slot] = static_cast<uint32_t>(s);
-        // inline the packed barcode: candidate loads stream sequentially
-        // through the bucket instead of random-accessing packed2_
-        t.packs[slot] = packed2_[s];
+      if (fused_) {
+        // one u64 per candidate: low 2*len bits = packed barcode, high 32 =
+        // id.  Sequential 8-byte streams + the SIMD filter (fused_scan_*).
+        t.fused.resize(k);
+        for (int64_t s = 0; s < k; s++) {
+          uint32_t slot = cursor[keys[s]]++;
+          t.fused[slot] = packed2_[s] | (static_cast<uint64_t>(s) << 32);
+        }
+      } else {
+        t.ids.resize(k);
+        t.packs.resize(k);
+        for (int64_t s = 0; s < k; s++) {
+          uint32_t slot = cursor[keys[s]]++;
+          t.ids[slot] = static_cast<uint32_t>(s);
+          // inline the packed barcode: candidate loads stream sequentially
+          // through the bucket instead of random-accessing packed2_
+          t.packs[slot] = packed2_[s];
+        }
       }
     }
   }
@@ -2206,49 +2365,32 @@ class BigKMatcher {
       if (!eligible) continue;
       const auto& t = tables_[p];
       const uint32_t lo = t.offsets[key], hi = t.offsets[key + 1];
-      if (pure) {
-        // hot path: XOR of 2-bit-packed codes; a position mismatches iff
-        // either of its 2 bits differs -> fold pairs, popcount
+      if (pure && fused_) {
+        // hot path: fused entries + SIMD filter (see fused_scan_* above)
+        scan_(t.fused.data(), lo, hi, obs2, low_mask_, cap, best, next,
+              best_id);
+      } else if (pure) {
+        // 17..32bp whitelists: XOR of 2-bit-packed codes; a position
+        // mismatches iff either of its 2 bits differs -> fold pairs, popcount
         for (uint32_t i = lo; i < hi; i++) {
           const uint32_t id = t.ids[i];
           const uint64_t x = obs2 ^ t.packs[i];
           const uint64_t y = (x | (x >> 1)) & 0x5555555555555555ull;
           const int mm = __builtin_popcountll(y);
           if (mm > cap) continue;
-          if (mm < best) {
-            next = best;
-            best = mm;
-            best_id = id;
-          } else if (mm == best) {
-            if (id == best_id) continue;  // duplicate of current best
-            // strict-< reference update: equal best feeds next_best; the
-            // lower index keeps best (order-independent via min)
-            next = best;
-            best_id = std::min<int64_t>(best_id, id);
-          } else if (mm < next) {
-            next = mm;
-          }
+          top2_update(mm, id, best, next, best_id);
         }
       } else {
         // rare path (IUPAC/no-call bytes in the read): per-position masks
         for (uint32_t i = lo; i < hi; i++) {
-          const uint32_t id = t.ids[i];
+          const uint32_t id = fused_ ? static_cast<uint32_t>(t.fused[i] >> 32)
+                                     : t.ids[i];
           const uint8_t* exp = codes_.data() + static_cast<int64_t>(id) * len_;
           int mm = 0;
           for (int j = 0; j < len_ && mm <= cap; j++)
             mm += (masks[j] & ~(1u << exp[j])) != 0;
           if (mm > cap) continue;
-          if (mm < best) {
-            next = best;
-            best = mm;
-            best_id = id;
-          } else if (mm == best) {
-            if (id == best_id) continue;
-            next = best;
-            best_id = std::min<int64_t>(best_id, id);
-          } else if (mm < next) {
-            next = mm;
-          }
+          top2_update(mm, id, best, next, best_id);
         }
       }
     }
@@ -2261,12 +2403,16 @@ class BigKMatcher {
   struct CsrTable {
     uint32_t n_keys = 0;
     std::vector<uint32_t> offsets;
-    std::vector<uint32_t> ids;
+    std::vector<uint64_t> fused;  // len <= 16: (id << 32) | packed2
+    std::vector<uint32_t> ids;    // len > 16 layout
     std::vector<uint64_t> packs;  // packed2_ of ids, bucket-ordered
   };
   int64_t k_;
   int len_, max_mm_, delta_, n_parts_ = 0;
   bool ok_ = true;
+  bool fused_ = false;
+  uint64_t low_mask_ = 0;
+  FusedScanFn scan_ = fused_scan_scalar;
   std::vector<uint8_t> codes_;    // [K, L] 2-bit codes
   std::vector<uint64_t> packed2_; // [K] 2-bit-packed codes (hot-path XOR)
   std::vector<int> part_off_, part_len_;
