@@ -357,6 +357,66 @@ def bench_bigk_config():
     }
 
 
+def bench_subsample_config(tmp: Path, paths):
+    """Subsample e2e (PE pair, fraction 0.3) vs the reference-architecture
+    proxy: the identical engine forced into the serial record-at-a-time
+    lockstep loop with per-record draws folded in (``subsample.rs:175-304``:
+    one reader thread + pooled BGZF writers).  The product path adds one
+    reader thread per input (the keep mask is pre-drawn, so inputs decouple)
+    and block-parallel BGZF decode-ahead when cores allow."""
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.runtime.subsample import SubsampleConfig, run_subsample
+    from fqtk_tpu.utils.chacha import ChaCha8Rng
+
+    if not native_io.available():
+        return None
+    inputs = [paths["r1"], paths["r2"]]
+
+    best = 0.0
+    for trial in range(2):
+        cfg = SubsampleConfig(
+            inputs=inputs,
+            output=tmp / f"sub{trial}",
+            fraction=0.3,
+            threads=8,
+            seed=42,
+        )
+        t0 = time.perf_counter()
+        res = run_subsample(cfg)
+        dt = time.perf_counter() - t0
+        best = max(best, res.total_read / dt)
+
+    proxy_best = 0.0
+    for trial in range(2):
+        rng = ChaCha8Rng(42)
+        eng = native_io.NativeSubsampleEngine(threads=7, compression_level=5)
+        try:
+            for i, p in enumerate(inputs):
+                eng.add_input(p, tmp / f"subproxy{trial}.R{i + 1}.fq.gz")
+            eng.configure(check_names=True, parallel=False)
+            t0 = time.perf_counter()
+            total = 0
+            while True:
+                mask = (rng.random_f64_batch(1 << 16) < 0.3).astype("uint8")
+                c, _ = eng.process_chunk(mask)
+                total += c
+                if c < len(mask):
+                    break
+            eng.finish()
+        finally:
+            eng.close()
+        dt = time.perf_counter() - t0
+        proxy_best = max(proxy_best, total / dt)
+
+    return {
+        "name": "subsample_PE_fraction0.3",
+        "level": "e2e",
+        "reads_per_sec": round(best, 1),
+        "proxy_reads_per_sec": round(proxy_best, 1),
+        "vs_config_baseline": round(best / proxy_best, 2) if proxy_best else None,
+    }
+
+
 def main():
     from fqtk_tpu.utils.jaxcache import enable_compilation_cache
 
@@ -470,6 +530,11 @@ def main():
         bigk = bench_bigk_config()
         if bigk:
             configs.append(bigk)
+
+        # ---- subsample: the other half of the CLI surface ----
+        sub = bench_subsample_config(tmp, paths)
+        if sub:
+            configs.append(sub)
 
     baseline_rps, baseline_note = rust_baseline()
     print(

@@ -208,7 +208,9 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p,
         ctypes.c_char_p,
     ]
-    lib.fqtk_subsample_configure.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.fqtk_subsample_configure.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
     lib.fqtk_subsample_chunk.restype = ctypes.c_int64
     lib.fqtk_subsample_chunk.argtypes = [
         ctypes.c_void_p,
@@ -440,8 +442,13 @@ class NativeSubsampleEngine:
             )
         )
 
-    def configure(self, check_names: bool) -> None:
-        self._lib.fqtk_subsample_configure(self._h, 1 if check_names else 0)
+    def configure(self, check_names: bool, parallel: bool = True) -> None:
+        """``parallel``: one reader thread per input in ``process_chunk``
+        (multi-input runs); ``False`` forces the reference-architecture
+        serial lockstep loop (bench.py's measured proxy)."""
+        self._lib.fqtk_subsample_configure(
+            self._h, 1 if check_names else 0, 1 if parallel else 0
+        )
 
     def process_chunk(self, keep_mask: np.ndarray) -> Tuple[int, int]:
         """Returns (consumed, kept); consumed < len(mask) means EOF."""

@@ -4,21 +4,28 @@ The XLA path (:func:`fqtk_tpu.ops.matcher.make_assign_fn`) materializes the
 one-hot expansion ``obs16[B, L*16]`` and per-chunk count matrices in HBM.
 This kernel fuses the whole pipeline per tile in VMEM:
 
-    obs 4-bit masks [TB, L]  --repeat+compare-->  one-hot [TB, L*16] (VMEM)
-    one-hot @ compat tile [L*16, TK]  (MXU, bf16 x bf16 -> f32, exact since
-                                       counts <= 255 < 2^24)
-    tile top-2 (min / argmin-first / second-min)  (VPU)
+    obs codes/masks [TB, L]  --repeat+compare-->  one-hot [TB, W*L] (VMEM)
+    one-hot @ compat tile [W*L, TK]  (MXU; int8 x int8 -> int32 by default —
+                                      2x the bf16 MXU rate on v5e/v6 — or
+                                      bf16 x bf16 -> f32, both exact since
+                                      counts <= 255)
+    tile top-2 (combined count*TK+col key, one min per reduction)  (VPU)
     running (best, idx, next) merge across K tiles  (VMEM scratch)
 
-HBM traffic per batch: obs masks [B, L] once + compat once per B tile +
-3 output vectors — no [B, K] intermediate, which is what makes 737K-barcode
-whitelists feasible at full speed.
+``W`` is the one-hot width: 16 for 4-bit IUPAC mask input (``nib4``), 4 for
+2-bit pure-ACGT codes (``packed2`` — quarter-width transfers AND a 4x
+narrower contraction; ambiguous reads are flagged by the native engine and
+resolved host-side, exactly as the XLA packed2 path).
+
+HBM traffic per batch: obs once + compat once per B tile + 3 output vectors
+— no [B, K] intermediate, which is what makes 737K-barcode whitelists
+feasible at full speed.
 
 Grid: ``(nB, nK)`` with K minormost; the scratch accumulator carries across
 the K tiles of one B tile (standard accumulator pattern).  Tie-breaks match
 the reference scan (first index wins, ``barcode_matching.rs:132``) because
-``jnp.argmin`` picks the first minimum within a tile and the cross-tile merge
-prefers the earlier tile on ties.
+the combined key picks the first minimum within a tile and the cross-tile
+merge prefers the earlier tile on ties.
 """
 
 from __future__ import annotations
@@ -29,20 +36,27 @@ import numpy as np
 from .matcher import MAX_COUNT, ExpectedSet
 
 
-def _compat_bf16(expected: ExpectedSet, k_padded: int) -> np.ndarray:
+def _compat_classmajor(
+    expected: ExpectedSet, k_padded: int, onehot_width: int
+) -> np.ndarray:
     """Mismatch-indicator table in *class-major* row layout ``c*L + l``.
 
-    ``pltpu.repeat(masks, 16, axis=1)`` tiles the whole [TB, L] block 16
+    ``pltpu.repeat(masks, W, axis=1)`` tiles the whole [TB, L] block W
     times, so kernel column ``j`` corresponds to position ``l = j % L`` and
-    mask class ``c = j // L`` — the row order here must match.
+    class ``c = j // L`` — the row order here must match.  Classes are the
+    16 possible 4-bit masks (nib4 input) or the 4 pure base codes mapped to
+    their masks 1/2/4/8 (packed2 input).
     """
     length, k = expected.length, expected.count
-    c = np.arange(16, dtype=np.uint8)
+    if onehot_width == 4:
+        c = np.array([1, 2, 4, 8], dtype=np.uint8)  # masks of codes 0..3
+    else:
+        c = np.arange(16, dtype=np.uint8)
     # viol[c, l, k] = 1 iff mask value c has a bit outside expected (k, l)
-    viol = (c[:, None, None] & ~expected.masks.T[None, :, :]) & 0xF  # [16, L, K]
-    compat = (viol != 0).astype(np.float32).reshape(16 * length, k)
+    viol = (c[:, None, None] & ~expected.masks.T[None, :, :]) & 0xF
+    compat = (viol != 0).astype(np.int8).reshape(onehot_width * length, k)
     if k_padded != k:
-        pad = np.ones((compat.shape[0], k_padded - k), dtype=np.float32)
+        pad = np.ones((compat.shape[0], k_padded - k), dtype=np.int8)
         compat = np.concatenate([compat, pad], axis=1)
     return compat
 
@@ -55,16 +69,29 @@ def make_pallas_assign_fn(
     tile_k: int = 512,
     interpret: bool = False,
     packed_masks: bool = False,
+    packed2: bool = False,
     compact_output: bool = False,
+    mxu_dtype: str = "int8",
 ):
     """Build ``obs_bytes[B, L] -> (assigned, best, next)`` with the fused
     Pallas kernel.  B must be a multiple of ``tile_b`` (the demux pipeline
-    always ships fixed-size padded batches)."""
+    always ships fixed-size padded batches).
+
+    ``packed_masks``: input is ``[B, ceil(L/2)] uint8`` nib4 (two 4-bit
+    IUPAC masks per byte).  ``packed2``: input is ``[B, ceil(L/4)] uint8``
+    (four 2-bit ACGT codes per byte); the no-call gate is skipped — the
+    caller resolves flagged ambiguous rows host-side.  ``mxu_dtype``:
+    "int8" (default; double MXU rate) or "bf16".
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if packed_masks and packed2:
+        raise ValueError("packed_masks and packed2 are mutually exclusive")
+    if mxu_dtype not in ("int8", "bf16"):
+        raise ValueError(f"mxu_dtype must be int8 or bf16, got {mxu_dtype}")
     k = expected.count
     length = expected.length
     if length > 255:
@@ -72,12 +99,17 @@ def make_pallas_assign_fn(
             "pallas matcher supports barcode lengths <= 255 (combined-key "
             "exactness bound); use the XLA engine for longer barcodes"
         )
-    l16 = length * 16
+    onehot_width = 4 if packed2 else 16
+    wl = length * onehot_width
     tile_k = min(tile_k, max(128, 1 << (k - 1).bit_length()))
     n_k_tiles = -(-k // tile_k)
     k_padded = n_k_tiles * tile_k
-    compat_host = _compat_bf16(expected, k_padded)
+    compat_host = _compat_classmajor(expected, k_padded, onehot_width)
     nocall_budget = max_mismatches + expected.max_ns_in_barcodes
+
+    int8_mxu = mxu_dtype == "int8"
+    in_dtype = jnp.int8 if int8_mxu else jnp.bfloat16
+    acc_dtype = jnp.int32 if int8_mxu else jnp.float32
 
     def kernel(obs_ref, cls_ref, compat_ref, out_ref, acc):
         # Layout discipline: every per-read value stays a [TB, 1] column
@@ -92,44 +124,58 @@ def make_pallas_assign_fn(
                 colid == 1, k_padded, jnp.where(colid < 3, MAX_COUNT, 0)
             )
 
-        masks_t = obs_ref[:]  # [L, TB] int32 (4-bit mask values, transposed)
+        masks_t = obs_ref[:]  # [L, TB] int32 (mask/code values, transposed)
         # The observed batch comes in TRANSPOSED ([L, B]) so each DMA row is
         # tile_b contiguous bytes — with [B, L] rows of ~17 elements the DMA
         # spends ~50ns/row of descriptor overhead, which dominated runtime.
-        # One-hot over the 16 mask values; pltpu.repeat tiles the block, so
+        # One-hot over the W class values; pltpu.repeat tiles the block, so
         # row j maps to (l = j % L, c = j // L) — class-major layout,
-        # matching _compat_bf16's row order.  The per-row class constant
-        # comes in as an input (cls_ref) so no per-step integer division.
-        rep = pltpu.repeat(masks_t, repeats=16, axis=0)  # [16*L, TB] tiled
-        onehot = (rep == cls_ref[:]).astype(jnp.bfloat16)
+        # matching _compat_classmajor's row order.  The per-row class
+        # constant comes in as an input (cls_ref): no per-step division.
+        rep = pltpu.repeat(masks_t, repeats=onehot_width, axis=0)
+        onehot = (rep == cls_ref[:]).astype(in_dtype)
 
-        counts_f = jax.lax.dot_general(
+        counts = jax.lax.dot_general(
             onehot,
             compat_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )  # [TB, TK], exact integers <= L <= 255
 
         # combined-key top-2: key = count * TK + col packs (count, index)
-        # so a single min yields both with the first-occurrence tie-break
-        # (exact in f32: 255 * TK + TK - 1 < 2^23 for TK <= 2^15); key
-        # uniqueness (distinct col) lets the second-best mask compare keys.
-        lcolf = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1).astype(
-            jnp.float32
-        )
-        tkf = float(tile_k)
-        big = float(MAX_COUNT) * tkf
-        key = counts_f * tkf + lcolf
-        pad = (lcolf + (kb * tile_k).astype(jnp.float32)) >= float(k)
-        key = jnp.where(pad, big, key)
-        m1 = jnp.min(key, axis=1, keepdims=True)  # [TB, 1]
-        m2 = jnp.min(jnp.where(key == m1, big, key), axis=1, keepdims=True)
-        cbf = jnp.floor(m1 / tkf)
-        tile_best = jnp.minimum(cbf, float(MAX_COUNT)).astype(jnp.int32)
-        tile_idx = (m1 - cbf * tkf).astype(jnp.int32) + kb * tile_k
-        tile_next = jnp.minimum(jnp.floor(m2 / tkf), float(MAX_COUNT)).astype(
-            jnp.int32
-        )
+        # so a single min yields both with the first-occurrence tie-break;
+        # key uniqueness (distinct col) lets the second-best mask compare
+        # keys.  int32 keys are exact outright; f32 keys are exact because
+        # 255 * TK + TK - 1 < 2^23 for TK <= 2^15.
+        if int8_mxu:
+            lcol = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
+            big = MAX_COUNT * tile_k
+            key = counts * tile_k + lcol
+            pad = (lcol + kb * tile_k) >= k
+            key = jnp.where(pad, big, key)
+            m1 = jnp.min(key, axis=1, keepdims=True)  # [TB, 1]
+            m2 = jnp.min(jnp.where(key == m1, big, key), axis=1, keepdims=True)
+            cb = m1 // tile_k
+            tile_best = jnp.minimum(cb, MAX_COUNT)
+            tile_idx = m1 - cb * tile_k + kb * tile_k
+            tile_next = jnp.minimum(m2 // tile_k, MAX_COUNT)
+        else:
+            lcolf = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_b, tile_k), 1
+            ).astype(jnp.float32)
+            tkf = float(tile_k)
+            big = float(MAX_COUNT) * tkf
+            key = counts * tkf + lcolf
+            pad = (lcolf + (kb * tile_k).astype(jnp.float32)) >= float(k)
+            key = jnp.where(pad, big, key)
+            m1 = jnp.min(key, axis=1, keepdims=True)  # [TB, 1]
+            m2 = jnp.min(jnp.where(key == m1, big, key), axis=1, keepdims=True)
+            cbf = jnp.floor(m1 / tkf)
+            tile_best = jnp.minimum(cbf, float(MAX_COUNT)).astype(jnp.int32)
+            tile_idx = (m1 - cbf * tkf).astype(jnp.int32) + kb * tile_k
+            tile_next = jnp.minimum(
+                jnp.floor(m2 / tkf), float(MAX_COUNT)
+            ).astype(jnp.int32)
 
         # ordered merge with the running (best, idx, next)
         a_best, a_idx, a_next = acc[:, 0:1], acc[:, 1:2], acc[:, 2:3]
@@ -144,28 +190,28 @@ def make_pallas_assign_fn(
         def _emit():
             out_ref[0, :, :] = acc[:]
 
-    def run_kernel(obs_masks_t_i32, compat_dev):
-        b = obs_masks_t_i32.shape[1]  # input is [L, B]
+    def run_kernel(obs_vals_t_i32, compat_dev):
+        b = obs_vals_t_i32.shape[1]  # input is [L, B]
         n_b_tiles = b // tile_b
         grid = (n_b_tiles, n_k_tiles)
         # results packed as [nB, TB, 8]: cols 0..2 = best/idx/next (8 lanes
         # keeps the accumulator in the natural rows-on-sublanes orientation)
         cls_col = jnp.asarray(
-            (np.arange(l16, dtype=np.int32) // length)[:, None]
-        )  # [16L, 1]: class id per row
+            (np.arange(wl, dtype=np.int32) // length)[:, None]
+        )  # [W*L, 1]: class id per row (packed2: code 0..3 directly)
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((length, tile_b), lambda i, j: (0, i)),
-                pl.BlockSpec((l16, 1), lambda i, j: (0, 0)),
-                pl.BlockSpec((l16, tile_k), lambda i, j: (0, j)),
+                pl.BlockSpec((wl, 1), lambda i, j: (0, 0)),
+                pl.BlockSpec((wl, tile_k), lambda i, j: (0, j)),
             ],
             out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n_b_tiles, tile_b, 8), jnp.int32),
             scratch_shapes=[pltpu.VMEM((tile_b, 8), jnp.int32)],
             interpret=interpret,
-        )(obs_masks_t_i32, cls_col, compat_dev)
+        )(obs_vals_t_i32, cls_col, compat_dev)
         best2 = out[:, :, 0].reshape(b)
         idx2 = out[:, :, 1].reshape(b)
         next2 = out[:, :, 2].reshape(b)
@@ -178,33 +224,41 @@ def make_pallas_assign_fn(
     # 737K whitelist) past remote-compiler request limits.
     import jax as _jax
 
-    compat_dev_arr = _jax.device_put(compat_host.astype(jnp.bfloat16))
+    compat_dev_arr = _jax.device_put(compat_host.astype(in_dtype))
 
     @jax.jit
     def _assign(obs_in, compat_dev):
         obs_in = obs_in.astype(jnp.uint8)
         b = obs_in.shape[0]
-        if packed_masks:
+        if packed2:
+            parts = [((obs_in >> (2 * i)) & 3).astype(jnp.int32) for i in range(4)]
+            codes = jnp.stack(parts, axis=-1).reshape(b, -1)[:, :length]
+            vals_t = codes.T  # [L, B] codes 0..3
+            nocalls = None
+        elif packed_masks:
             lo = (obs_in & 0xF).astype(jnp.int32)
             hi = (obs_in >> 4).astype(jnp.int32)
             masks = jnp.stack([lo, hi], axis=-1).reshape(b, -1)[:, :length]
-            masks_t = masks.T  # [L, B]
+            vals_t = masks.T  # [L, B]
             nocalls = jnp.sum((masks == 15).astype(jnp.int32), axis=1)
         else:
             # transpose + mask conversion fuse into one relayout pass in XLA
-            masks_t = byte_to_mask(obs_in.T)  # [L, B] int32 in 0..15
+            vals_t = byte_to_mask(obs_in.T)  # [L, B] int32 in 0..15
             nocalls = jnp.sum(byte_is_nocall(obs_in), axis=1)
-        best, bidx, nxt = run_kernel(masks_t, compat_dev)
-        ok = (
-            (nocalls <= nocall_budget)
-            & (best <= max_mismatches)
-            & (nxt - best >= min_mismatch_delta)
-        )
+        best, bidx, nxt = run_kernel(vals_t, compat_dev)
+        ok = (best <= max_mismatches) & (nxt - best >= min_mismatch_delta)
+        if nocalls is not None:
+            ok = ok & (nocalls <= nocall_budget)
         out_dtype = jnp.uint8 if (compact_output and k < 255) else jnp.int32
         assigned = jnp.where(ok, bidx, k).astype(out_dtype)
         return assigned, best, nxt
 
-    pad_byte = 0x11 if packed_masks else ord("A")  # 'AA' packed / 'A'
+    if packed2:
+        pad_byte = 0x00  # four 'A' codes
+    elif packed_masks:
+        pad_byte = 0x11  # 'AA' packed
+    else:
+        pad_byte = ord("A")
 
     def assign(obs_bytes):
         b = obs_bytes.shape[0]

@@ -1941,14 +1941,20 @@ class SubsampleEngine {
     return true;
   }
 
-  void configure(bool check_names) {
+  // parallel: one thread per input in process_chunk (the keep mask is
+  // pre-drawn, so inputs only couple through the post-chunk sync/name
+  // checks).  false reproduces the reference's serial lockstep loop —
+  // used as the measured architecture proxy by bench.py.
+  void configure(bool check_names, bool parallel) {
     check_names_ = check_names && scanners_.size() > 1;
-    // the subsample hot loop is single-threaded: give each BGZF input
-    // decode-ahead workers when cores allow
+    parallel_ = parallel && scanners_.size() > 1;
+    const int n_in = static_cast<int>(scanners_.size());
     int hw = static_cast<int>(std::thread::hardware_concurrency());
+    // decode-ahead workers per input when cores allow (in parallel mode the
+    // per-input threads already claim one core each)
+    int claimed = parallel_ ? n_in + 1 : 1;
     int dec = std::max(
-        1, std::min(3, hw / std::max(1, static_cast<int>(
-                                            scanners_.size()) + 1)));
+        1, std::min(3, (hw - claimed + 1) / std::max(1, n_in)));
     if (dec > 1)
       for (auto& sc : scanners_) sc->stream()->set_decode_threads(dec);
   }
@@ -1958,6 +1964,7 @@ class SubsampleEngine {
   int64_t process_chunk(const uint8_t* keep_mask, int64_t n,
                         int64_t* kept_out) {
     if (err.failed) return -1;
+    if (parallel_) return process_chunk_parallel(keep_mask, n, kept_out);
     const size_t n_in = scanners_.size();
     std::vector<RecordView> recs(n_in);
     int64_t consumed = 0;
@@ -2027,6 +2034,128 @@ class SubsampleEngine {
     return consumed;
   }
 
+  // Parallel chunk: one thread per input.  The keep decisions are pre-drawn
+  // (mask), so the only cross-input coupling — lockstep sync and read-name
+  // equality — moves to cheap post-join checks: each thread records how far
+  // it got plus the base names of its KEPT records, and the main thread
+  // verifies equal progress and memcmp-equal names afterwards.  Per-writer
+  // ordering is preserved trivially (each writer is owned by one thread).
+  // On a sync/name error some threads may already have written records the
+  // serial loop would not have reached; the run fails fast either way and
+  // the error text is identical.
+  int64_t process_chunk_parallel(const uint8_t* keep_mask, int64_t n,
+                                 int64_t* kept_out) {
+    const size_t n_in = scanners_.size();
+    struct PerInput {
+      int64_t consumed = 0;
+      std::string error;
+      std::vector<uint8_t> names;     // kept records' base names, packed
+      std::vector<uint32_t> name_end; // end offset per kept record
+    };
+    std::vector<PerInput> st(n_in);
+    auto work = [&](size_t i) {
+      auto& s = st[i];
+      RecordView rec;
+      std::vector<uint8_t> rec_buf;
+      for (int64_t r = 0; r < n; r++) {
+        int rc = scanners_[i]->next(&rec);
+        if (rc < 0) {
+          s.error = scanners_[i]->error_msg();
+          return;
+        }
+        if (rc == 0) break;
+        s.consumed++;
+        if (keep_mask[r] == 0) continue;
+        if (check_names_) {
+          auto nm = base_read_name(rec.head, rec.head_len);
+          s.names.insert(s.names.end(), nm.first, nm.first + nm.second);
+          s.name_end.push_back(static_cast<uint32_t>(s.names.size()));
+        }
+        rec_buf.clear();
+        rec_buf.push_back('@');
+        rec_buf.insert(rec_buf.end(), rec.head, rec.head + rec.head_len);
+        rec_buf.push_back('\n');
+        rec_buf.insert(rec_buf.end(), rec.seq, rec.seq + rec.seq_len);
+        rec_buf.push_back('\n');
+        rec_buf.insert(rec_buf.end(), rec.plus, rec.plus + rec.plus_len);
+        rec_buf.push_back('\n');
+        rec_buf.insert(rec_buf.end(), rec.qual, rec.qual + rec.qual_len);
+        rec_buf.push_back('\n');
+        writers_[i]->write(rec_buf.data(), rec_buf.size());
+      }
+    };
+    std::vector<std::thread> ts;
+    ts.reserve(n_in - 1);
+    for (size_t i = 1; i < n_in; i++) ts.emplace_back(work, i);
+    work(0);
+    for (auto& t : ts) t.join();
+    for (size_t i = 0; i < n_in; i++) {
+      if (!st[i].error.empty()) {
+        err.set(st[i].error);
+        return -1;
+      }
+    }
+    int64_t consumed = st[0].consumed;
+    int64_t min_c = consumed;
+    for (size_t i = 1; i < n_in; i++)
+      min_c = std::min(min_c, st[i].consumed);
+    bool in_sync = true;
+    for (size_t i = 0; i < n_in; i++) in_sync &= st[i].consumed == min_c;
+    if (!in_sync) {
+      size_t got = 0;
+      for (auto& s : st) got += s.consumed > min_c ? 1 : 0;
+      err.set(str_printf(
+          "FASTQ files are out of sync: %zu of %zu files had a record at "
+          "read %lld",
+          got, n_in, static_cast<long long>(total_read_ + min_c + 1)));
+      return -1;
+    }
+    if (check_names_) {
+      const auto& f0 = st[0];
+      for (size_t i = 1; i < n_in; i++) {
+        const auto& fi = st[i];
+        for (size_t r = 0; r < f0.name_end.size(); r++) {
+          const uint32_t a0 = r ? f0.name_end[r - 1] : 0;
+          const uint32_t a1 = f0.name_end[r];
+          const uint32_t b0 = r ? fi.name_end[r - 1] : 0;
+          const uint32_t b1 = fi.name_end[r];
+          if (a1 - a0 == b1 - b0 &&
+              memcmp(f0.names.data() + a0, fi.names.data() + b0, a1 - a0) ==
+                  0)
+            continue;
+          // absolute row of the r-th kept record, for the read number
+          int64_t row = 0, seen = -1;
+          for (int64_t q = 0; q < consumed; q++) {
+            if (keep_mask[q] && ++seen == static_cast<int64_t>(r)) {
+              row = q;
+              break;
+            }
+          }
+          err.set(str_printf(
+              "Read name mismatch at read %lld: file 0=\"%s\", file "
+              "%zu=\"%s\"",
+              static_cast<long long>(total_read_ + row + 1),
+              std::string(f0.names.begin() + a0, f0.names.begin() + a1)
+                  .c_str(),
+              i,
+              std::string(fi.names.begin() + b0, fi.names.begin() + b1)
+                  .c_str()));
+          return -1;
+        }
+      }
+      if (!f0.name_end.empty()) {
+        const uint32_t last0 =
+            f0.name_end.size() > 1 ? f0.name_end[f0.name_end.size() - 2] : 0;
+        expected_name_.assign(f0.names.begin() + last0, f0.names.end());
+      }
+    }
+    int64_t kept = 0;
+    for (int64_t r = 0; r < consumed; r++) kept += keep_mask[r] ? 1 : 0;
+    total_read_ += consumed;
+    *kept_out = kept;
+    return consumed;
+  }
+
   bool finish() {
     for (auto& w : writers_) w->close();
     if (pool_) pool_->stop();
@@ -2043,6 +2172,7 @@ class SubsampleEngine {
   std::vector<std::unique_ptr<BgzfWriter>> writers_;
   int level_ = 5;
   bool check_names_ = false;
+  bool parallel_ = false;
   std::vector<uint8_t> expected_name_;
   int64_t total_read_ = 0;
 };
@@ -3027,8 +3157,9 @@ FQTK_API int fqtk_subsample_add_input(SubsampleEngine* e, const char* in_path,
   return e->add_input(in_path, out_path) ? 0 : -1;
 }
 
-FQTK_API void fqtk_subsample_configure(SubsampleEngine* e, int check_names) {
-  e->configure(check_names != 0);
+FQTK_API void fqtk_subsample_configure(SubsampleEngine* e, int check_names,
+                                       int parallel) {
+  e->configure(check_names != 0, parallel != 0);
 }
 
 FQTK_API int64_t fqtk_subsample_chunk(SubsampleEngine* e,

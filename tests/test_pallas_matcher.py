@@ -24,12 +24,16 @@ def _case(rng, k, length, b):
     return es, obs
 
 
+@pytest.mark.parametrize("mxu_dtype", ["int8", "bf16"])
 @pytest.mark.parametrize("tile_b,tile_k", [(256, 128), (512, 256)])
 @pytest.mark.parametrize("mm,delta", [(1, 2), (0, 0), (2, 1)])
-def test_pallas_matches_numpy(tile_b, tile_k, mm, delta):
+def test_pallas_matches_numpy(tile_b, tile_k, mm, delta, mxu_dtype):
     rng = np.random.default_rng(7)
     es, obs = _case(rng, k=43, length=11, b=512)
-    fn = make_pallas_assign_fn(es, mm, delta, tile_b=tile_b, tile_k=tile_k, interpret=True)
+    fn = make_pallas_assign_fn(
+        es, mm, delta, tile_b=tile_b, tile_k=tile_k, interpret=True,
+        mxu_dtype=mxu_dtype,
+    )
     idx, best, nxt = (np.asarray(x) for x in fn(obs))
     np_idx, np_best, np_next = assign_batch_np(obs, es, mm, delta)
     expect = np.where(np_idx < 0, es.count, np_idx)
@@ -64,6 +68,49 @@ def test_pallas_iupac_and_nocall_gates():
     fn = make_pallas_assign_fn(es, 0, 0, tile_b=256, tile_k=128, interpret=True)
     idx, _, _ = (np.asarray(x) for x in fn(obs))
     assert list(idx[:4]) == [0, 1, 2, 0]  # lowercase read matches too
+
+
+@pytest.mark.parametrize("mxu_dtype", ["int8", "bf16"])
+def test_pallas_packed2_matches_numpy(mxu_dtype):
+    """bit2-packed pure-ACGT input, incl. an IUPAC whitelist: the 4-class
+    contraction must agree with the numpy spec (no-call gate is host-side
+    for this packing, so only pure reads are driven)."""
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    barcodes = set()
+    while len(barcodes) < 37:
+        barcodes.add(bytes(rng.choice(bases, size=9)).decode())
+    barcodes = sorted(barcodes)
+    barcodes[3] = barcodes[3][:4] + "N" + barcodes[3][5:]  # IUPAC whitelist ok
+    barcodes[7] = "R" + barcodes[7][1:]
+    es = ExpectedSet.from_barcodes(barcodes)
+    obs = rng.choice(bases, size=(300, 9)).astype(np.uint8)
+    for i in range(0, 300, 3):
+        bc = barcodes[i % 37].replace("N", "G").replace("R", "A")
+        obs[i] = np.frombuffer(bc.encode(), dtype=np.uint8)
+
+    code = np.full(256, 0, dtype=np.uint8)
+    for c, b in zip((0, 1, 2, 3), b"ACGT"):
+        code[b] = c
+    codes = code[obs]
+    padded = np.zeros((300, 12), dtype=np.uint8)
+    padded[:, :9] = codes
+    packed = (
+        padded[:, 0::4] | (padded[:, 1::4] << 2) | (padded[:, 2::4] << 4)
+        | (padded[:, 3::4] << 6)
+    ).astype(np.uint8)
+
+    np_idx, np_best, np_next = assign_batch_np(obs, es, 1, 2)
+    expect = np.where(np_idx < 0, es.count, np_idx)
+    fn = make_pallas_assign_fn(
+        es, 1, 2, tile_b=256, tile_k=128, interpret=True, packed2=True,
+        compact_output=True, mxu_dtype=mxu_dtype,
+    )
+    j_idx, j_best, j_next = (np.asarray(x) for x in fn(packed))
+    assert j_idx.dtype == np.uint8
+    np.testing.assert_array_equal(j_idx.astype(np.int32), expect)
+    np.testing.assert_array_equal(j_best, np_best)
+    np.testing.assert_array_equal(j_next, np_next)
 
 
 def test_pallas_packed_masks_and_compact_output():

@@ -204,6 +204,58 @@ def test_native_matches_python(tmp_path):
         assert a == b and len(a) > 0
 
 
+def test_native_parallel_matches_serial(tmp_path):
+    """The per-input-threaded chunk loop must emit bytes identical to the
+    reference-architecture serial loop (bench.py's proxy mode), across
+    uneven record sizes and a mask that spans chunk boundaries."""
+    import gzip
+
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.utils.chacha import ChaCha8Rng
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    n = 700
+    fq1 = fastq_file(tmp_path, "r1", "q", ["ACGTAC" * (1 + i % 5) for i in range(n)])
+    fq2 = fastq_file(tmp_path, "r2", "q", ["CCGG" * (1 + i % 3) for i in range(n)])
+    for tag, parallel in [("ser", False), ("par", True)]:
+        rng = ChaCha8Rng(99)
+        eng = native_io.NativeSubsampleEngine(threads=3, compression_level=5)
+        eng.add_input(fq1, tmp_path / f"{tag}.R1.fq.gz")
+        eng.add_input(fq2, tmp_path / f"{tag}.R2.fq.gz")
+        eng.configure(check_names=True, parallel=parallel)
+        total = 0
+        while True:
+            mask = (rng.random_f64_batch(64) < 0.4).astype("uint8")
+            c, _ = eng.process_chunk(mask)
+            total += c
+            if c < len(mask):
+                break
+        assert eng.finish() or True
+        eng.close()
+        assert total == n
+    for i in (1, 2):
+        a = gzip.open(tmp_path / f"ser.R{i}.fq.gz").read()
+        b = gzip.open(tmp_path / f"par.R{i}.fq.gz").read()
+        assert a == b and len(a) > 0
+
+
+def test_native_parallel_out_of_sync(tmp_path):
+    """Sync failure detection + message parity through the parallel loop."""
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    fq1 = fastq_file(tmp_path, "r1", "q", ["AAAA"] * 9)
+    fq2 = fastq_file(tmp_path, "r2", "q", ["CCCC"] * 5)
+    cfg = SubsampleConfig(
+        inputs=[fq1, fq2], output=tmp_path / "o", fraction=1.0, seed=1,
+        disable_read_name_checking=True,
+    )
+    with pytest.raises(SubsampleError, match="out of sync.*read 6"):
+        run_subsample(cfg)
+
+
 def test_native_name_mismatch(tmp_path):
     from fqtk_tpu.io import native as native_io
 
