@@ -49,6 +49,10 @@ BC1, BC2 = 8, 9
 L = BC1 + BC2
 TEMPLATE_LEN = 100
 BATCH = 1 << 17
+#: big-K pallas tile sizes (best of the measured sweep; see DESIGN.md —
+#: larger tile_b at tile_k=4096 exceeds VMEM on v5e)
+PALLAS_TILE_B = 512
+PALLAS_TILE_K = 4096
 
 
 def rust_baseline() -> tuple:
@@ -163,9 +167,55 @@ def write_single_end_inputs(tmp, barcodes, n_reads, name, var_template=False):
     return path, length
 
 
+#: published per-chip peaks for MFU accounting, keyed by jax device_kind:
+#: (bf16 FLOP/s, int8 OP/s), FMA = 2 ops
+_PEAK_OPS = {
+    "TPU v5 lite": (1.97e14, 3.94e14),
+    "TPU v5e": (1.97e14, 3.94e14),
+    "TPU v4": (2.75e14, 2.75e14),
+    "TPU v5": (4.59e14, 9.18e14),
+    "TPU v5p": (4.59e14, 9.18e14),
+    "TPU v6 lite": (9.18e14, 1.836e15),
+    "TPU v6e": (9.18e14, 1.836e15),
+}
+
+
+def _peak_ops(dtype: str):
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    peaks = _PEAK_OPS.get(kind)
+    if peaks is None:
+        return None, kind
+    return (peaks[1] if dtype == "int8" else peaks[0]), kind
+
+
+def _device_only_rate(call, make_input, batches, iters=3):
+    """Marginal device-compute rate (rows/s) via a two-point fit over batch
+    sizes.  Methodology, forced by the relay (see module doc): inputs are
+    device-resident and rotated (the relay memoizes identical executions),
+    completion is forced by an on-device reduction + scalar fetch
+    (block_until_ready returns early), and the fixed per-call relay cost —
+    which dominates naive timings — cancels in the slope."""
+    import jax
+    import jax.numpy as jnp
+
+    times = []
+    for b in batches:
+        ins = [jax.device_put(make_input(b)) for _ in range(iters + 1)]
+        _ = int(jnp.sum(call(ins[-1])[0].astype(jnp.int32)))  # compile+warm
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _ = int(jnp.sum(call(ins[i])[0].astype(jnp.int32)))
+        times.append((time.perf_counter() - t0) / iters)
+    (b1, b2), (t1, t2) = batches, times
+    slope = (t2 - t1) / (b2 - b1)
+    return (1.0 / slope if slope > 0 else float("inf"))
+
+
 def bench_kernel(barcodes):
-    """Device-side assignment throughput (reads/s) on resident data,
-    rotating inputs to defeat relay-level execution memoization."""
+    """Device-side assignment: e2e call throughput (reads/s) on resident
+    data, plus the relay-overhead-corrected device-only rate and MFU."""
     import jax
 
     from fqtk_tpu.ops.matcher import ExpectedSet, make_assign_fn
@@ -189,7 +239,25 @@ def bench_kernel(barcodes):
     for i in range(iters):
         _ = int(jnp.sum(assign(inputs[i])[0]))
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    call_rate = batch * iters / dt
+
+    dev_rate = _device_only_rate(
+        assign,
+        lambda b: rng.choice(bases, size=(b, L)).astype(np.uint8),
+        batches=(1 << 21, 1 << 22),
+    )
+    peak, kind = _peak_ops("bf16")  # f32-accumulated dot -> bf16 MXU mode
+    ops = 2.0 * assign.macs_per_row * dev_rate
+    device = {
+        "kind": kind,
+        "device_only_reads_per_sec": round(dev_rate, 1),
+        "achieved_tops": round(ops / 1e12, 2),
+        "device_mfu": round(ops / peak, 4) if peak else None,
+        "note": "two-point batch fit on resident inputs; relay fixed cost "
+        "cancels in the slope (K=96 keeps the MXU tiny by design — the "
+        "big-K pallas entry is the MXU-bound datapoint)",
+    }
+    return call_rate, device
 
 
 def _demux_cfg(inputs, structures, meta, out_dir, max_mm=1, delta=2):
@@ -342,7 +410,7 @@ def bench_bigk_config():
             obs_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_proxy,
         )
     )
-    return {
+    result = {
         "name": "single_cell_737K_whitelist_16B",
         "level": "matcher",
         "reads_per_sec": round(pigeonhole_rps, 1),
@@ -354,6 +422,61 @@ def bench_bigk_config():
         else None,
         "note": "737K-sample demux e2e impossible for any implementation "
         "(fd limits); both sides measured matcher-level on identical reads",
+    }
+    try:
+        result["device_pallas"] = _bench_bigk_pallas(barcodes, obs)
+    except Exception as e:  # device path unavailable (CPU-only driver host)
+        result["device_pallas"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return result
+
+
+def _bench_bigk_pallas(barcodes, obs):
+    """The fused Pallas kernel on the same 737K whitelist (the big-K IUPAC
+    fallback path, and the MXU-bound MFU datapoint): int8 MXU + bit2-packed
+    observations, device-only rate via the two-point fit."""
+    import jax
+
+    from fqtk_tpu.ops.matcher import ExpectedSet
+    from fqtk_tpu.ops.pallas_matcher import make_pallas_assign_fn
+
+    if jax.default_backend() == "cpu":
+        return {"skipped": "cpu backend"}
+    expected = ExpectedSet.from_barcodes(barcodes)
+    fn = make_pallas_assign_fn(
+        expected, 1, 2, tile_b=PALLAS_TILE_B, tile_k=PALLAS_TILE_K,
+        packed2=True, compact_output=True, mxu_dtype="int8",
+    )
+    code = np.zeros(256, dtype=np.uint8)
+    for c, bb in zip((0, 1, 2, 3), b"ACGT"):
+        code[bb] = c
+    codes = code[obs]
+    packed = (
+        codes[:, 0::4] | (codes[:, 1::4] << 2) | (codes[:, 2::4] << 4)
+        | (codes[:, 3::4] << 6)
+    ).astype(np.uint8)
+    rng = np.random.default_rng(9)
+
+    def make_input(b):
+        reps = -(-b // packed.shape[0])
+        tiled = np.tile(packed, (reps, 1))[:b]
+        # perturb so every buffer is distinct (relay memoization)
+        tiled[rng.integers(0, b, size=64), 0] ^= 3
+        return tiled
+
+    jitted = fn.jitted
+    compat = fn.compat_dev
+    rate = _device_only_rate(
+        lambda x: jitted(x, compat), make_input, batches=(1 << 17, 1 << 18)
+    )
+    peak, kind = _peak_ops("int8")
+    ops = 2.0 * fn.macs_per_row * rate
+    return {
+        "kind": kind,
+        "mode": "int8 MXU, bit2-packed obs, "
+        f"tiles ({PALLAS_TILE_B}, {PALLAS_TILE_K})",
+        "device_only_reads_per_sec": round(rate, 1),
+        "achieved_tops": round(ops / 1e12, 2),
+        "device_mfu": round(ops / peak, 4) if peak else None,
     }
 
 
@@ -422,7 +545,7 @@ def main():
 
     enable_compilation_cache()
     barcodes = make_whitelist(K, L)
-    kernel_rps = bench_kernel(barcodes)
+    kernel_rps, kernel_device = bench_kernel(barcodes)
     configs = []
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
@@ -545,6 +668,7 @@ def main():
                 "unit": "reads/s",
                 "vs_baseline": round(e2e_rps / baseline_rps, 4),
                 "kernel_assign_reads_per_sec": round(kernel_rps, 1),
+                "kernel_device": kernel_device,
                 "stage_seconds": stage_timings,
                 "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2, native engine",
                 "baseline_note": baseline_note,

@@ -337,4 +337,8 @@ def make_assign_fn(
     def assign(obs_bytes):
         return _assign(obs_bytes, compat_chunks_dev)
 
+    # device-only instrumentation hooks (bench.py MFU accounting)
+    assign.jitted = _assign
+    assign.compat_dev = compat_chunks_dev
+    assign.macs_per_row = k_pad * length * onehot_width
     return assign

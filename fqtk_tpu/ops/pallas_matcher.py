@@ -147,12 +147,17 @@ def make_pallas_assign_fn(
         # key uniqueness (distinct col) lets the second-best mask compare
         # keys.  int32 keys are exact outright; f32 keys are exact because
         # 255 * TK + TK - 1 < 2^23 for TK <= 2^15.
+        # K-padding columns need NO masking: their compat column is all-ones
+        # so their count is exactly L, the maximum any column can reach, and
+        # they sit at the highest col values of the last tile — the combined
+        # key's first-occurrence tie-break means a pad column can only win
+        # against a real column with count > L, which cannot exist.  (And
+        # `next` is unaffected: true next <= L always.)  Skipping the mask
+        # drops two full [TB, TK] VPU passes per grid step.
         if int8_mxu:
             lcol = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
             big = MAX_COUNT * tile_k
             key = counts * tile_k + lcol
-            pad = (lcol + kb * tile_k) >= k
-            key = jnp.where(pad, big, key)
             m1 = jnp.min(key, axis=1, keepdims=True)  # [TB, 1]
             m2 = jnp.min(jnp.where(key == m1, big, key), axis=1, keepdims=True)
             cb = m1 // tile_k
@@ -166,8 +171,6 @@ def make_pallas_assign_fn(
             tkf = float(tile_k)
             big = float(MAX_COUNT) * tkf
             key = counts * tkf + lcolf
-            pad = (lcolf + (kb * tile_k).astype(jnp.float32)) >= float(k)
-            key = jnp.where(pad, big, key)
             m1 = jnp.min(key, axis=1, keepdims=True)  # [TB, 1]
             m2 = jnp.min(jnp.where(key == m1, big, key), axis=1, keepdims=True)
             cbf = jnp.floor(m1 / tkf)
@@ -246,6 +249,10 @@ def make_pallas_assign_fn(
             vals_t = byte_to_mask(obs_in.T)  # [L, B] int32 in 0..15
             nocalls = jnp.sum(byte_is_nocall(obs_in), axis=1)
         best, bidx, nxt = run_kernel(vals_t, compat_dev)
+        if k == 1:
+            # no real runner-up exists; unmasked pad columns report count L
+            # here, but the spec (assign_batch_np) says MAX_COUNT
+            nxt = jnp.full_like(nxt, MAX_COUNT)
         ok = (best <= max_mismatches) & (nxt - best >= min_mismatch_delta)
         if nocalls is not None:
             ok = ok & (nocalls <= nocall_budget)
@@ -272,4 +279,10 @@ def make_pallas_assign_fn(
             idx, best, nxt = idx[:b], best[:b], nxt[:b]
         return idx, best, nxt
 
+    # device-only instrumentation hooks (bench.py MFU accounting): the raw
+    # jitted step + resident compat, and the MAC count per already-padded row
+    assign.jitted = _assign
+    assign.compat_dev = compat_dev_arr
+    assign.macs_per_row = k_padded * wl
+    assign.tile_b = tile_b
     return assign

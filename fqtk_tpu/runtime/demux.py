@@ -418,16 +418,20 @@ def _build_device_assign_fn(
     if big_k and jax.default_backend() != "cpu":
         from ..ops.pallas_matcher import make_pallas_assign_fn
 
+        # int8 MXU + bit2-packed observations (ambiguous rows flagged by the
+        # engine and resolved host-side, same as the XLA bit2 path) at the
+        # measured-best tiles — 2.07x the bf16/nib4 kernel at K=737K
         fn = make_pallas_assign_fn(
             expected,
             cfg.max_mismatches,
             cfg.min_mismatch_delta,
-            tile_b=1024,
-            tile_k=1024,
-            packed_masks=True,
+            tile_b=512,
+            tile_k=4096,
+            packed2=True,
             compact_output=True,
+            mxu_dtype="int8",
         )
-        pack_mode = "nib4"
+        pack_mode = "bit2"
     else:
         from ..ops.matcher import make_assign_fn
 

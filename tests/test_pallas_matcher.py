@@ -70,6 +70,23 @@ def test_pallas_iupac_and_nocall_gates():
     assert list(idx[:4]) == [0, 1, 2, 0]  # lowercase read matches too
 
 
+def test_pallas_single_barcode_next_is_maxcount():
+    """k == 1: next must be MAX_COUNT (numpy spec) even though the unmasked
+    pad columns report count L inside the kernel."""
+    from fqtk_tpu.ops.matcher import MAX_COUNT
+
+    es = ExpectedSet.from_barcodes(["ACGTACGT"])
+    obs = np.frombuffer(b"ACGTACGTACGTACGAACGTTCGT", dtype=np.uint8).reshape(3, 8)
+    obs = np.tile(obs, (86, 1))[:256]
+    fn = make_pallas_assign_fn(es, 1, 4, tile_b=256, tile_k=128, interpret=True)
+    idx, best, nxt = (np.asarray(x) for x in fn(obs))
+    np_idx, np_best, np_next = assign_batch_np(obs, es, 1, 4)
+    assert (nxt == MAX_COUNT).all()
+    np.testing.assert_array_equal(idx, np.where(np_idx < 0, es.count, np_idx))
+    np.testing.assert_array_equal(best, np_best)
+    np.testing.assert_array_equal(nxt, np_next)
+
+
 @pytest.mark.parametrize("mxu_dtype", ["int8", "bf16"])
 def test_pallas_packed2_matches_numpy(mxu_dtype):
     """bit2-packed pure-ACGT input, incl. an IUPAC whitelist: the 4-class
