@@ -667,6 +667,13 @@ def main():
                 "value": round(e2e_rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(e2e_rps / baseline_rps, 4),
+                # the pinned baseline is the best-ever-observed proxy run;
+                # the VM has ~2x noisy-neighbor phases, so the same-window
+                # proxy ratio (configs[0].vs_config_baseline) is the
+                # controlled comparison
+                "vs_same_window_proxy": round(e2e_rps / proxy_di, 4)
+                if proxy_di
+                else None,
                 "kernel_assign_reads_per_sec": round(kernel_rps, 1),
                 "kernel_device": kernel_device,
                 "stage_seconds": stage_timings,
