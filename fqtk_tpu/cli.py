@@ -266,6 +266,11 @@ def _dispatch(args) -> int:
             )
             run_demux_multihost(cfg, merge_output=args.merge_output)
             return 0
+        if args.merge_output:
+            raise ValueError(
+                "--merge-output requires --distributed-coordinator (a "
+                "single-process run already writes single per-sample files)"
+            )
         run_demux(cfg)
         return 0
     if args.command == "concat-shards":

@@ -101,7 +101,27 @@ def assign_batch_np(
     ``assigned_idx`` is ``UNMATCHED`` (-1) for unassigned reads.
     """
     obs_bytes = np.asarray(obs_bytes, dtype=np.uint8)
-    counts = mismatch_counts_np(obs_bytes, expected)
+    obs_masks = ENCODE_LUT[obs_bytes]
+    nocalls = NOCALL_LUT[obs_bytes].sum(axis=1)
+    return assign_batch_np_masks(
+        obs_masks, expected, max_mismatches, min_mismatch_delta, nocalls=nocalls
+    )
+
+
+def assign_batch_np_masks(
+    obs_masks: np.ndarray,
+    expected: ExpectedSet,
+    max_mismatches: int,
+    min_mismatch_delta: int,
+    nocalls: np.ndarray = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``assign_batch_np`` over pre-encoded 4-bit IUPAC masks ``[B, L]``
+    (the native engine's nib4 transfer payload).  ``mask == 15`` is exactly
+    the no-call indicator (N/n/. and nothing else encode to 15), so the
+    no-call prefilter needs no byte-level view."""
+    obs_masks = np.asarray(obs_masks)
+    diff = (obs_masks[:, None, :] & ~expected.masks[None, :, :]) & 0xF
+    counts = np.minimum((diff != 0).sum(axis=2), MAX_COUNT).astype(np.int32)
     b = counts.shape[0]
     best_idx = counts.argmin(axis=1).astype(np.int32)
     best = counts[np.arange(b), best_idx]
@@ -111,7 +131,8 @@ def assign_batch_np(
         next_best = np.full(b, MAX_COUNT, dtype=np.int32)
     else:
         next_best = np.minimum(masked.min(axis=1), MAX_COUNT)
-    nocalls = NOCALL_LUT[obs_bytes].sum(axis=1)
+    if nocalls is None:
+        nocalls = (obs_masks == 15).sum(axis=1)
     ok = (
         (nocalls <= max_mismatches + expected.max_ns_in_barcodes)
         & (best <= max_mismatches)

@@ -146,5 +146,5 @@ def run_demux_multihost(
         if merge_output:
             from .merge import concat_shards
 
-            concat_shards(Path(cfg.output))
+            concat_shards(Path(cfg.output), expected_shards=nproc)
     return metrics

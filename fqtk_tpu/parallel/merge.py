@@ -34,8 +34,13 @@ class MergeError(RuntimeError):
     pass
 
 
-def _shard_dirs(output: Path) -> List[Path]:
-    """``shard-{pid}`` subdirectories in pid order; error on gaps."""
+def _shard_dirs(output: Path, expected_shards: int = None) -> List[Path]:
+    """``shard-{pid}`` subdirectories in pid order; error on gaps.
+
+    ``expected_shards`` (when the caller knows the process count) guards
+    against a silently-partial merge: a contiguous prefix ``[0..m]`` of a
+    larger run (lagging shared-filesystem visibility, a failed host) is an
+    error, not a smaller merge."""
     shards = []
     for p in output.iterdir():
         if p.is_dir() and p.name.startswith("shard-"):
@@ -52,6 +57,12 @@ def _shard_dirs(output: Path) -> List[Path]:
         raise MergeError(
             f"Shard directories are not contiguous from 0: found {pids}"
         )
+    if expected_shards is not None and len(pids) != expected_shards:
+        raise MergeError(
+            f"Expected {expected_shards} shard directories, found "
+            f"{len(pids)} under \"{output}\" (missing shards would merge "
+            "a partial view)"
+        )
     return [p for _, p in shards]
 
 
@@ -63,7 +74,10 @@ def _strip_trailing_eof(data: bytes) -> bytes:
 
 
 def concat_shards(
-    output: Path, remove_shards: bool = False, buffer_bytes: int = 8 << 20
+    output: Path,
+    remove_shards: bool = False,
+    buffer_bytes: int = 8 << 20,
+    expected_shards: int = None,
 ) -> List[Path]:
     """Merge ``{output}/shard-{pid}/*.fq.gz`` into ``{output}/*.fq.gz``.
 
@@ -73,7 +87,10 @@ def concat_shards(
     rather than silently merging a partial view).  Returns the merged paths.
     """
     output = Path(output)
-    shards = _shard_dirs(output)
+    # the streaming loop below must keep >= one EOF block (28B) plus slack
+    # in the inspected tail; tiny buffers would make `remaining - 64` < 0
+    buffer_bytes = max(buffer_bytes, 128)
+    shards = _shard_dirs(output, expected_shards=expected_shards)
     names = sorted(p.name for p in shards[0].glob("*.fq.gz"))
     if not names:
         raise MergeError(f'No .fq.gz outputs in "{shards[0]}"')
@@ -101,6 +118,8 @@ def concat_shards(
                         # never stream the last 64 bytes: an EOF block (28B)
                         # must land wholly inside the inspected tail
                         chunk = fh.read(min(buffer_bytes, remaining - 64))
+                        if not chunk:
+                            break  # file shrank under us; tail read decides
                         out.write(chunk)
                         remaining -= len(chunk)
                     tail = fh.read()

@@ -376,7 +376,29 @@ def _build_device_assign_fn(
                 "unavailable; using the device paths"
             )
 
-    import jax
+    try:
+        import jax
+    except ImportError:
+        # jax is the 'tpu' extra: without it the native IO engine still
+        # runs, assignment falls back to the NumPy executable spec
+        from ..ops.matcher import assign_batch_np_masks
+
+        logger.warning(
+            "jax unavailable; assignment uses the NumPy spec on the host"
+        )
+
+        def assign_np_nib4(obs_packed):
+            obs = np.asarray(obs_packed)
+            b = obs.shape[0]
+            masks = np.stack(
+                [obs & 0xF, obs >> 4], axis=-1
+            ).reshape(b, -1)[:, : expected.length]
+            idx, _, _ = assign_batch_np_masks(
+                masks, expected, cfg.max_mismatches, cfg.min_mismatch_delta
+            )
+            return np.where(idx < 0, expected.count, idx).astype(np.int32)
+
+        return assign_np_nib4, "nib4", True
 
     n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
     n_dev = max(1, min(n_dev, jax.local_device_count()))
@@ -635,9 +657,19 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                         "subsequent runs hit the persistent cache)..."
                     )
                 with timers.time("assign"):
-                    # dispatch + fetch; the zero-copy bc view is consumed by
-                    # the device transfer before asarray returns
-                    assigned = np.asarray(assign(bc_view))[:n].astype(np.int32)
+                    if host_matcher:
+                        # host matchers have no fixed-shape compilation
+                        # constraint: scan only the n valid rows (a leading-
+                        # axis slice of the C-order view is still contiguous)
+                        assigned = np.asarray(assign(bc_view[:n])).astype(
+                            np.int32
+                        )
+                    else:
+                        # dispatch + fetch; the zero-copy bc view is consumed
+                        # by the device transfer before asarray returns
+                        assigned = np.asarray(assign(bc_view))[:n].astype(
+                            np.int32
+                        )
                 if first:
                     first = False
                     if not host_matcher:

@@ -31,8 +31,9 @@ UBSAN_RT="$(g++ -print-file-name=libubsan.so)"
 # TSan can fail to map its shadow under high-entropy ASLR; retry address-
 # space-randomization-disabled if the plain run dies on startup.
 _maybe_setarch() {
-  if "$@"; then return 0; fi
-  rc=$?
+  local rc=0
+  "$@" || rc=$?
+  if [ "$rc" -eq 0 ]; then return 0; fi
   if [ "$rc" -ge 126 ] || [ "$rc" -eq 1 ]; then
     echo "sanitize: retrying under setarch -R (TSan shadow mapping vs ASLR)"
     setarch "$(uname -m)" -R "$@"

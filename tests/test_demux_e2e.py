@@ -299,6 +299,42 @@ def test_demux_dual_indexed_paired_end_reads(tmp_path, engine):
     )
 
 
+def test_demux_native_without_jax_falls_back_to_numpy_spec(tmp_path, monkeypatch):
+    """jax is the 'tpu' extra: on a jax-less host the native engine must
+    still demux correctly (assignment via the NumPy spec) when no host
+    matcher qualifies (FQTK_HOST_MATCHER_MAX_K=0 forces the device branch)."""
+    import sys
+
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("FQTK_HOST_MATCHER_MAX_K", "0")
+    monkeypatch.setitem(sys.modules, "jax", None)  # import jax -> ImportError
+    s1 = "AAAAAAAAGATTACAGA"
+    sample_metadata = metadata_file(
+        tmp_path, [s1, "CCCCCCCCGATTACAGA", "GGGGGGGGGATTACAGA", "GGGGGGTTGATTACAGA"]
+    )
+    inputs = [
+        fastq_file(tmp_path, "ex_I1", "ex", [s1[:8]]),
+        fastq_file(tmp_path, "ex_R1", "ex", ["A" * 100]),
+        fastq_file(tmp_path, "ex_R2", "ex", ["T" * 100]),
+        fastq_file(tmp_path, "ex_I2", "ex", [s1[8:]]),
+    ]
+    out = tmp_path / "output"
+    run_demux(
+        _cfg(tmp_path, inputs, ["8B", "100T", "100T", "9B"], sample_metadata, out, "native")
+    )
+    assert_records(
+        out / "Sample0000.R1.fq.gz",
+        [(b"ex_0 1:N:0:AAAAAAAA+GATTACAGA", b"A" * 100, b";" * 100)],
+    )
+    assert_records(
+        out / "Sample0000.R2.fq.gz",
+        [(b"ex_0 2:N:0:AAAAAAAA+GATTACAGA", b"T" * 100, b";" * 100)],
+    )
+
+
 @pytest.mark.parametrize("engine", ENGINES)
 def test_demux_a_wierd_set_of_reads(tmp_path, engine):
     s1 = "AAAAAAAAGATTACAGA"
