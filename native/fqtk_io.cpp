@@ -618,13 +618,18 @@ class BgzfWriter {
   // contiguous buffer space (submitting the current block first if needed;
   // partial blocks are valid BGZF).  Caller writes <= max_len bytes and
   // calls commit(actual).  max_len must be < kBgzfBlockInput.
+  //
+  // The block buffer is sized to full capacity once per block and filled
+  // through the separate `len_` cursor: per-record vector::resize would
+  // zero-fill every reservation (~276 cycles/record measured on the route
+  // hot path — comparable to the whole header rewrite).
   uint8_t* reserve(size_t max_len) {
-    if (buf_.size() + max_len > kBgzfBlockInput) submit_block();
-    reserve_off_ = buf_.size();
-    buf_.resize(reserve_off_ + max_len);
+    if (len_ + max_len > kBgzfBlockInput) submit_block();
+    if (buf_.size() != kBgzfBlockInput) buf_.resize(kBgzfBlockInput);
+    reserve_off_ = len_;
     return buf_.data() + reserve_off_;
   }
-  void commit(size_t actual) { buf_.resize(reserve_off_ + actual); }
+  void commit(size_t actual) { len_ = reserve_off_ + actual; }
 
   void close();
   ~BgzfWriter() { close(); }
@@ -642,7 +647,8 @@ class BgzfWriter {
   bool closed_ = false;
   int level_;
   CompressorPool* pool_;
-  std::vector<uint8_t> buf_;
+  std::vector<uint8_t> buf_;  // capacity-sized per block; len_ is the cursor
+  size_t len_ = 0;
   size_t reserve_off_ = 0;
   uint64_t next_submit_ = 0;
 
@@ -789,21 +795,24 @@ class CompressorPool {
 
 void BgzfWriter::write(const uint8_t* data, size_t len) {
   while (len > 0) {
-    size_t take = std::min(len, kBgzfBlockInput - buf_.size());
-    buf_.insert(buf_.end(), data, data + take);
+    if (buf_.size() != kBgzfBlockInput) buf_.resize(kBgzfBlockInput);
+    size_t take = std::min(len, kBgzfBlockInput - len_);
+    memcpy(buf_.data() + len_, data, take);
+    len_ += take;
     data += take;
     len -= take;
-    if (buf_.size() == kBgzfBlockInput) submit_block();
+    if (len_ == kBgzfBlockInput) submit_block();
   }
 }
 
 void BgzfWriter::submit_block() {
+  buf_.resize(len_);  // shrink to the filled prefix: no re-initialization
   CompressJob job;
   job.writer = this;
   job.seq = next_submit_++;
   job.data = std::move(buf_);
   buf_.clear();
-  buf_.reserve(kBgzfBlockInput);
+  len_ = 0;
   pool_->submit(std::move(job));
 }
 
@@ -822,7 +831,7 @@ void BgzfWriter::deliver(uint64_t seq, std::vector<uint8_t> compressed) {
 void BgzfWriter::close() {
   if (closed_ || !file_) return;
   closed_ = true;
-  if (!buf_.empty()) submit_block();
+  if (len_ > 0) submit_block();
   {
     std::unique_lock<std::mutex> lk(mu_);
     drained_.wait(lk, [&] { return next_write_ == next_submit_; });
@@ -835,6 +844,20 @@ void BgzfWriter::close() {
 // ---------------------------------------------------------------------------
 // header rewriting (byte-identical to fqtk_tpu/core/headers.py)
 // ---------------------------------------------------------------------------
+
+// Formats a non-negative int as decimal without snprintf's locale/format
+// machinery (the route hot path renders two ints per output record; glibc
+// snprintf measured ~400 cycles vs ~10 for this).
+inline int format_int(char* dst, int v) {
+  char tmp[12];
+  int n = 0;
+  do {
+    tmp[n++] = static_cast<char>('0' + v % 10);
+    v /= 10;
+  } while (v > 0);
+  for (int i = 0; i < n; i++) dst[i] = tmp[n - 1 - i];
+  return n;
+}
 
 // Appends the rewritten header (including '@') to `out`. Returns false and
 // sets err on contract violations.
@@ -874,8 +897,10 @@ bool rewrite_header(std::vector<uint8_t>& out, const uint8_t* header,
   out.push_back(' ');
 
   if (!comment) {
-    char tmp[32];
-    int n = snprintf(tmp, sizeof(tmp), "%d:N:0:", read_num);
+    char tmp[20];
+    int n = format_int(tmp, read_num);
+    memcpy(tmp + n, ":N:0:", 5);
+    n += 5;
     out.insert(out.end(), tmp, tmp + n);
   } else {
     int sep_count = 0;
@@ -901,7 +926,8 @@ bool rewrite_header(std::vector<uint8_t>& out, const uint8_t* header,
           comment[comment_len - 1] <= '9')
         rem_len -= 1;
       char tmp[16];
-      int n = snprintf(tmp, sizeof(tmp), "%d:", read_num);
+      int n = format_int(tmp, read_num);
+      tmp[n++] = ':';
       out.insert(out.end(), tmp, tmp + n);
       out.insert(out.end(), rem, rem + rem_len);
       if (rem_len == 0 || rem[rem_len - 1] != ':') out.push_back('+');
@@ -957,7 +983,9 @@ inline int64_t rewrite_header_buf(
   *p++ = ' ';
 
   if (!comment) {
-    p += snprintf(reinterpret_cast<char*>(p), 24, "%d:N:0:", read_num);
+    p += format_int(reinterpret_cast<char*>(p), read_num);
+    memcpy(p, ":N:0:", 5);
+    p += 5;
   } else {
     int sep_count = 0;
     for (size_t i = 0; i < comment_len; i++)
@@ -980,7 +1008,8 @@ inline int64_t rewrite_header_buf(
       if (rem_len > 0 && comment[comment_len - 1] >= '0' &&
           comment[comment_len - 1] <= '9')
         rem_len -= 1;
-      p += snprintf(reinterpret_cast<char*>(p), 16, "%d:", read_num);
+      p += format_int(reinterpret_cast<char*>(p), read_num);
+      *p++ = ':';
       memcpy(p, rem, rem_len);
       p += rem_len;
       if (rem_len == 0 || rem[rem_len - 1] != ':') *p++ = '+';
@@ -1437,7 +1466,17 @@ class DemuxEngine {
   struct WriteScratch {
     std::vector<uint8_t> rec_buf;
     std::vector<std::pair<const uint8_t*, size_t>> bc_segs, umi_segs;
+#ifdef FQTK_ROUTE_PROF
+    uint64_t t_segs = 0, t_head = 0, t_copy = 0, t_reserve = 0, n_recs = 0;
+#endif
   };
+#ifdef FQTK_ROUTE_PROF
+#define FQTK_TSC(var) uint64_t var = __builtin_ia32_rdtsc()
+#define FQTK_TADD(acc, t0) sc.acc += __builtin_ia32_rdtsc() - (t0)
+#else
+#define FQTK_TSC(var)
+#define FQTK_TADD(acc, t0)
+#endif
 
   // Formats and writes one template's requested segments to writer set
   // `idx` (header rewrite + 4-line records, in the fixed T/B/M/C order).
@@ -1450,6 +1489,7 @@ class DemuxEngine {
     const RecEntry& e0 = ib0.recs[t];
     auto& bc_segs = sc.bc_segs;
     auto& umi_segs = sc.umi_segs;
+    FQTK_TSC(tp0);
     bc_segs.clear();
     umi_segs.clear();
     for (size_t i = 0; i < n_in; i++) {
@@ -1470,6 +1510,7 @@ class DemuxEngine {
     for (auto& s : bc_segs) extra_len += s.second + 1;
     for (auto& s : umi_segs) extra_len += s.second + 1;
     size_t head_max = 1 + e0.head_len + extra_len + 32;
+    FQTK_TADD(t_segs, tp0);
 
     size_t w = 0;
     for (char ot : out_types_) {
@@ -1492,15 +1533,20 @@ class DemuxEngine {
           std::string herr;
           if (max_rec < kBgzfBlockInput) {
             // format directly into the writer's block buffer
+            FQTK_TSC(tr0);
             uint8_t* base = wset[w]->reserve(max_rec);
+            FQTK_TADD(t_reserve, tr0);
+            FQTK_TSC(th0);
             int64_t h = rewrite_header_buf(base,
                                            ib0.arena.data() + e0.head_off,
                                            e0.head_len, read_num, bc_segs,
                                            umi_segs, &herr);
+            FQTK_TADD(t_head, th0);
             if (h < 0) {
               err.set(herr);
               return false;
             }
+            FQTK_TSC(tc0);
             uint8_t* p = base + h;
             *p++ = '\n';
             memcpy(p, seq, len);
@@ -1512,6 +1558,10 @@ class DemuxEngine {
             p += len;
             *p++ = '\n';
             wset[w]->commit(p - base);
+            FQTK_TADD(t_copy, tc0);
+#ifdef FQTK_ROUTE_PROF
+            sc.n_recs++;
+#endif
           } else {  // huge record fallback via the copy path
             auto& rec_buf = sc.rec_buf;
             rec_buf.clear();
@@ -1550,6 +1600,15 @@ class DemuxEngine {
       if (!write_template(slot.per_input, rmap[r], idx, sc)) break;
     }
     route_ns_ += thread_cpu_ns() - cpu0;
+#ifdef FQTK_ROUTE_PROF
+    if (sc.n_recs)
+      fprintf(stderr,
+              "ROUTE_PROF recs=%llu segs=%llu head=%llu reserve=%llu "
+              "copy=%llu (tsc)\n",
+              (unsigned long long)sc.n_recs, (unsigned long long)sc.t_segs,
+              (unsigned long long)sc.t_head, (unsigned long long)sc.t_reserve,
+              (unsigned long long)sc.t_copy);
+#endif
   }
 
   bool finish() {
