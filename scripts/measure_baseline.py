@@ -73,6 +73,18 @@ def main() -> int:
         )
         print(f"best: {best/1e6:.3f}M reads/s over {args.trials} trial(s)")
 
+    # The pin is the BEST proxy ever observed (generous to the baseline):
+    # this host has ~2x noisy-neighbor phases lasting tens of minutes, so a
+    # re-measure in a bad window must never lower the recorded baseline.
+    pin_path = REPO / "BASELINE_MEASURED.json"
+    if pin_path.exists():
+        prev = json.loads(pin_path.read_text())
+        if prev.get("value", 0) > best:
+            print(
+                f"keeping pinned best {prev['value']/1e6:.3f}M reads/s "
+                f"(> this window's {best/1e6:.3f}M)"
+            )
+            best = prev["value"]
     out = {
         "metric": "rust_fqtk_demux_baseline_proxy_reads_per_sec",
         "value": round(best, 1),
@@ -81,12 +93,14 @@ def main() -> int:
             "C++ re-creation of the reference pipeline architecture "
             "(read-ahead threads + single scalar-matcher main thread + "
             "libdeflate BGZF writer pool), generous-to-baseline deltas "
-            "documented in scripts/measure_baseline.py"
+            "documented in scripts/measure_baseline.py; value = best of "
+            "repeated measurement sessions (the host shows ~2x "
+            "noisy-neighbor phases); conservative for vs_baseline"
         ),
         "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2",
         "host": "bench host (shared with TPU relay)",
     }
-    (REPO / "BASELINE_MEASURED.json").write_text(json.dumps(out, indent=2) + "\n")
+    pin_path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
     return 0
 
