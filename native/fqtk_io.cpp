@@ -2255,7 +2255,9 @@ class SubsampleEngine {
 // Requires: expected barcodes strictly A/C/G/T (IUPAC-ambiguous whitelists
 // fall back to the device path — exact-match hashing is unsound for them).
 // Observed bytes canonicalize through the IUPAC mask (U == T; any
-// multi-bit/no-call mask can never exact-match a pure-ACGT part).
+// multi-bit/no-call mask can never exact-match a pure-ACGT part; mask-0
+// bytes — invalid characters like 'X' — are spec-level wildcards and get
+// key enumeration, see assign_one).
 // ---------------------------------------------------------------------------
 
 // --- fused bucket-scan kernels (BigKMatcher hot loop, len <= 16) ----------
@@ -2512,12 +2514,29 @@ class BigKMatcher {
   // next <= mm, and all update paths use strict <, so re-arrivals cannot
   // update anything — except the mm == best path, guarded by the id check.
   // This removes the visited-stamp array (a [K] random-access cache killer).
+  //
+  // Observed-byte semantics (must match the NumPy spec / reference encode):
+  //   single-bit mask (A/C/G/T/U)  -> key digit; exact-match candidates
+  //   multi-bit mask (IUPAC, N=15) -> ALWAYS mismatches a pure-ACGT
+  //     whitelist position, so a part containing one can never zero-match:
+  //     skipping that part is sound
+  //   mask 0 (invalid byte, e.g. 'X') -> obs & ~exp == 0 for EVERY expected
+  //     mask: a spec-level wildcard that never mismatches.  A part
+  //     containing wildcards stays eligible: enumerate all 4^w keys that
+  //     agree on the fixed digits (each candidate barcode sits under
+  //     exactly one of them).  Reads whose wildcards would blow up the
+  //     enumeration (> kMaxWildPerPart in one part) take a full whitelist
+  //     scan instead — correct for adversarial input, never hit by real
+  //     FASTQ.
+  static constexpr int kMaxWildPerPart = 6;  // 4^6 = 4096 buckets max
+
   int32_t assign_one(const uint8_t* row) {
-    // unpack nibbles -> masks; canonical 2-bit codes (or -1) + no-call count
+    // unpack nibbles -> masks; canonical 2-bit codes (or -1/-2) + no-calls
     uint8_t masks[32];
     int8_t codes[32];
     int nocalls = 0;
     bool pure = true;
+    bool full_scan = false;
     uint64_t obs2 = 0;  // 2-bit packed observed codes (valid when pure)
     for (int j = 0; j < len_; j++) {
       uint8_t m = (j & 1) ? (row[j >> 1] >> 4) : (row[j >> 1] & 0xF);
@@ -2529,6 +2548,7 @@ class BigKMatcher {
         case 2: c = 1; break;
         case 4: c = 2; break;
         case 8: c = 3; break;
+        case 0: c = -2; pure = false; break;  // wildcard (see above)
         default: c = -1; pure = false; break;
       }
       codes[j] = c;
@@ -2540,47 +2560,79 @@ class BigKMatcher {
     const int cap = max_mm_ + std::max(delta_, 1);  // counts >= cap are moot
     int best = 256, next = 256;
     int64_t best_id = k_;
-    for (int p = 0; p < n_parts_; p++) {
-      uint32_t key = 0;
+    for (int p = 0; p < n_parts_ && !full_scan; p++) {
+      uint32_t base_key = 0;
       bool eligible = true;
+      int wshift[kMaxWildPerPart];  // key shift of each wildcard digit
+      int nw = 0;
       const int off = part_off_[p], plen = part_len_[p];
       for (int j = 0; j < plen && eligible; j++) {
         int8_t c = codes[off + j];
-        if (c < 0)
+        base_key <<= 2;
+        if (c >= 0) {
+          base_key |= static_cast<uint32_t>(c);
+        } else if (c == -2) {
+          if (nw == kMaxWildPerPart) {
+            full_scan = true;
+            break;
+          }
+          wshift[nw++] = 2 * (plen - 1 - j);
+        } else {
           eligible = false;
-        else
-          key = (key << 2) | static_cast<uint32_t>(c);
+        }
       }
-      if (!eligible) continue;
+      if (!eligible || full_scan) continue;
       const auto& t = tables_[p];
-      const uint32_t lo = t.offsets[key], hi = t.offsets[key + 1];
-      if (pure && fused_) {
-        // hot path: fused entries + SIMD filter (see fused_scan_* above)
-        scan_(t.fused.data(), lo, hi, obs2, low_mask_, cap, best, next,
-              best_id);
-      } else if (pure) {
-        // 17..32bp whitelists: XOR of 2-bit-packed codes; a position
-        // mismatches iff either of its 2 bits differs -> fold pairs, popcount
-        for (uint32_t i = lo; i < hi; i++) {
-          const uint32_t id = t.ids[i];
-          const uint64_t x = obs2 ^ t.packs[i];
-          const uint64_t y = (x | (x >> 1)) & 0x5555555555555555ull;
-          const int mm = __builtin_popcountll(y);
-          if (mm > cap) continue;
-          top2_update(mm, id, best, next, best_id);
+      const uint32_t n_combo = 1u << (2 * nw);
+      for (uint32_t combo = 0; combo < n_combo; combo++) {
+        uint32_t key = base_key;
+        for (int i = 0; i < nw; i++)
+          key |= ((combo >> (2 * i)) & 3u) << wshift[i];
+        const uint32_t lo = t.offsets[key], hi = t.offsets[key + 1];
+        if (pure && fused_) {
+          // hot path: fused entries + SIMD filter (see fused_scan_* above)
+          scan_(t.fused.data(), lo, hi, obs2, low_mask_, cap, best, next,
+                best_id);
+        } else if (pure) {
+          // 17..32bp whitelists: XOR of 2-bit-packed codes; a position
+          // mismatches iff either of its 2 bits differs -> fold, popcount
+          for (uint32_t i = lo; i < hi; i++) {
+            const uint32_t id = t.ids[i];
+            const uint64_t x = obs2 ^ t.packs[i];
+            const uint64_t y = (x | (x >> 1)) & 0x5555555555555555ull;
+            const int mm = __builtin_popcountll(y);
+            if (mm > cap) continue;
+            top2_update(mm, id, best, next, best_id);
+          }
+        } else {
+          // rare path (IUPAC/no-call/wildcard bytes): per-position masks
+          for (uint32_t i = lo; i < hi; i++) {
+            const uint32_t id = fused_
+                                    ? static_cast<uint32_t>(t.fused[i] >> 32)
+                                    : t.ids[i];
+            const uint8_t* exp =
+                codes_.data() + static_cast<int64_t>(id) * len_;
+            int mm = 0;
+            for (int j = 0; j < len_ && mm <= cap; j++)
+              mm += (masks[j] & ~(1u << exp[j])) != 0;
+            if (mm > cap) continue;
+            top2_update(mm, id, best, next, best_id);
+          }
         }
-      } else {
-        // rare path (IUPAC/no-call bytes in the read): per-position masks
-        for (uint32_t i = lo; i < hi; i++) {
-          const uint32_t id = fused_ ? static_cast<uint32_t>(t.fused[i] >> 32)
-                                     : t.ids[i];
-          const uint8_t* exp = codes_.data() + static_cast<int64_t>(id) * len_;
-          int mm = 0;
-          for (int j = 0; j < len_ && mm <= cap; j++)
-            mm += (masks[j] & ~(1u << exp[j])) != 0;
-          if (mm > cap) continue;
-          top2_update(mm, id, best, next, best_id);
-        }
+      }
+    }
+    if (full_scan) {
+      // adversarial wildcard storm: score every barcode via the mask path
+      best = 256;
+      next = 256;
+      best_id = k_;
+      for (int64_t id = 0; id < k_; id++) {
+        const uint8_t* exp = codes_.data() + id * len_;
+        int mm = 0;
+        for (int j = 0; j < len_ && mm <= cap; j++)
+          mm += (masks[j] & ~(1u << exp[j])) != 0;
+        if (mm > cap) continue;
+        top2_update(mm, id, best, next, best_id);
       }
     }
     if (best > max_mm_) return static_cast<int32_t>(k_);

@@ -212,3 +212,58 @@ def test_assign_fn_cache_respects_batch_size(tmp_path, monkeypatch):
     r1 = run_demux(cfg("o1", 16))  # divisible by 8 -> mesh fn cached
     r2 = run_demux(cfg("o2", 7))  # indivisible -> must NOT reuse the mesh fn
     assert r1.total_templates == r2.total_templates == 30
+
+
+def test_bigk_wildcard_bytes_match_spec():
+    """Invalid read bytes (IUPAC mask 0, e.g. 'X') are spec-level wildcards:
+    ``obs & ~exp == 0`` against every expected mask, so they never mismatch
+    (reference ``bitenc.rs:441`` with a zero observed nibble).  The
+    pigeonhole tables must still find candidates through parts containing
+    them (regression: such parts used to be skipped entirely, losing the
+    true best match)."""
+    rng = np.random.default_rng(77)
+    k, length = 1000, 16
+    barcodes = _whitelist(rng, k, length)
+    expected = ExpectedSet.from_barcodes(barcodes)
+
+    # read = barcode 7 with a wildcard in part 0 and a mismatch in part 1:
+    # the only zero-mismatch part is the one holding the wildcard
+    read = bytearray(barcodes[7].encode())
+    read[0] = ord("X")
+    read[8] = ord("ACGT"[(("ACGT".index(chr(read[8]))) + 1) % 4])
+    obs = np.frombuffer(bytes(read), dtype=np.uint8).reshape(1, length)
+    want, _, _ = assign_batch_np(obs, expected, 1, 1)
+    assert want[0] == 7  # the spec finds it
+    m = native_io.NativeBigKMatcher(barcodes, 1, 1, threads=1)
+    assert m.assign(_pack(obs))[0] == 7
+    m.close()
+
+
+@pytest.mark.parametrize("max_mm,delta", [(1, 2), (2, 1), (1, 1), (2, 3)])
+def test_bigk_invalid_byte_fuzz_matches_spec(max_mm, delta):
+    """Differential fuzz with invalid bytes ('X', '-', '@', lowercase 'x')
+    mixed into the reads, including all-wildcard storm rows that force the
+    full-scan fallback."""
+    rng = np.random.default_rng(500 + max_mm * 10 + delta)
+    k, length = 500, 16
+    barcodes = _whitelist(rng, k, length)
+    expected = ExpectedSet.from_barcodes(barcodes)
+    n = 2000
+    obs = np.frombuffer(
+        "".join(barcodes[int(i)] for i in rng.integers(0, k, size=n)).encode(),
+        dtype=np.uint8,
+    ).reshape(n, length).copy()
+    for frac, chars in ((0.3, b"ACGT"), (0.1, b"Nn."), (0.08, b"RYX-x@")):
+        rows = rng.integers(0, n, size=int(n * frac))
+        cols = rng.integers(0, length, size=len(rows))
+        pick = np.frombuffer(bytes(chars), dtype=np.uint8)
+        obs[rows, cols] = pick[rng.integers(0, len(pick), size=len(rows))]
+    obs[0] = ord("X")  # wildcard storm: > kMaxWildPerPart, full-scan path
+    obs[1, :8] = ord("-")
+
+    m = native_io.NativeBigKMatcher(barcodes, max_mm, delta, threads=3)
+    got = m.assign(_pack(obs))
+    want, _, _ = assign_batch_np(obs, expected, max_mm, delta)
+    want = np.where(want < 0, k, want).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+    m.close()

@@ -67,7 +67,10 @@ def _random_scenario(rng: random.Random, tmp_path, scenario_id: int):
         return total
 
     inputs = []
-    read_alpha = BASES + "N" + "acgtn"
+    # 'X' and '-' encode to IUPAC mask 0: spec-level wildcards that never
+    # mismatch any expected base (reference bitenc.rs:441 with a zero
+    # observed nibble) — covers the matchers' wildcard/full-scan paths
+    read_alpha = BASES + "N" + "acgtn" + "RY" + "X-"
     for i in range(n_inputs):
         ml = min_len(structures[i])
         lines = []
