@@ -418,6 +418,19 @@ def bench_bigk_config():
     matched = float((out < k).mean())
     m.close()
 
+    # degenerate-whitelist variant: one expected N per barcode exercises
+    # the expanded-table path (BigKMatcher iupac mode)
+    bc_n = bc_bytes.copy()
+    bc_n[np.arange(k), rng.integers(0, length, size=k)] = ord("N")
+    mi = native_io.NativeBigKMatcher(
+        [bytes(r).decode() for r in bc_n], 1, 2, threads=4
+    )
+    mi.assign(packed[:1024])
+    t0 = time.perf_counter()
+    mi.assign(packed)
+    iupac_rps = b / (time.perf_counter() - t0)
+    mi.close()
+
     # baseline proxy: the reference's scalar branch-and-bound + cache
     lib = native_io.get_lib()
     lib.fqtk_refproxy_matcher_bench.restype = ctypes.c_double
@@ -442,6 +455,7 @@ def bench_bigk_config():
         "reads_per_sec": round(pigeonhole_rps, 1),
         "engine": "pigeonhole (product auto-path for K>=65536)",
         "matched_frac": round(matched, 4),
+        "iupac_whitelist_reads_per_sec": round(iupac_rps, 1),
         "proxy_reads_per_sec": round(proxy_rps, 1),
         "vs_config_baseline": round(pigeonhole_rps / proxy_rps, 1)
         if proxy_rps > 0

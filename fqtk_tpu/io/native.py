@@ -479,9 +479,12 @@ class NativeSubsampleEngine:
 
 
 class NativeBigKMatcher:
-    """Pigeonhole exact-candidate matcher for huge pure-ACGT whitelists
-    (see ``BigKMatcher`` in ``native/fqtk_io.cpp``).  Input is the packed
-    4-bit-mask layout the demux pipeline already produces."""
+    """Pigeonhole exact-candidate matcher for huge whitelists (see
+    ``BigKMatcher`` in ``native/fqtk_io.cpp``).  Pure-ACGT whitelists take
+    fused SIMD bucket scans; whitelists with degenerate IUPAC codes build
+    expanded tables (every accepted part key) and score with 4-bit-mask
+    containment.  Input is the packed 4-bit-mask layout the demux pipeline
+    already produces."""
 
     def __init__(self, barcodes, max_mismatches: int, min_delta: int,
                  threads: int = 4):
@@ -499,7 +502,8 @@ class NativeBigKMatcher:
         if not self._h:
             raise NativeDemuxError(
                 "whitelist not eligible for the pigeonhole fast path "
-                "(non-ACGT barcodes, or too many parts for the length)"
+                "(invalid barcode bytes, too many parts for the length, or "
+                "a degenerate whitelist longer than 16bp)"
             )
 
     def assign(self, obs_packed: np.ndarray) -> np.ndarray:

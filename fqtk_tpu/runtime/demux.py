@@ -302,9 +302,11 @@ def _build_device_assign_fn(
     exceptional and resolved host-side).
 
     Selection policy (``cfg.matcher`` forces one side; "auto" below):
-    - huge pure-ACGT whitelist + native lib: the host pigeonhole matcher
+    - huge whitelist + native lib: the host pigeonhole matcher
       (exact-candidate filtering beats brute force — even MXU brute force —
       by orders of magnitude; see ``BigKMatcher`` in native/fqtk_io.cpp).
+      Degenerate IUPAC whitelists are eligible too (expanded tables); only
+      >16bp degenerate whitelists fall through to the device kernel.
     - tiny whitelist + native lib, unless ``--devices N>1``: the host
       brute-force matcher (``SmallKMatcher``) — the per-batch device
       round-trip exceeds the whole K*L host scan below

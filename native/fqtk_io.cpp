@@ -2252,12 +2252,15 @@ class SubsampleEngine {
 // win nor violate the delta gate).  Ties replicate the reference's strict-<
 // update (equal best counts toward next_best; lowest index wins best).
 //
-// Requires: expected barcodes strictly A/C/G/T (IUPAC-ambiguous whitelists
-// fall back to the device path — exact-match hashing is unsound for them).
-// Observed bytes canonicalize through the IUPAC mask (U == T; any
-// multi-bit/no-call mask can never exact-match a pure-ACGT part; mask-0
-// bytes — invalid characters like 'X' — are spec-level wildcards and get
-// key enumeration, see assign_one).
+// Pure-ACGT whitelists take the fused/XOR fast paths below.  Whitelists
+// with degenerate IUPAC codes build EXPANDED tables (each barcode inserted
+// under every part key its masks accept — exact-match hashing on raw
+// values would be unsound for them) and score candidates with 4-bit-mask
+// containment; see build_iupac/assign_one_iupac.  Observed bytes
+// canonicalize through the IUPAC mask (U == T; against a pure-ACGT
+// whitelist any multi-bit/no-call mask always mismatches, so parts holding
+// one are skipped there; mask-0 bytes — invalid characters like 'X' — are
+// spec-level wildcards and get key enumeration, see assign_one).
 // ---------------------------------------------------------------------------
 
 // --- fused bucket-scan kernels (BigKMatcher hot loop, len <= 16) ----------
@@ -2401,7 +2404,13 @@ FusedScanFn pick_fused_scan() {
 
 class BigKMatcher {
  public:
-  // barcodes: K rows of len bytes, uppercase ACGT only (caller-checked ok_)
+  // barcodes: K rows of len bytes, uppercase IUPAC (invalid bytes -> ok_
+  // false).  Pure-ACGT whitelists take the fused/XOR fast paths; whitelists
+  // with degenerate codes (N/R/Y/...) build expanded tables: each barcode
+  // is inserted under EVERY part key it accepts (product of accepted bases
+  // per position), candidates score with 4-bit-mask containment.  Barcodes
+  // too degenerate to enumerate go on an always-candidate list scanned for
+  // every read — correctness never depends on the expansion cap.
   BigKMatcher(const uint8_t* barcodes, int64_t k, int len, int max_mm,
               int delta)
       : k_(k), len_(len), max_mm_(max_mm), delta_(delta) {
@@ -2416,26 +2425,17 @@ class BigKMatcher {
       ok_ = false;
       return;
     }
-    // len <= 16 (every real single-cell whitelist): packed barcode fits 32
-    // bits, so bucket entries fuse (id << 32) | packed2 into one u64
-    fused_ = len <= 16 && k <= static_cast<int64_t>(UINT32_MAX);
-    low_mask_ = len == 32 ? ~0ull : ((1ull << (2 * len)) - 1);
-    scan_ = pick_fused_scan();
-    // 2-bit codes for the whole whitelist; reject non-ACGT
-    codes_.resize(k * len);
-    packed2_.resize(k);
-    for (int64_t s = 0; s < k; s++) {
-      uint64_t packed = 0;
-      for (int j = 0; j < len; j++) {
-        int c = base_code2(barcodes[s * len + j]);
-        if (c < 0) {
-          ok_ = false;
-          return;
-        }
-        codes_[s * len + j] = static_cast<uint8_t>(c);
-        packed |= static_cast<uint64_t>(c) << (2 * j);
+    for (int64_t i = 0; i < k * len; i++) {
+      uint8_t m = kIupac.encode[barcodes[i]];
+      if (m == 0) {  // invalid whitelist byte (callers validate upstream)
+        ok_ = false;
+        return;
       }
-      packed2_[s] = packed;
+      if (__builtin_popcount(m) != 1) iupac_ = true;
+    }
+    if (iupac_ && (len > 16 || k > static_cast<int64_t>(UINT32_MAX))) {
+      ok_ = false;  // degenerate whitelists: single-u64 4-bit packing only
+      return;
     }
     // part boundaries: len split as evenly as possible
     int base = len / n_parts_, extra = len % n_parts_;
@@ -2445,6 +2445,26 @@ class BigKMatcher {
       part_off_.push_back(off);
       part_len_.push_back(plen);
       off += plen;
+    }
+    if (iupac_) {
+      build_iupac(barcodes);
+      return;
+    }
+    // len <= 16 (every real single-cell whitelist): packed barcode fits 32
+    // bits, so bucket entries fuse (id << 32) | packed2 into one u64
+    fused_ = len <= 16 && k <= static_cast<int64_t>(UINT32_MAX);
+    low_mask_ = len == 32 ? ~0ull : ((1ull << (2 * len)) - 1);
+    scan_ = pick_fused_scan();
+    codes_.resize(k * len);
+    packed2_.resize(k);
+    for (int64_t s = 0; s < k; s++) {
+      uint64_t packed = 0;
+      for (int j = 0; j < len; j++) {
+        int c = base_code2(barcodes[s * len + j]);
+        codes_[s * len + j] = static_cast<uint8_t>(c);
+        packed |= static_cast<uint64_t>(c) << (2 * j);
+      }
+      packed2_[s] = packed;
     }
     // CSR table per part: key = packed 2-bit part value -> barcode ids
     tables_.resize(n_parts_);
@@ -2482,6 +2502,92 @@ class BigKMatcher {
           t.packs[slot] = packed2_[s];
         }
       }
+    }
+  }
+
+  // Expansion bound for degenerate-whitelist table construction: a barcode
+  // whose accepted-key products exceed this (across all parts) is scanned
+  // for every read instead of being table-indexed.  One expected 'N' costs
+  // 4 entries in its part; the cap admits several per barcode.
+  static constexpr int kMaxExpPerBarcode = 64;
+
+  void build_iupac(const uint8_t* barcodes) {
+    exp_masks_.resize(k_ * len_);
+    packed4_.resize(k_);
+    max_ns_ = 0;
+    std::vector<uint8_t> always(k_, 0);
+    for (int64_t s = 0; s < k_; s++) {
+      uint64_t p4 = 0;
+      int ns = 0;
+      for (int j = 0; j < len_; j++) {
+        uint8_t b = barcodes[s * len_ + j];
+        uint8_t m = kIupac.encode[b];
+        exp_masks_[s * len_ + j] = m;
+        p4 |= static_cast<uint64_t>(m) << (4 * j);
+        ns += (b == 'N');
+      }
+      packed4_[s] = p4;
+      max_ns_ = std::max(max_ns_, ns);
+      // total enumerated entries this barcode would add across parts
+      int64_t total = 0;
+      for (int p = 0; p < n_parts_ && !always[s]; p++) {
+        int64_t prod = 1;
+        for (int j = 0; j < part_len_[p]; j++)
+          prod *= __builtin_popcount(exp_masks_[s * len_ + part_off_[p] + j]);
+        total += prod;
+        if (prod > kMaxExpPerBarcode || total > kMaxExpPerBarcode)
+          always[s] = 1;
+      }
+      if (always[s]) always_candidates_.push_back(static_cast<uint32_t>(s));
+    }
+    tables_.resize(n_parts_);
+    for (int p = 0; p < n_parts_; p++) {
+      auto& t = tables_[p];
+      t.n_keys = 1u << (2 * part_len_[p]);
+      t.offsets.assign(t.n_keys + 1, 0);
+      for (int64_t s = 0; s < k_; s++) {
+        if (always[s]) continue;
+        enum_part_keys(exp_masks_.data() + s * len_ + part_off_[p],
+                       part_len_[p],
+                       [&](uint32_t key) { t.offsets[key + 1]++; });
+      }
+      for (size_t i = 1; i < t.offsets.size(); i++)
+        t.offsets[i] += t.offsets[i - 1];
+      std::vector<uint32_t> cursor(t.offsets.begin(), t.offsets.end() - 1);
+      t.ids.resize(t.offsets.back());
+      t.packs.resize(t.offsets.back());
+      for (int64_t s = 0; s < k_; s++) {
+        if (always[s]) continue;
+        enum_part_keys(exp_masks_.data() + s * len_ + part_off_[p],
+                       part_len_[p], [&](uint32_t key) {
+                         uint32_t slot = cursor[key]++;
+                         t.ids[slot] = static_cast<uint32_t>(s);
+                         t.packs[slot] = packed4_[s];
+                       });
+      }
+    }
+  }
+
+  // Enumerate every part key whose per-position base is accepted by the
+  // part's masks (odometer over the set bits of each mask).
+  template <typename F>
+  static void enum_part_keys(const uint8_t* pm, int plen, F&& fn) {
+    uint8_t bases[12][4];
+    int nb[12], idx[12];
+    for (int j = 0; j < plen; j++) {
+      nb[j] = 0;
+      idx[j] = 0;
+      for (int b = 0; b < 4; b++)
+        if ((pm[j] >> b) & 1) bases[j][nb[j]++] = static_cast<uint8_t>(b);
+    }
+    for (;;) {
+      uint32_t key = 0;
+      for (int j = 0; j < plen; j++)
+        key = (key << 2) | bases[j][idx[j]];
+      fn(key);
+      int j = plen - 1;
+      while (j >= 0 && ++idx[j] == nb[j]) idx[j--] = 0;
+      if (j < 0) break;
     }
   }
 
@@ -2530,7 +2636,95 @@ class BigKMatcher {
   //     FASTQ.
   static constexpr int kMaxWildPerPart = 6;  // 4^6 = 4096 buckets max
 
+  // mismatches between packed 4-bit observed and expected masks (nibble j =
+  // position j): a position mismatches iff any observed bit falls outside
+  // the expected mask (reference bitenc.rs:441) — fold each nibble of
+  // obs & ~exp to its low bit and popcount
+  static inline int mm_packed4(uint64_t obs4, uint64_t exp4) {
+    uint64_t t = obs4 & ~exp4;
+    uint64_t y = t | (t >> 1);
+    y = (y | (y >> 2)) & 0x1111111111111111ull;
+    return __builtin_popcountll(y);
+  }
+
+  // Degenerate-whitelist variant of assign_one: same part-key walk, but
+  // candidate buckets hold expanded insertions (see build_iupac) and score
+  // with mask containment.  Key digit per position: single-bit/multi-bit
+  // observed mask -> its lowest accepted base (a zero-mismatch expected
+  // mask accepts every observed base, so its insertions cover that digit);
+  // mask 0 (wildcard) -> enumerate all four.  The always-candidate list is
+  // scanned unconditionally.
+  int32_t assign_one_iupac(const uint8_t* row) {
+    uint8_t masks[16];
+    int nocalls = 0;
+    uint64_t obs4 = 0;
+    for (int j = 0; j < len_; j++) {
+      uint8_t m = (j & 1) ? (row[j >> 1] >> 4) : (row[j >> 1] & 0xF);
+      masks[j] = m;
+      nocalls += (m == 15);
+      obs4 |= static_cast<uint64_t>(m) << (4 * j);
+    }
+    if (nocalls > max_mm_ + max_ns_) return static_cast<int32_t>(k_);
+
+    const int cap = max_mm_ + std::max(delta_, 1);
+    int best = 256, next = 256;
+    int64_t best_id = k_;
+    bool full_scan = false;
+    for (uint32_t id : always_candidates_) {
+      const int mm = mm_packed4(obs4, packed4_[id]);
+      if (mm > cap) continue;
+      top2_update(mm, id, best, next, best_id);
+    }
+    for (int p = 0; p < n_parts_ && !full_scan; p++) {
+      uint32_t base_key = 0;
+      int wshift[kMaxWildPerPart];
+      int nw = 0;
+      const int off = part_off_[p], plen = part_len_[p];
+      for (int j = 0; j < plen; j++) {
+        uint8_t m = masks[off + j];
+        base_key <<= 2;
+        if (m != 0) {
+          base_key |= static_cast<uint32_t>(__builtin_ctz(m) & 3);
+        } else {
+          if (nw == kMaxWildPerPart) {
+            full_scan = true;
+            break;
+          }
+          wshift[nw++] = 2 * (plen - 1 - j);
+        }
+      }
+      if (full_scan) break;
+      const auto& t = tables_[p];
+      const uint32_t n_combo = 1u << (2 * nw);
+      for (uint32_t combo = 0; combo < n_combo; combo++) {
+        uint32_t key = base_key;
+        for (int i = 0; i < nw; i++)
+          key |= ((combo >> (2 * i)) & 3u) << wshift[i];
+        const uint32_t lo = t.offsets[key], hi = t.offsets[key + 1];
+        for (uint32_t i = lo; i < hi; i++) {
+          const int mm = mm_packed4(obs4, t.packs[i]);
+          if (mm > cap) continue;
+          top2_update(mm, t.ids[i], best, next, best_id);
+        }
+      }
+    }
+    if (full_scan) {
+      best = 256;
+      next = 256;
+      best_id = k_;
+      for (int64_t id = 0; id < k_; id++) {
+        const int mm = mm_packed4(obs4, packed4_[id]);
+        if (mm > cap) continue;
+        top2_update(mm, id, best, next, best_id);
+      }
+    }
+    if (best > max_mm_) return static_cast<int32_t>(k_);
+    if (next - best < delta_) return static_cast<int32_t>(k_);
+    return static_cast<int32_t>(best_id);
+  }
+
   int32_t assign_one(const uint8_t* row) {
+    if (iupac_) return assign_one_iupac(row);
     // unpack nibbles -> masks; canonical 2-bit codes (or -1/-2) + no-calls
     uint8_t masks[32];
     int8_t codes[32];
@@ -2652,10 +2846,15 @@ class BigKMatcher {
   int len_, max_mm_, delta_, n_parts_ = 0;
   bool ok_ = true;
   bool fused_ = false;
+  bool iupac_ = false;  // degenerate whitelist: expanded tables + mask scans
+  int max_ns_ = 0;      // max 'N' count in any barcode (no-call budget)
   uint64_t low_mask_ = 0;
   FusedScanFn scan_ = fused_scan_scalar;
-  std::vector<uint8_t> codes_;    // [K, L] 2-bit codes
+  std::vector<uint8_t> codes_;    // [K, L] 2-bit codes (pure mode)
   std::vector<uint64_t> packed2_; // [K] 2-bit-packed codes (hot-path XOR)
+  std::vector<uint8_t> exp_masks_;   // [K, L] 4-bit masks (iupac mode)
+  std::vector<uint64_t> packed4_;    // [K] 4-bit-packed masks (iupac mode)
+  std::vector<uint32_t> always_candidates_;  // too degenerate to enumerate
   std::vector<int> part_off_, part_len_;
   std::vector<CsrTable> tables_;
 };

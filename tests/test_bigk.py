@@ -96,9 +96,18 @@ def test_bigk_nocall_prefilter():
     m.close()
 
 
-def test_bigk_rejects_iupac_whitelist():
+def test_bigk_accepts_iupac_whitelist():
+    # degenerate whitelists are pigeonhole-eligible via expanded tables;
+    # the N position accepts any read base (containment semantics)
+    m = native_io.NativeBigKMatcher(["ACGN", "TTTT"], 1, 2, threads=1)
+    obs = np.frombuffer(b"ACGC", dtype=np.uint8).reshape(1, 4)
+    assert m.assign(_pack(obs))[0] == 0  # C inside N: zero mismatches
+    m.close()
+
+
+def test_bigk_rejects_invalid_whitelist_bytes():
     with pytest.raises(native_io.NativeDemuxError):
-        native_io.NativeBigKMatcher(["ACGN", "ACGT"], 1, 2)
+        native_io.NativeBigKMatcher(["ACGX", "ACGT"], 1, 2)
 
 
 def test_bigk_u_matches_t():
@@ -267,3 +276,93 @@ def test_bigk_invalid_byte_fuzz_matches_spec(max_mm, delta):
     want = np.where(want < 0, k, want).astype(np.int32)
     np.testing.assert_array_equal(got, want)
     m.close()
+
+
+def _iupac_whitelist(rng, k, length, frac_degenerate=0.08, n_storm_rows=3):
+    """Whitelist with degenerate IUPAC positions; the first rows are
+    mostly-N (expansion blowup -> always-candidate list)."""
+    iupac = "ACGTMRWSYKVHDBN"
+    out, seen = [], set()
+    while len(out) < k:
+        r = [
+            iupac[int(rng.integers(0, len(iupac)))]
+            if rng.random() < frac_degenerate
+            else "ACGT"[int(rng.integers(0, 4))]
+            for _ in range(length)
+        ]
+        if len(out) < n_storm_rows:
+            r = ["N"] * min(10, length - 1) + r[min(10, length - 1):]
+        s = "".join(r)
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("max_mm,delta", [(1, 2), (2, 1), (1, 1), (0, 2)])
+def test_bigk_iupac_whitelist_matches_spec(max_mm, delta):
+    """Degenerate (IUPAC) whitelists now take the pigeonhole path via
+    expanded tables: each barcode is inserted under every part key its
+    masks accept, candidates score with 4-bit-mask containment, and
+    barcodes too degenerate to enumerate go on an always-scanned list.
+    Differential vs the NumPy spec over reads with mutations, no-calls,
+    IUPAC observed bases, and wildcard bytes."""
+    rng = np.random.default_rng(900 + max_mm * 10 + delta)
+    k, length = 800, 16
+    barcodes = _iupac_whitelist(rng, k, length)
+    expected = ExpectedSet.from_barcodes(barcodes)
+    assert expected.max_ns_in_barcodes > 0  # the N budget is exercised
+
+    n = 3000
+    obs = np.empty((n, length), dtype=np.uint8)
+    from fqtk_tpu.core.encoding import ENCODE_LUT as _LUT
+
+    for i in range(n):
+        src = barcodes[int(rng.integers(0, k))]
+        row = []
+        for ch in src:
+            m = int(_LUT[ord(ch)])
+            opts = [b for b in "ACGT" if (m >> "ACGT".index(b)) & 1]
+            row.append(
+                opts[int(rng.integers(0, len(opts)))]
+                if rng.random() < 0.9
+                else ch
+            )
+        obs[i] = np.frombuffer("".join(row).encode(), dtype=np.uint8)
+    for frac, chars in ((0.25, b"ACGT"), (0.08, b"Nn."), (0.05, b"RYX-")):
+        sel = rng.integers(0, n, size=int(n * frac))
+        cols = rng.integers(0, length, size=len(sel))
+        pick = np.frombuffer(bytes(chars), dtype=np.uint8)
+        obs[sel, cols] = pick[rng.integers(0, len(pick), size=len(sel))]
+    obs[0] = ord("X")  # wildcard storm -> full-scan fallback
+
+    m = native_io.NativeBigKMatcher(barcodes, max_mm, delta, threads=3)
+    got = m.assign(_pack(obs))
+    want, _, _ = assign_batch_np(obs, expected, max_mm, delta)
+    want = np.where(want < 0, k, want).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+    m.close()
+
+
+def test_bigk_iupac_nocall_budget():
+    """The no-call prefilter uses max_mm + max_ns_in_barcodes (reference
+    barcode_matching.rs:170-172) — an N in the whitelist raises the read's
+    allowed no-call count."""
+    barcodes = ["ACGTACGN", "TGCATGCA"]
+    m = native_io.NativeBigKMatcher(barcodes, 1, 2, threads=1)
+    # 2 no-calls <= max_mm(1) + max_ns(1): eligible; the N over the
+    # expected-N position costs 0 mismatches, the other costs 1 -> match.
+    # (With a max_mm-only budget this read would be wrongly prefiltered.)
+    obs = np.frombuffer(b"NCGTACGN", dtype=np.uint8).reshape(1, 8)
+    assert m.assign(_pack(obs))[0] == 0
+    # 3 no-calls > budget: unmatched
+    obs2 = np.frombuffer(b"NCGNACGN", dtype=np.uint8).reshape(1, 8)
+    assert m.assign(_pack(obs2))[0] == 2
+    m.close()
+
+
+def test_bigk_iupac_longer_than_16_falls_back():
+    """Degenerate whitelists beyond 16bp exceed the single-u64 4-bit
+    packing and stay on the device path."""
+    with pytest.raises(native_io.NativeDemuxError):
+        native_io.NativeBigKMatcher(["ACGTACGTACGTACGTN", "TGCATGCATGCATGCAA"], 1, 2)
