@@ -2909,29 +2909,56 @@ class SmallKMatcher {
     nocall_budget_ = max_mm + max_ns;
     int tail = len & 15;
     tail_mask_ = tail ? (~0ull >> (64 - 4 * tail)) : ~0ull;
+    cache_enabled_ =
+        n_blocks_ <= 2 && getenv("FQTK_SMALLK_NO_CACHE") == nullptr;
   }
 
   bool ok() const { return ok_; }
+
+  // Memo cache, reference parity: the reference keeps an AHashMap of
+  // observed barcode bytes -> match (barcode_matching.rs:173-182) because
+  // real reads cluster on a few thousand distinct barcode values (exact
+  // barcodes + low-order mutants).  Here: one direct-mapped table per
+  // worker slot (no sharing, no locks); a collision simply overwrites —
+  // it is a cache, not a map, so a miss only costs the scan below.  The
+  // matcher is a pure function of the observed row, so caching unmatched
+  // outcomes too is semantically identical to the reference's
+  // successes-only policy.  Engaged for len <= 32 (key fits two u64s),
+  // which covers every realistic sample-barcode length.
+  struct CacheEntry {
+    uint64_t k0, k1;
+    int32_t v;
+    uint32_t used;
+  };
+  static constexpr int kCacheBits = 16;
 
   // obs: packed 4-bit IUPAC masks, 2 per byte (the pipeline's nib4 layout);
   // row r at obs + r*stride.  Writes assigned[r] in [0, k] (k = unmatched).
   void assign_batch(const uint8_t* obs, int64_t n, int64_t stride,
                     int32_t* assigned, int n_threads) {
     n_threads = std::max(1, n_threads);
+    const bool use_cache = cache_enabled_;
+    if (use_cache && static_cast<int>(caches_.size()) < n_threads)
+      caches_.resize(n_threads);
     std::vector<std::thread> ts;
     int64_t per = (n + n_threads - 1) / n_threads;
     for (int t = 0; t < n_threads; t++) {
       int64_t lo = t * per, hi = std::min(n, lo + per);
       if (lo >= hi) break;
-      ts.emplace_back([this, obs, stride, assigned, lo, hi] {
+      ts.emplace_back([this, obs, stride, assigned, lo, hi, t, use_cache] {
+        CacheEntry* cache = nullptr;
+        if (use_cache) {
+          if (caches_[t].empty()) caches_[t].assign(1u << kCacheBits, {});
+          cache = caches_[t].data();
+        }
         for (int64_t r = lo; r < hi; r++)
-          assigned[r] = assign_one(obs + r * stride);
+          assigned[r] = assign_one(obs + r * stride, cache);
       });
     }
     for (auto& th : ts) th.join();
   }
 
-  int32_t assign_one(const uint8_t* row) {
+  int32_t assign_one(const uint8_t* row, CacheEntry* cache = nullptr) {
     constexpr uint64_t kLow = 0x1111111111111111ull;
     uint64_t obs[kMaxBlocks];
     const int row_bytes = (len_ + 1) / 2;
@@ -2940,6 +2967,21 @@ class SmallKMatcher {
       memset(reinterpret_cast<uint8_t*>(obs) + row_bytes, 0,
              n_blocks_ * 8 - row_bytes);
     obs[n_blocks_ - 1] &= tail_mask_;
+    CacheEntry* slot = nullptr;
+    if (cache) {
+      const uint64_t k0 = obs[0];
+      const uint64_t k1 = n_blocks_ > 1 ? obs[1] : 0;
+      // splitmix64 finalizer over the combined key
+      uint64_t h = k0 ^ (k1 * 0x9E3779B97F4A7C15ull);
+      h ^= h >> 30;
+      h *= 0xBF58476D1CE4E5B9ull;
+      h ^= h >> 27;
+      slot = cache + (h & ((1u << kCacheBits) - 1));
+      if (slot->used && slot->k0 == k0 && slot->k1 == k1) return slot->v;
+      slot->k0 = k0;
+      slot->k1 = k1;
+      slot->used = 1;  // value written below before return
+    }
     // no-call count: nibbles equal to 15 (N/n/. encode to 15; mod.rs:49-61)
     int nocalls = 0;
     for (int b = 0; b < n_blocks_; b++) {
@@ -2947,7 +2989,10 @@ class SmallKMatcher {
       uint64_t t = v & (v >> 1) & (v >> 2) & (v >> 3) & kLow;
       nocalls += __builtin_popcountll(t);
     }
-    if (nocalls > nocall_budget_) return static_cast<int32_t>(k_);
+    if (nocalls > nocall_budget_) {
+      if (slot) slot->v = static_cast<int32_t>(k_);
+      return static_cast<int32_t>(k_);
+    }
 
     // counts >= cap cannot change the accept decision (see BigKMatcher)
     const int cap = max_mm_ + std::max(delta_, 1);
@@ -2974,17 +3019,20 @@ class SmallKMatcher {
         next = mm;
       }
     }
-    if (best > max_mm_) return static_cast<int32_t>(k_);
-    if (next - best < delta_) return static_cast<int32_t>(k_);
-    return static_cast<int32_t>(best_id);
+    int32_t result = static_cast<int32_t>(best_id);
+    if (best > max_mm_ || next - best < delta_) result = static_cast<int32_t>(k_);
+    if (slot) slot->v = result;
+    return result;
   }
 
  private:
   int64_t k_;
   int len_, max_mm_, delta_, n_blocks_ = 0, nocall_budget_ = 0;
   bool ok_ = true;
+  bool cache_enabled_ = false;
   uint64_t tail_mask_ = ~0ull;
   std::vector<uint64_t> exp_;  // [K, n_blocks] nibble-mask-packed barcodes
+  std::vector<std::vector<CacheEntry>> caches_;  // one per worker slot
 };
 
 // ---------------------------------------------------------------------------

@@ -84,6 +84,34 @@ def test_smallk_matches_numpy_spec(max_mm, delta, length, k, alphabet):
     m.close()
 
 
+def test_smallk_memo_cache_transparent(monkeypatch):
+    """The per-thread memo cache (reference parity with the AHashMap at
+    barcode_matching.rs:173-182) must be invisible: repeated batches through
+    one matcher, heavy duplication inside a batch (hits), and random reads
+    (direct-mapped collisions/overwrites) all agree with a cache-disabled
+    matcher and the NumPy spec."""
+    rng = np.random.default_rng(4242)
+    k, length = 96, 17
+    barcodes = _whitelist(rng, k, length)
+    expected = ExpectedSet.from_barcodes(barcodes)
+    # mostly-duplicated reads: exact barcodes + a small mutant pool
+    pool = _mutated_reads(rng, barcodes, 300, length, 1, 2)
+    obs = pool[rng.integers(0, len(pool), size=8000)]
+    m = native_io.NativeSmallKMatcher(barcodes, 1, 2, threads=3)
+    monkeypatch.setenv("FQTK_SMALLK_NO_CACHE", "1")
+    m_off = native_io.NativeSmallKMatcher(barcodes, 1, 2, threads=3)
+    monkeypatch.delenv("FQTK_SMALLK_NO_CACHE")
+    want, _, _ = assign_batch_np(obs, expected, 1, 2)
+    want = np.where(want < 0, k, want).astype(np.int32)
+    for lo in range(0, len(obs), 2048):  # several batches, warm cache
+        chunk = obs[lo : lo + 2048]
+        got = m.assign(_pack(chunk))
+        np.testing.assert_array_equal(got, want[lo : lo + 2048])
+        np.testing.assert_array_equal(got, m_off.assign(_pack(chunk)))
+    m.close()
+    m_off.close()
+
+
 def test_smallk_tie_break_first_index():
     barcodes = ["AAAAAAAA", "AAAAAAAT", "TTTTTTTT"]
     obs = np.frombuffer(b"AAAAAAAC", dtype=np.uint8).reshape(1, 8)
