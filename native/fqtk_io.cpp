@@ -2512,7 +2512,9 @@ class BigKMatcher {
   static constexpr int kMaxExpPerBarcode = 64;
 
   void build_iupac(const uint8_t* barcodes) {
-    exp_masks_.resize(k_ * len_);
+    // scoring uses only packed4_/t.packs, so the [K, L] mask matrix is a
+    // build-time local (at K=737K it would otherwise retain ~12MB for life)
+    std::vector<uint8_t> exp_masks(static_cast<size_t>(k_) * len_);
     packed4_.resize(k_);
     max_ns_ = 0;
     std::vector<uint8_t> always(k_, 0);
@@ -2522,9 +2524,11 @@ class BigKMatcher {
       for (int j = 0; j < len_; j++) {
         uint8_t b = barcodes[s * len_ + j];
         uint8_t m = kIupac.encode[b];
-        exp_masks_[s * len_ + j] = m;
+        exp_masks[s * len_ + j] = m;
         p4 |= static_cast<uint64_t>(m) << (4 * j);
-        ns += (b == 'N');
+        // no-call budget counts every no-call spelling (N/n/.), matching
+        // the spec's NOCALL_LUT (mod.rs:85-87), not just literal 'N'
+        ns += kIupac.nocall[b];
       }
       packed4_[s] = p4;
       max_ns_ = std::max(max_ns_, ns);
@@ -2533,7 +2537,7 @@ class BigKMatcher {
       for (int p = 0; p < n_parts_ && !always[s]; p++) {
         int64_t prod = 1;
         for (int j = 0; j < part_len_[p]; j++)
-          prod *= __builtin_popcount(exp_masks_[s * len_ + part_off_[p] + j]);
+          prod *= __builtin_popcount(exp_masks[s * len_ + part_off_[p] + j]);
         total += prod;
         if (prod > kMaxExpPerBarcode || total > kMaxExpPerBarcode)
           always[s] = 1;
@@ -2547,7 +2551,7 @@ class BigKMatcher {
       t.offsets.assign(t.n_keys + 1, 0);
       for (int64_t s = 0; s < k_; s++) {
         if (always[s]) continue;
-        enum_part_keys(exp_masks_.data() + s * len_ + part_off_[p],
+        enum_part_keys(exp_masks.data() + s * len_ + part_off_[p],
                        part_len_[p],
                        [&](uint32_t key) { t.offsets[key + 1]++; });
       }
@@ -2558,7 +2562,7 @@ class BigKMatcher {
       t.packs.resize(t.offsets.back());
       for (int64_t s = 0; s < k_; s++) {
         if (always[s]) continue;
-        enum_part_keys(exp_masks_.data() + s * len_ + part_off_[p],
+        enum_part_keys(exp_masks.data() + s * len_ + part_off_[p],
                        part_len_[p], [&](uint32_t key) {
                          uint32_t slot = cursor[key]++;
                          t.ids[slot] = static_cast<uint32_t>(s);
@@ -2852,7 +2856,6 @@ class BigKMatcher {
   FusedScanFn scan_ = fused_scan_scalar;
   std::vector<uint8_t> codes_;    // [K, L] 2-bit codes (pure mode)
   std::vector<uint64_t> packed2_; // [K] 2-bit-packed codes (hot-path XOR)
-  std::vector<uint8_t> exp_masks_;   // [K, L] 4-bit masks (iupac mode)
   std::vector<uint64_t> packed4_;    // [K] 4-bit-packed masks (iupac mode)
   std::vector<uint32_t> always_candidates_;  // too degenerate to enumerate
   std::vector<int> part_off_, part_len_;
@@ -2936,6 +2939,11 @@ class SmallKMatcher {
   // row r at obs + r*stride.  Writes assigned[r] in [0, k] (k = unmatched).
   void assign_batch(const uint8_t* obs, int64_t n, int64_t stride,
                     int32_t* assigned, int n_threads) {
+    // The memo cache makes the matcher stateful (the reference's cached
+    // BarcodeMatcher::assign takes &mut self for the same reason), so
+    // external concurrent calls on ONE matcher serialize here; the
+    // per-call worker threads below still parallelize the batch.
+    std::lock_guard<std::mutex> lock(assign_mu_);
     n_threads = std::max(1, n_threads);
     const bool use_cache = cache_enabled_;
     if (use_cache && static_cast<int>(caches_.size()) < n_threads)
@@ -3033,6 +3041,7 @@ class SmallKMatcher {
   uint64_t tail_mask_ = ~0ull;
   std::vector<uint64_t> exp_;  // [K, n_blocks] nibble-mask-packed barcodes
   std::vector<std::vector<CacheEntry>> caches_;  // one per worker slot
+  std::mutex assign_mu_;  // cache state: one batch at a time per matcher
 };
 
 // ---------------------------------------------------------------------------

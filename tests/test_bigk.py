@@ -361,6 +361,18 @@ def test_bigk_iupac_nocall_budget():
     m.close()
 
 
+def test_bigk_dot_whitelist_nocall_budget():
+    """'.' in an expected barcode is a no-call byte (mod.rs:85-87) and must
+    raise the read-side no-call budget exactly like 'N' does."""
+    barcodes = ["ACGTACG.", "TGCATGCA"]
+    m = native_io.NativeBigKMatcher(barcodes, 1, 2, threads=1)
+    obs = np.frombuffer(b"NCGTACGN", dtype=np.uint8).reshape(1, 8)
+    assert m.assign(_pack(obs))[0] == 0  # budget 1+1=2 admits both no-calls
+    obs2 = np.frombuffer(b"NCGNACGN", dtype=np.uint8).reshape(1, 8)
+    assert m.assign(_pack(obs2))[0] == 2  # 3 no-calls > budget
+    m.close()
+
+
 def test_bigk_iupac_longer_than_16_falls_back():
     """Degenerate whitelists beyond 16bp exceed the single-u64 4-bit
     packing and stay on the device path."""
