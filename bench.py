@@ -416,6 +416,21 @@ def bench_bigk_config():
     dt = time.perf_counter() - t0
     pigeonhole_rps = b / dt
     matched = float((out < k).mean())
+
+    # realistic single-cell distribution: reads cluster on ~8K cells
+    # (thousands of reads per cell barcode), where the memo cache engages;
+    # the uniform draw above stays the headline (conservative)
+    cells = rng.integers(0, k, size=8000)
+    obs_sc = bc_bytes[cells[rng.integers(0, 8000, size=b)]].copy()
+    mut = rng.integers(0, 10, size=b) == 0
+    pos = rng.integers(0, length, size=b)
+    obs_sc[mut, pos[mut]] = letters[rng.integers(0, 4, size=int(mut.sum()))]
+    masks_sc = ENCODE_LUT[obs_sc].astype(np.uint8)
+    packed_sc = (masks_sc[:, 0::2] | (masks_sc[:, 1::2] << 4)).astype(np.uint8)
+    m.assign(packed_sc[:4096])  # warm the cache
+    t0 = time.perf_counter()
+    m.assign(packed_sc)
+    clustered_rps = b / (time.perf_counter() - t0)
     m.close()
 
     # degenerate-whitelist variant: one expected N per barcode exercises
@@ -455,6 +470,7 @@ def bench_bigk_config():
         "reads_per_sec": round(pigeonhole_rps, 1),
         "engine": "pigeonhole (product auto-path for K>=65536)",
         "matched_frac": round(matched, 4),
+        "clustered_8k_cells_reads_per_sec": round(clustered_rps, 1),
         "iupac_whitelist_reads_per_sec": round(iupac_rps, 1),
         "proxy_reads_per_sec": round(proxy_rps, 1),
         "vs_config_baseline": round(pigeonhole_rps / proxy_rps, 1)

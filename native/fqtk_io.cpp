@@ -2402,6 +2402,29 @@ FusedScanFn pick_fused_scan() {
   return fused_scan_scalar;
 }
 
+// Direct-mapped memo cache shared by the host matchers (reference parity:
+// the reference memoizes observed barcode bytes -> match in an AHashMap,
+// barcode_matching.rs:173-182, because real reads cluster on few distinct
+// barcode values).  One table per worker slot, no sharing, no locks; a
+// collision simply overwrites — a miss only re-runs the scan.  Keys are
+// the tail-masked packed observation (<= two u64s, i.e. barcode length
+// <= 32 in the nib4 layout).  Caching unmatched outcomes too is
+// semantically identical (the matchers are pure functions of the row).
+struct MemoEntry {
+  uint64_t k0, k1;
+  int32_t v;
+  uint32_t used;
+};
+
+static inline uint64_t memo_hash(uint64_t k0, uint64_t k1) {
+  // splitmix64 finalizer over the combined key
+  uint64_t h = k0 ^ (k1 * 0x9E3779B97F4A7C15ull);
+  h ^= h >> 30;
+  h *= 0xBF58476D1CE4E5B9ull;
+  h ^= h >> 27;
+  return h;
+}
+
 class BigKMatcher {
  public:
   // barcodes: K rows of len bytes, uppercase IUPAC (invalid bytes -> ok_
@@ -2437,6 +2460,13 @@ class BigKMatcher {
       ok_ = false;  // degenerate whitelists: single-u64 4-bit packing only
       return;
     }
+    // memo-cache keys: the nib4 row tail-masked to 4*len bits (len <= 32
+    // guaranteed by eligibility above)
+    key_mask0_ = len >= 16 ? ~0ull : (~0ull >> (64 - 4 * len));
+    key_mask1_ = len <= 16  ? 0ull
+                 : len == 32 ? ~0ull
+                              : (~0ull >> (128 - 4 * len));
+    cache_enabled_ = getenv("FQTK_BIGK_NO_CACHE") == nullptr;
     // part boundaries: len split as evenly as possible
     int base = len / n_parts_, extra = len % n_parts_;
     int off = 0;
@@ -2601,17 +2631,57 @@ class BigKMatcher {
   // obs: packed 4-bit IUPAC masks, 2 per byte (the pipeline's device
   // layout); row r at obs + r*stride.  Writes assigned[r] in [0, k] (k =
   // unmatched).  Parallelized over rows.
+  // Memo-cache table size: single-cell reads repeat their cell barcode
+  // thousands of times, so ~256K slots comfortably hold the distinct
+  // observed values of real datasets (cells + low-order mutants).
+  static constexpr int kCacheBits = 18;
+
   void assign_batch(const uint8_t* obs, int64_t n, int64_t stride,
                     int32_t* assigned, int n_threads) {
+    // the cache makes the matcher stateful (the reference's cached assign
+    // takes &mut self): external concurrent calls on ONE matcher serialize
+    // here; the per-call worker threads below still parallelize the batch
+    std::lock_guard<std::mutex> lock(assign_mu_);
     n_threads = std::max(1, n_threads);
+    const bool use_cache = cache_enabled_;
+    if (use_cache && static_cast<int>(caches_.size()) < n_threads)
+      caches_.resize(n_threads);
+    const int row_bytes = (len_ + 1) / 2;
     std::vector<std::thread> ts;
     int64_t per = (n + n_threads - 1) / n_threads;
     for (int t = 0; t < n_threads; t++) {
       int64_t lo = t * per, hi = std::min(n, lo + per);
       if (lo >= hi) break;
-      ts.emplace_back([this, obs, stride, assigned, lo, hi] {
-        for (int64_t r = lo; r < hi; r++)
-          assigned[r] = assign_one(obs + r * stride);
+      ts.emplace_back([this, obs, stride, assigned, lo, hi, t, use_cache,
+                       row_bytes] {
+        MemoEntry* cache = nullptr;
+        if (use_cache) {
+          if (caches_[t].empty()) caches_[t].assign(1u << kCacheBits, {});
+          cache = caches_[t].data();
+        }
+        for (int64_t r = lo; r < hi; r++) {
+          const uint8_t* row = obs + r * stride;
+          if (!cache) {
+            assigned[r] = assign_one(row);
+            continue;
+          }
+          uint64_t kb[2] = {0, 0};
+          memcpy(kb, row, row_bytes);
+          kb[0] &= key_mask0_;
+          kb[1] &= key_mask1_;
+          MemoEntry* slot =
+              cache + (memo_hash(kb[0], kb[1]) & ((1u << kCacheBits) - 1));
+          if (slot->used && slot->k0 == kb[0] && slot->k1 == kb[1]) {
+            assigned[r] = slot->v;
+            continue;
+          }
+          const int32_t v = assign_one(row);
+          slot->k0 = kb[0];
+          slot->k1 = kb[1];
+          slot->v = v;
+          slot->used = 1;
+          assigned[r] = v;
+        }
       });
     }
     for (auto& th : ts) th.join();
@@ -2860,6 +2930,10 @@ class BigKMatcher {
   std::vector<uint32_t> always_candidates_;  // too degenerate to enumerate
   std::vector<int> part_off_, part_len_;
   std::vector<CsrTable> tables_;
+  bool cache_enabled_ = false;
+  uint64_t key_mask0_ = 0, key_mask1_ = 0;  // tail masks for the memo key
+  std::vector<std::vector<MemoEntry>> caches_;  // one per worker slot
+  std::mutex assign_mu_;  // cache state: one batch at a time per matcher
 };
 
 // ---------------------------------------------------------------------------
@@ -2918,21 +2992,9 @@ class SmallKMatcher {
 
   bool ok() const { return ok_; }
 
-  // Memo cache, reference parity: the reference keeps an AHashMap of
-  // observed barcode bytes -> match (barcode_matching.rs:173-182) because
-  // real reads cluster on a few thousand distinct barcode values (exact
-  // barcodes + low-order mutants).  Here: one direct-mapped table per
-  // worker slot (no sharing, no locks); a collision simply overwrites —
-  // it is a cache, not a map, so a miss only costs the scan below.  The
-  // matcher is a pure function of the observed row, so caching unmatched
-  // outcomes too is semantically identical to the reference's
-  // successes-only policy.  Engaged for len <= 32 (key fits two u64s),
-  // which covers every realistic sample-barcode length.
-  struct CacheEntry {
-    uint64_t k0, k1;
-    int32_t v;
-    uint32_t used;
-  };
+  // Memo cache (see MemoEntry above): engaged for len <= 32 (key fits two
+  // u64s), which covers every realistic sample-barcode length.  ~64K slots
+  // comfortably hold a small whitelist's distinct observed values.
   static constexpr int kCacheBits = 16;
 
   // obs: packed 4-bit IUPAC masks, 2 per byte (the pipeline's nib4 layout);
@@ -2954,7 +3016,7 @@ class SmallKMatcher {
       int64_t lo = t * per, hi = std::min(n, lo + per);
       if (lo >= hi) break;
       ts.emplace_back([this, obs, stride, assigned, lo, hi, t, use_cache] {
-        CacheEntry* cache = nullptr;
+        MemoEntry* cache = nullptr;
         if (use_cache) {
           if (caches_[t].empty()) caches_[t].assign(1u << kCacheBits, {});
           cache = caches_[t].data();
@@ -2966,7 +3028,7 @@ class SmallKMatcher {
     for (auto& th : ts) th.join();
   }
 
-  int32_t assign_one(const uint8_t* row, CacheEntry* cache = nullptr) {
+  int32_t assign_one(const uint8_t* row, MemoEntry* cache = nullptr) {
     constexpr uint64_t kLow = 0x1111111111111111ull;
     uint64_t obs[kMaxBlocks];
     const int row_bytes = (len_ + 1) / 2;
@@ -2975,16 +3037,11 @@ class SmallKMatcher {
       memset(reinterpret_cast<uint8_t*>(obs) + row_bytes, 0,
              n_blocks_ * 8 - row_bytes);
     obs[n_blocks_ - 1] &= tail_mask_;
-    CacheEntry* slot = nullptr;
+    MemoEntry* slot = nullptr;
     if (cache) {
       const uint64_t k0 = obs[0];
       const uint64_t k1 = n_blocks_ > 1 ? obs[1] : 0;
-      // splitmix64 finalizer over the combined key
-      uint64_t h = k0 ^ (k1 * 0x9E3779B97F4A7C15ull);
-      h ^= h >> 30;
-      h *= 0xBF58476D1CE4E5B9ull;
-      h ^= h >> 27;
-      slot = cache + (h & ((1u << kCacheBits) - 1));
+      slot = cache + (memo_hash(k0, k1) & ((1u << kCacheBits) - 1));
       if (slot->used && slot->k0 == k0 && slot->k1 == k1) return slot->v;
       slot->k0 = k0;
       slot->k1 = k1;
@@ -3040,7 +3097,7 @@ class SmallKMatcher {
   bool cache_enabled_ = false;
   uint64_t tail_mask_ = ~0ull;
   std::vector<uint64_t> exp_;  // [K, n_blocks] nibble-mask-packed barcodes
-  std::vector<std::vector<CacheEntry>> caches_;  // one per worker slot
+  std::vector<std::vector<MemoEntry>> caches_;  // one per worker slot
   std::mutex assign_mu_;  // cache state: one batch at a time per matcher
 };
 

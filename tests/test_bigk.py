@@ -361,6 +361,48 @@ def test_bigk_iupac_nocall_budget():
     m.close()
 
 
+@pytest.mark.parametrize("iupac", [False, True])
+def test_bigk_memo_cache_transparent(monkeypatch, iupac):
+    """The per-thread memo cache must be invisible on the big-K paths:
+    repeat-heavy reads (the single-cell distribution: thousands of reads
+    per cell barcode) through one matcher across several batches agree
+    with a cache-disabled matcher and the NumPy spec, for both the pure
+    fused path and the degenerate expanded-table path."""
+    rng = np.random.default_rng(777 + iupac)
+    k, length = 3000, 16
+    barcodes = _whitelist(rng, k, length)
+    if iupac:
+        barcodes = [
+            b[:7] + "N" + b[8:] if i % 5 == 0 else b
+            for i, b in enumerate(barcodes)
+        ]
+    expected = ExpectedSet.from_barcodes(barcodes)
+    # ~40 "cells", heavy repetition + mutants + no-calls
+    cells = [barcodes[int(rng.integers(0, k))] for _ in range(40)]
+    pool = np.frombuffer(
+        "".join(cells[int(rng.integers(0, 40))] for _ in range(400)).encode(),
+        dtype=np.uint8,
+    ).reshape(400, length).copy()
+    sel = rng.integers(0, 400, size=120)
+    pool[sel, rng.integers(0, length, size=120)] = np.frombuffer(
+        b"ACGTN", dtype=np.uint8
+    )[rng.integers(0, 5, size=120)]
+    obs = pool[rng.integers(0, 400, size=6000)]
+    m = native_io.NativeBigKMatcher(barcodes, 1, 2, threads=3)
+    monkeypatch.setenv("FQTK_BIGK_NO_CACHE", "1")
+    m_off = native_io.NativeBigKMatcher(barcodes, 1, 2, threads=3)
+    monkeypatch.delenv("FQTK_BIGK_NO_CACHE")
+    want, _, _ = assign_batch_np(obs, expected, 1, 2)
+    want = np.where(want < 0, k, want).astype(np.int32)
+    for lo in range(0, len(obs), 2048):  # several batches, warm cache
+        chunk = obs[lo : lo + 2048]
+        got = m.assign(_pack(chunk))
+        np.testing.assert_array_equal(got, want[lo : lo + 2048])
+        np.testing.assert_array_equal(got, m_off.assign(_pack(chunk)))
+    m.close()
+    m_off.close()
+
+
 def test_bigk_dot_whitelist_nocall_budget():
     """'.' in an expected barcode is a no-call byte (mod.rs:85-87) and must
     raise the read-side no-call budget exactly like 'N' does."""
