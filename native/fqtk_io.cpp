@@ -2402,6 +2402,124 @@ FusedScanFn pick_fused_scan() {
   return fused_scan_scalar;
 }
 
+// Degenerate-whitelist (4-bit mask) candidate scan: mismatch iff any
+// observed bit falls outside the expected mask (bitenc.rs:441), i.e.
+// popcount of the nibble-collapsed obs & ~exp.  Same filter-then-rescore
+// shape as the fused 2-bit scan above; `ids` may be null (candidate id ==
+// element index, the full-scan case).
+using IupacScanFn = void (*)(const uint64_t*, const uint32_t*, uint32_t,
+                             uint32_t, uint64_t, int, int&, int&, int64_t&);
+
+void iupac_scan_scalar(const uint64_t* packs, const uint32_t* ids,
+                       uint32_t lo, uint32_t hi, uint64_t obs4, int cap,
+                       int& best, int& next, int64_t& best_id) {
+  for (uint32_t i = lo; i < hi; i++) {
+    uint64_t t = obs4 & ~packs[i];
+    uint64_t y = t | (t >> 1);
+    y = (y | (y >> 2)) & 0x1111111111111111ull;
+    const int mm = __builtin_popcountll(y);
+    if (mm > cap) continue;
+    top2_update(mm,
+                ids ? static_cast<int64_t>(ids[i]) : static_cast<int64_t>(i),
+                best, next, best_id);
+  }
+}
+
+#ifdef FQTK_X86_SIMD
+
+#pragma GCC diagnostic push
+#pragma GCC diagnostic ignored "-Wuninitialized"
+#pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
+
+__attribute__((target("avx2"))) void iupac_scan_avx2(
+    const uint64_t* packs, const uint32_t* ids, uint32_t lo, uint32_t hi,
+    uint64_t obs4, int cap, int& best, int& next, int64_t& best_id) {
+  const __m256i obs = _mm256_set1_epi64x(static_cast<long long>(obs4));
+  const __m256i ones = _mm256_set1_epi64x(0x1111111111111111LL);
+  const __m256i nib = _mm256_set1_epi8(0x0f);
+  const __m256i lut = _mm256_broadcastsi128_si256(
+      _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
+  const __m256i capv = _mm256_set1_epi64x(cap);
+  const __m256i zero = _mm256_setzero_si256();
+  uint32_t i = lo;
+  for (; i + 4 <= hi; i += 4) {
+    __m256i e =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(packs + i));
+    __m256i t = _mm256_andnot_si256(e, obs);  // obs & ~exp
+    __m256i y = _mm256_or_si256(t, _mm256_srli_epi64(t, 1));
+    y = _mm256_and_si256(_mm256_or_si256(y, _mm256_srli_epi64(y, 2)), ones);
+    __m256i cl = _mm256_shuffle_epi8(lut, _mm256_and_si256(y, nib));
+    __m256i ch = _mm256_shuffle_epi8(
+        lut, _mm256_and_si256(_mm256_srli_epi16(y, 4), nib));
+    __m256i sums = _mm256_sad_epu8(_mm256_add_epi8(cl, ch), zero);
+    int fail = _mm256_movemask_pd(
+        _mm256_castsi256_pd(_mm256_cmpgt_epi64(sums, capv)));
+    int pass = ~fail & 0xF;
+    while (pass) {
+      const int b = __builtin_ctz(static_cast<unsigned>(pass));
+      pass &= pass - 1;
+      uint64_t tt = obs4 & ~packs[i + b];
+      uint64_t yy = tt | (tt >> 1);
+      yy = (yy | (yy >> 2)) & 0x1111111111111111ull;
+      top2_update(__builtin_popcountll(yy),
+                  ids ? static_cast<int64_t>(ids[i + b])
+                      : static_cast<int64_t>(i + b),
+                  best, next, best_id);
+    }
+  }
+  if (i < hi)
+    iupac_scan_scalar(packs, ids, i, hi, obs4, cap, best, next, best_id);
+}
+
+__attribute__((target("avx512f,avx512bw"))) void iupac_scan_avx512(
+    const uint64_t* packs, const uint32_t* ids, uint32_t lo, uint32_t hi,
+    uint64_t obs4, int cap, int& best, int& next, int64_t& best_id) {
+  const __m512i obs = _mm512_set1_epi64(static_cast<long long>(obs4));
+  const __m512i ones = _mm512_set1_epi64(0x1111111111111111LL);
+  const __m512i nib = _mm512_set1_epi8(0x0f);
+  const __m512i lut = _mm512_broadcast_i32x4(
+      _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
+  const __m512i capv = _mm512_set1_epi64(cap);
+  uint32_t i = lo;
+  for (; i + 8 <= hi; i += 8) {
+    __m512i e = _mm512_loadu_si512(packs + i);
+    __m512i t = _mm512_andnot_si512(e, obs);  // obs & ~exp
+    __m512i y = _mm512_or_si512(t, _mm512_srli_epi64(t, 1));
+    y = _mm512_and_si512(_mm512_or_si512(y, _mm512_srli_epi64(y, 2)), ones);
+    __m512i cl = _mm512_shuffle_epi8(lut, _mm512_and_si512(y, nib));
+    __m512i ch = _mm512_shuffle_epi8(
+        lut, _mm512_and_si512(_mm512_srli_epi16(y, 4), nib));
+    __m512i sums = _mm512_sad_epu8(_mm512_add_epi8(cl, ch),
+                                   _mm512_setzero_si512());
+    unsigned pass = _mm512_cmple_epu64_mask(sums, capv);
+    while (pass) {
+      const int b = __builtin_ctz(pass);
+      pass &= pass - 1;
+      uint64_t tt = obs4 & ~packs[i + b];
+      uint64_t yy = tt | (tt >> 1);
+      yy = (yy | (yy >> 2)) & 0x1111111111111111ull;
+      top2_update(__builtin_popcountll(yy),
+                  ids ? static_cast<int64_t>(ids[i + b])
+                      : static_cast<int64_t>(i + b),
+                  best, next, best_id);
+    }
+  }
+  if (i < hi)
+    iupac_scan_scalar(packs, ids, i, hi, obs4, cap, best, next, best_id);
+}
+
+#pragma GCC diagnostic pop
+
+#endif  // FQTK_X86_SIMD
+
+IupacScanFn pick_iupac_scan() {
+#ifdef FQTK_X86_SIMD
+  if (__builtin_cpu_supports("avx512bw")) return iupac_scan_avx512;
+  if (__builtin_cpu_supports("avx2")) return iupac_scan_avx2;
+#endif
+  return iupac_scan_scalar;
+}
+
 // Direct-mapped memo cache shared by the host matchers (reference parity:
 // the reference memoizes observed barcode bytes -> match in an AHashMap,
 // barcode_matching.rs:173-182, because real reads cluster on few distinct
@@ -2572,8 +2690,12 @@ class BigKMatcher {
         if (prod > kMaxExpPerBarcode || total > kMaxExpPerBarcode)
           always[s] = 1;
       }
-      if (always[s]) always_candidates_.push_back(static_cast<uint32_t>(s));
+      if (always[s]) {
+        always_candidates_.push_back(static_cast<uint32_t>(s));
+        always_packs_.push_back(p4);  // contiguous packs: SIMD-scannable
+      }
     }
+    iscan_ = pick_iupac_scan();
     tables_.resize(n_parts_);
     for (int p = 0; p < n_parts_; p++) {
       auto& t = tables_[p];
@@ -2744,11 +2866,9 @@ class BigKMatcher {
     int best = 256, next = 256;
     int64_t best_id = k_;
     bool full_scan = false;
-    for (uint32_t id : always_candidates_) {
-      const int mm = mm_packed4(obs4, packed4_[id]);
-      if (mm > cap) continue;
-      top2_update(mm, id, best, next, best_id);
-    }
+    iscan_(always_packs_.data(), always_candidates_.data(), 0,
+           static_cast<uint32_t>(always_candidates_.size()), obs4, cap, best,
+           next, best_id);
     for (int p = 0; p < n_parts_ && !full_scan; p++) {
       uint32_t base_key = 0;
       int wshift[kMaxWildPerPart];
@@ -2774,23 +2894,16 @@ class BigKMatcher {
         uint32_t key = base_key;
         for (int i = 0; i < nw; i++)
           key |= ((combo >> (2 * i)) & 3u) << wshift[i];
-        const uint32_t lo = t.offsets[key], hi = t.offsets[key + 1];
-        for (uint32_t i = lo; i < hi; i++) {
-          const int mm = mm_packed4(obs4, t.packs[i]);
-          if (mm > cap) continue;
-          top2_update(mm, t.ids[i], best, next, best_id);
-        }
+        iscan_(t.packs.data(), t.ids.data(), t.offsets[key],
+               t.offsets[key + 1], obs4, cap, best, next, best_id);
       }
     }
     if (full_scan) {
       best = 256;
       next = 256;
       best_id = k_;
-      for (int64_t id = 0; id < k_; id++) {
-        const int mm = mm_packed4(obs4, packed4_[id]);
-        if (mm > cap) continue;
-        top2_update(mm, id, best, next, best_id);
-      }
+      iscan_(packed4_.data(), nullptr, 0, static_cast<uint32_t>(k_), obs4,
+             cap, best, next, best_id);
     }
     if (best > max_mm_) return static_cast<int32_t>(k_);
     if (next - best < delta_) return static_cast<int32_t>(k_);
@@ -2928,6 +3041,8 @@ class BigKMatcher {
   std::vector<uint64_t> packed2_; // [K] 2-bit-packed codes (hot-path XOR)
   std::vector<uint64_t> packed4_;    // [K] 4-bit-packed masks (iupac mode)
   std::vector<uint32_t> always_candidates_;  // too degenerate to enumerate
+  std::vector<uint64_t> always_packs_;       // their packed4, contiguous
+  IupacScanFn iscan_ = iupac_scan_scalar;
   std::vector<int> part_off_, part_len_;
   std::vector<CsrTable> tables_;
   bool cache_enabled_ = false;
