@@ -636,7 +636,7 @@ def main():
         se_meta = write_metadata(tmp, se_bcs, "se_meta.tsv")
         wse, _ = write_single_end_inputs(tmp, se_bcs, WARMUP_READS, "w_se")
         se_path, _ = write_single_end_inputs(tmp, se_bcs, N_READS_SECONDARY, "se")
-        se_rps, _t = run_e2e(
+        se_rps, se_t = run_e2e(
             tmp, [se_path], ["17B+T"], se_meta, N_READS_SECONDARY, "se",
             max_mm=0, delta=2, warm_inputs=[wse],
         )
@@ -651,6 +651,9 @@ def main():
                 "reads_per_sec": round(se_rps, 1),
                 "proxy_reads_per_sec": round(proxy_se, 1) if proxy_se else None,
                 "vs_config_baseline": round(se_rps / proxy_se, 2) if proxy_se else None,
+                "host_speed_of_light": host_speed_of_light(
+                    se_rps, N_READS_SECONDARY, se_t
+                ),
             }
         )
 
@@ -663,7 +666,7 @@ def main():
         iu_reads = [b.replace("N", "A").replace("R", "G").replace("Y", "C")
                     for b in iupac_bcs]
         iu_path, _ = write_single_end_inputs(tmp, iu_reads, N_READS_SECONDARY, "iu")
-        iu_rps, _t = run_e2e(
+        iu_rps, iu_t = run_e2e(
             tmp, [iu_path], ["17B+T"], iu_meta, N_READS_SECONDARY, "iu",
             max_mm=1, delta=2,
         )
@@ -678,6 +681,9 @@ def main():
                 "reads_per_sec": round(iu_rps, 1),
                 "proxy_reads_per_sec": round(proxy_iu, 1) if proxy_iu else None,
                 "vs_config_baseline": round(iu_rps / proxy_iu, 2) if proxy_iu else None,
+                "host_speed_of_light": host_speed_of_light(
+                    iu_rps, N_READS_SECONDARY, iu_t
+                ),
             }
         )
 
@@ -690,7 +696,7 @@ def main():
             tmp, [b[BC1:] for b in barcodes], N_READS_SECONDARY, "v2",
             var_template=True,
         )
-        var_rps, _t = run_e2e(
+        var_rps, var_t = run_e2e(
             tmp, [v1, v2], ["8B+T", "9B+T"], meta, N_READS_SECONDARY, "var",
         )
         proxy_var = run_refproxy(
@@ -703,6 +709,9 @@ def main():
                 "reads_per_sec": round(var_rps, 1),
                 "proxy_reads_per_sec": round(proxy_var, 1) if proxy_var else None,
                 "vs_config_baseline": round(var_rps / proxy_var, 2) if proxy_var else None,
+                "host_speed_of_light": host_speed_of_light(
+                    var_rps, N_READS_SECONDARY, var_t
+                ),
                 "note": "multi-host streaming validated separately "
                 "(tests/test_multiprocess.py on a 2-process jax.distributed run)",
             }

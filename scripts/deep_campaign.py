@@ -1,0 +1,240 @@
+"""Deep differential campaign: the evidence behind PARITY.md's campaign
+section.  Long-running by design (minutes to hours at the default counts);
+the committed pytest suites run a fixed-seed subset of the same generators.
+
+Three legs, each comparing an independent implementation pair:
+
+1. demux: native engine vs the pure-Python/NumPy engine — byte equality of
+   every decompressed output, metrics, skip counts, and error outcomes over
+   randomized scenarios (structures, IUPAC whitelists, wildcard bytes,
+   short reads, all output types).  A third of scenarios force the big-K
+   pigeonhole path (PALLAS_K_THRESHOLD lowered) so expanded IUPAC tables
+   and the memo caches face the same inputs.
+2. matcher: NativeSmallKMatcher / NativeBigKMatcher vs the NumPy spec of
+   the reference's BarcodeMatcher::assign (barcode_matching.rs:119-159)
+   over random (K, L, mm, delta, alphabet) with repeat-heavy reads
+   (cache churn) and no-call/wildcard storms.
+3. subsample: native vs Python engines — identical kept record sets and
+   verbatim bytes under explicit seeds across fractions/input counts.
+
+Usage: python scripts/deep_campaign.py [n_demux] [n_matcher] [n_subsample]
+"""
+
+import gzip
+import random
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+from fqtk_tpu.core.encoding import ENCODE_LUT  # noqa: E402
+from fqtk_tpu.io import native as native_io  # noqa: E402
+from fqtk_tpu.ops.matcher import ExpectedSet, assign_batch_np  # noqa: E402
+from fqtk_tpu.runtime import subsample as ss  # noqa: E402
+import fqtk_tpu.runtime.demux as dmx  # noqa: E402
+from fqtk_tpu.runtime.demux import DemuxConfig, run_demux  # noqa: E402
+from test_fuzz_differential import _random_scenario  # noqa: E402
+
+
+def _pack(obs: np.ndarray) -> np.ndarray:
+    masks = ENCODE_LUT[obs].astype(np.uint8)
+    n, length = masks.shape
+    if length % 2:
+        masks = np.concatenate([masks, np.zeros((n, 1), np.uint8)], axis=1)
+    return (masks[:, 0::2] | (masks[:, 1::2] << 4)).astype(np.uint8)
+
+
+def demux_leg(n: int) -> int:
+    fails = 0
+    default_threshold = dmx.PALLAS_K_THRESHOLD
+    for sid in range(n):
+        rng = random.Random(31337 + sid)
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td)
+            inputs, structures, meta = _random_scenario(rng, tmp, sid)
+            max_mm = rng.choice([0, 1, 2])
+            delta = rng.choice([0, 1, 2])
+            batch = rng.choice([5, 64, 131072])
+            force_bigk = sid % 3 == 0
+            dmx.PALLAS_K_THRESHOLD = 1 if force_bigk else default_threshold
+            dmx._ASSIGN_FN_CACHE.clear()
+            res = {}
+            for engine in ("native", "numpy"):
+                try:
+                    res[engine] = (
+                        "ok",
+                        run_demux(
+                            DemuxConfig(
+                                inputs=inputs,
+                                read_structures=structures,
+                                sample_metadata=meta,
+                                output=tmp / f"o_{engine}",
+                                output_types=["T", "B", "M", "C"],
+                                max_mismatches=max_mm,
+                                min_mismatch_delta=delta,
+                                skip_reasons=["too-few-bases"],
+                                batch_size=batch,
+                                engine=engine,
+                            )
+                        ),
+                    )
+                except Exception as e:  # compared, not suppressed
+                    res[engine] = ("err", f"{type(e).__name__}: {e}")
+            if res["native"][0] != res["numpy"][0]:
+                print(f"FAIL demux {sid}: outcome mismatch {res}")
+                fails += 1
+                continue
+            if res["native"][0] == "err":
+                if res["native"][1] != res["numpy"][1]:
+                    print(f"FAIL demux {sid}: error text {res}")
+                    fails += 1
+                continue
+            if res["native"][1].skip_counts != res["numpy"][1].skip_counts:
+                print(f"FAIL demux {sid}: skip counts")
+                fails += 1
+                continue
+            on, op = tmp / "o_native", tmp / "o_numpy"
+            for f in sorted(on.glob("*")):
+                g = op / f.name
+                a = gzip.open(f, "rb").read() if f.suffix == ".gz" else f.read_bytes()
+                b = gzip.open(g, "rb").read() if g.suffix == ".gz" else g.read_bytes()
+                if a != b:
+                    print(f"FAIL demux {sid}: {f.name} differs (bigk={force_bigk})")
+                    fails += 1
+    dmx.PALLAS_K_THRESHOLD = default_threshold
+    print(f"demux leg: {n} scenarios, {fails} failures")
+    return fails
+
+
+def matcher_leg(n: int) -> int:
+    fails = 0
+    for case in range(n):
+        rng = np.random.default_rng(909000 + case)
+        length = int(rng.integers(4, 17))
+        k = int(rng.integers(50, 3000))
+        max_mm = int(rng.integers(0, 3))
+        delta = int(rng.integers(0, 3))
+        alpha = ["ACGT", "ACGTN", "ACGTNRYWSKM", "ACGTU."][case % 4]
+        seen, bcs = set(), []
+        while len(bcs) < k:
+            b = "".join(alpha[i] for i in rng.integers(0, len(alpha), size=length))
+            if b not in seen:
+                seen.add(b)
+                bcs.append(b)
+        expected = ExpectedSet.from_barcodes(bcs)
+        pool_n = int(rng.integers(20, 400))
+        rows = []
+        weird = np.frombuffer(b"NnRYacgtX-.U", dtype=np.uint8)
+        for _ in range(pool_n):
+            base = list(bcs[int(rng.integers(0, k))].encode())
+            for _ in range(int(rng.integers(0, max_mm + delta + 2))):
+                p = int(rng.integers(0, length))
+                base[p] = (
+                    int(weird[int(rng.integers(0, len(weird)))])
+                    if rng.integers(0, 3) == 0
+                    else ord("ACGT"[int(rng.integers(0, 4))])
+                )
+            rows.append(bytes(base))
+        pool = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(pool_n, length)
+        obs = pool[rng.integers(0, pool_n, size=4000)]
+        want, _, _ = assign_batch_np(obs, expected, max_mm, delta)
+        want = np.where(want < 0, k, want).astype(np.int32)
+        packed = _pack(obs)
+        for cls, name in (
+            (native_io.NativeSmallKMatcher, "smallk"),
+            (native_io.NativeBigKMatcher, "bigk"),
+        ):
+            try:
+                m = cls(bcs, max_mm, delta, threads=int(rng.integers(1, 5)))
+            except native_io.NativeDemuxError:
+                continue  # ineligible for this matcher (by design)
+            for lo in range(0, 4000, 1500):  # several batches: warm caches
+                got = m.assign(packed[lo : lo + 1500])
+                if not np.array_equal(got, want[lo : lo + 1500]):
+                    print(
+                        f"FAIL matcher {case} {name} mm={max_mm} d={delta} "
+                        f"L={length} K={k} alpha={alpha}"
+                    )
+                    fails += 1
+                    break
+            m.close()
+    print(f"matcher leg: {n} cases x 2 matchers, {fails} failures")
+    return fails
+
+
+def subsample_leg(n: int) -> int:
+    fails = 0
+    for case in range(n):
+        rng = random.Random(77000 + case)
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td)
+            n_in = rng.choice([1, 2, 4])
+            n_sets = rng.randint(0, 500)
+            frac = rng.choice([0.0, 0.1, 0.37, 0.5, 0.93, 1.0])
+            seed = rng.randint(0, 2**62)
+            comp = rng.choice([None, "gz"])
+            inputs = []
+            for i in range(n_in):
+                lines = []
+                for r in range(n_sets):
+                    suffix = rng.choice(["", "/1", "/2"]) if i == 0 else ""
+                    comment = rng.choice(["", " some comment", "\textra\ttabs"])
+                    sl = rng.randint(0, 40)
+                    seq = "".join(rng.choice("ACGTN") for _ in range(sl))
+                    lines.append(
+                        f"@rec_{r}{suffix}{comment}\n{seq}\n+\n{'J' * sl}\n"
+                    )
+                p = tmp / (f"in{i}.fq" + (".gz" if comp else ""))
+                data = "".join(lines).encode()
+                if comp:
+                    with gzip.open(p, "wb") as f:
+                        f.write(data)
+                else:
+                    p.write_bytes(data)
+                inputs.append(p)
+            res = {}
+            for engine in ("native", "python"):
+                try:
+                    r = ss.run_subsample(
+                        ss.SubsampleConfig(
+                            inputs=inputs,
+                            output=tmp / f"o_{engine}",
+                            fraction=frac,
+                            seed=seed,
+                            engine=engine,
+                        )
+                    )
+                    res[engine] = ("ok", r.read, r.written)
+                except Exception as e:
+                    res[engine] = ("err", f"{type(e).__name__}: {e}")
+            if res["native"] != res["python"]:
+                print(f"FAIL subsample {case}: outcome {res}")
+                fails += 1
+                continue
+            if res["native"][0] == "ok":
+                for i in range(1, n_in + 1):
+                    a = gzip.open(tmp / f"o_native.R{i}.fq.gz", "rb").read()
+                    b = gzip.open(tmp / f"o_python.R{i}.fq.gz", "rb").read()
+                    if a != b:
+                        print(f"FAIL subsample {case}: R{i} differs")
+                        fails += 1
+    print(f"subsample leg: {n} scenarios, {fails} failures")
+    return fails
+
+
+def main() -> int:
+    n_demux = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+    n_matcher = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    n_subsample = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    fails = demux_leg(n_demux) + matcher_leg(n_matcher) + subsample_leg(n_subsample)
+    print(f"deep_campaign: {'CLEAN' if fails == 0 else f'{fails} FAILURES'}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
