@@ -116,7 +116,9 @@ def matcher_leg(n: int) -> int:
     for case in range(n):
         rng = np.random.default_rng(909000 + case)
         length = int(rng.integers(4, 17))
-        k = int(rng.integers(50, 3000))
+        # keep K below the unique-string count for short lengths (a draw
+        # loop over an exhausted space would never terminate)
+        k = min(int(rng.integers(50, 3000)), 4**length // 2)
         max_mm = int(rng.integers(0, 3))
         delta = int(rng.integers(0, 3))
         alpha = ["ACGT", "ACGTN", "ACGTNRYWSKM", "ACGTU."][case % 4]
