@@ -2832,17 +2832,6 @@ class BigKMatcher {
   //     FASTQ.
   static constexpr int kMaxWildPerPart = 6;  // 4^6 = 4096 buckets max
 
-  // mismatches between packed 4-bit observed and expected masks (nibble j =
-  // position j): a position mismatches iff any observed bit falls outside
-  // the expected mask (reference bitenc.rs:441) — fold each nibble of
-  // obs & ~exp to its low bit and popcount
-  static inline int mm_packed4(uint64_t obs4, uint64_t exp4) {
-    uint64_t t = obs4 & ~exp4;
-    uint64_t y = t | (t >> 1);
-    y = (y | (y >> 2)) & 0x1111111111111111ull;
-    return __builtin_popcountll(y);
-  }
-
   // Degenerate-whitelist variant of assign_one: same part-key walk, but
   // candidate buckets hold expanded insertions (see build_iupac) and score
   // with mask containment.  Key digit per position: single-bit/multi-bit

@@ -51,63 +51,84 @@ def _pack(obs: np.ndarray) -> np.ndarray:
 
 def demux_leg(n: int) -> int:
     fails = 0
+    ok_count = 0
     default_threshold = dmx.PALLAS_K_THRESHOLD
-    for sid in range(n):
-        rng = random.Random(31337 + sid)
-        with tempfile.TemporaryDirectory() as td:
-            tmp = Path(td)
-            inputs, structures, meta = _random_scenario(rng, tmp, sid)
-            max_mm = rng.choice([0, 1, 2])
-            delta = rng.choice([0, 1, 2])
-            batch = rng.choice([5, 64, 131072])
-            force_bigk = sid % 3 == 0
-            dmx.PALLAS_K_THRESHOLD = 1 if force_bigk else default_threshold
-            dmx._ASSIGN_FN_CACHE.clear()
-            res = {}
-            for engine in ("native", "numpy"):
-                try:
-                    res[engine] = (
-                        "ok",
-                        run_demux(
-                            DemuxConfig(
-                                inputs=inputs,
-                                read_structures=structures,
-                                sample_metadata=meta,
-                                output=tmp / f"o_{engine}",
-                                output_types=["T", "B", "M", "C"],
-                                max_mismatches=max_mm,
-                                min_mismatch_delta=delta,
-                                skip_reasons=["too-few-bases"],
-                                batch_size=batch,
-                                engine=engine,
-                            )
-                        ),
-                    )
-                except Exception as e:  # compared, not suppressed
-                    res[engine] = ("err", f"{type(e).__name__}: {e}")
-            if res["native"][0] != res["numpy"][0]:
-                print(f"FAIL demux {sid}: outcome mismatch {res}")
-                fails += 1
-                continue
-            if res["native"][0] == "err":
-                if res["native"][1] != res["numpy"][1]:
-                    print(f"FAIL demux {sid}: error text {res}")
+    try:
+        for sid in range(n):
+            rng = random.Random(31337 + sid)
+            with tempfile.TemporaryDirectory() as td:
+                tmp = Path(td)
+                inputs, structures, meta = _random_scenario(rng, tmp, sid)
+                max_mm = rng.choice([0, 1, 2])
+                delta = rng.choice([0, 1, 2])
+                batch = rng.choice([5, 64, 131072])
+                force_bigk = sid % 3 == 0
+                dmx.PALLAS_K_THRESHOLD = 1 if force_bigk else default_threshold
+                dmx._ASSIGN_FN_CACHE.clear()
+                res = {}
+                for engine in ("native", "numpy"):
+                    try:
+                        res[engine] = (
+                            "ok",
+                            run_demux(
+                                DemuxConfig(
+                                    inputs=inputs,
+                                    read_structures=structures,
+                                    sample_metadata=meta,
+                                    output=tmp / f"o_{engine}",
+                                    output_types=["T", "B", "M", "C"],
+                                    max_mismatches=max_mm,
+                                    min_mismatch_delta=delta,
+                                    skip_reasons=["too-few-bases"],
+                                    batch_size=batch,
+                                    engine=engine,
+                                )
+                            ),
+                        )
+                    except Exception as e:  # compared, not suppressed
+                        res[engine] = ("err", f"{type(e).__name__}: {e}")
+                if res["native"][0] != res["numpy"][0]:
+                    print(f"FAIL demux {sid}: outcome mismatch {res}")
                     fails += 1
-                continue
-            if res["native"][1].skip_counts != res["numpy"][1].skip_counts:
-                print(f"FAIL demux {sid}: skip counts")
-                fails += 1
-                continue
-            on, op = tmp / "o_native", tmp / "o_numpy"
-            for f in sorted(on.glob("*")):
-                g = op / f.name
-                a = gzip.open(f, "rb").read() if f.suffix == ".gz" else f.read_bytes()
-                b = gzip.open(g, "rb").read() if g.suffix == ".gz" else g.read_bytes()
-                if a != b:
-                    print(f"FAIL demux {sid}: {f.name} differs (bigk={force_bigk})")
+                    continue
+                if res["native"][0] == "err":
+                    if res["native"][1] != res["numpy"][1]:
+                        print(f"FAIL demux {sid}: error text {res}")
+                        fails += 1
+                    continue
+                if res["native"][1].skip_counts != res["numpy"][1].skip_counts:
+                    print(f"FAIL demux {sid}: skip counts")
                     fails += 1
-    dmx.PALLAS_K_THRESHOLD = default_threshold
-    print(f"demux leg: {n} scenarios, {fails} failures")
+                    continue
+                ok_count += 1
+                on, op = tmp / "o_native", tmp / "o_numpy"
+                # compare the UNION of both listings: a file present on only
+                # one side is itself a divergence, not a skip
+                names = sorted(
+                    {f.name for f in on.glob("*")} | {g.name for g in op.glob("*")}
+                )
+                for name in names:
+                    f, g = on / name, op / name
+                    if not (f.exists() and g.exists()):
+                        print(
+                            f"FAIL demux {sid}: {name} only in "
+                            f"{'native' if f.exists() else 'numpy'} output"
+                        )
+                        fails += 1
+                        continue
+                    a = gzip.open(f, "rb").read() if f.suffix == ".gz" else f.read_bytes()
+                    b = gzip.open(g, "rb").read() if g.suffix == ".gz" else g.read_bytes()
+                    if a != b:
+                        print(f"FAIL demux {sid}: {name} differs (bigk={force_bigk})")
+                        fails += 1
+    finally:
+        # a crashed scenario must not leave the module-global threshold
+        # forced for subsequent callers
+        dmx.PALLAS_K_THRESHOLD = default_threshold
+    if n > 0 and ok_count == 0:
+        print("FAIL demux leg: no scenario completed successfully")
+        fails += 1
+    print(f"demux leg: {n} scenarios ({ok_count} ran ok), {fails} failures")
     return fails
 
 
@@ -171,6 +192,7 @@ def matcher_leg(n: int) -> int:
 
 def subsample_leg(n: int) -> int:
     fails = 0
+    ok_count = 0
     for case in range(n):
         rng = random.Random(77000 + case)
         with tempfile.TemporaryDirectory() as td:
@@ -208,10 +230,10 @@ def subsample_leg(n: int) -> int:
                             output=tmp / f"o_{engine}",
                             fraction=frac,
                             seed=seed,
-                            engine=engine,
-                        )
+                        ),
+                        use_native=engine == "native",
                     )
-                    res[engine] = ("ok", r.read, r.written)
+                    res[engine] = ("ok", r.total_read, r.total_kept)
                 except Exception as e:
                     res[engine] = ("err", f"{type(e).__name__}: {e}")
             if res["native"] != res["python"]:
@@ -219,13 +241,19 @@ def subsample_leg(n: int) -> int:
                 fails += 1
                 continue
             if res["native"][0] == "ok":
+                ok_count += 1
                 for i in range(1, n_in + 1):
                     a = gzip.open(tmp / f"o_native.R{i}.fq.gz", "rb").read()
                     b = gzip.open(tmp / f"o_python.R{i}.fq.gz", "rb").read()
                     if a != b:
                         print(f"FAIL subsample {case}: R{i} differs")
                         fails += 1
-    print(f"subsample leg: {n} scenarios, {fails} failures")
+    if n > 0 and ok_count == 0:
+        # a systemic failure (e.g. an API drift making both engines raise
+        # the same error) must not masquerade as a clean campaign
+        print("FAIL subsample leg: no scenario completed successfully")
+        fails += 1
+    print(f"subsample leg: {n} scenarios ({ok_count} ran ok), {fails} failures")
     return fails
 
 
