@@ -785,6 +785,15 @@ def test_native_record_longer_than_fill_chunk(tmp_path):
     recs = read_fastq(out / "Sample0000.R1.fq.gz")
     assert len(recs) == 2
     assert recs[0].seq == big.encode()
+    # the record exceeds one BGZF block (65,280B input cap), so this also
+    # drives write_template's huge-record fallback and the writer's
+    # multi-block split; outputs must still be byte-identical to numpy
+    out_np = tmp_path / "out_np"
+    run_demux(_cfg(tmp_path, [p], ["4B+T"], meta, out_np, "numpy", batch_size=4))
+    for name in ("Sample0000.R1.fq.gz", "unmatched.R1.fq.gz"):
+        assert gzip.decompress((out / name).read_bytes()) == gzip.decompress(
+            (out_np / name).read_bytes()
+        )
 
 
 def test_native_empty_gzip_input(tmp_path):

@@ -204,6 +204,35 @@ def test_native_matches_python(tmp_path):
         assert a == b and len(a) > 0
 
 
+def test_native_huge_record_verbatim(tmp_path):
+    """Records larger than one BGZF block (65,280B input cap) drive the
+    writer's multi-block split; kept records must survive verbatim and
+    byte-match the Python engine."""
+    import gzip
+
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    big = "G" * 200_000
+    fq = fastq_file(tmp_path, "r1", "q", ["ACGT", big, "TTTT", big[:70_000]])
+    for flavor, use_native in [("nat", True), ("py", False)]:
+        run_subsample(
+            SubsampleConfig(
+                inputs=[fq],
+                output=tmp_path / f"big_{flavor}",
+                fraction=1.0,
+                threads=2,
+                seed=7,
+            ),
+            use_native=use_native,
+        )
+    a = gzip.open(tmp_path / "big_nat.R1.fq.gz").read()
+    b = gzip.open(tmp_path / "big_py.R1.fq.gz").read()
+    assert a == b
+    assert big.encode() in a
+
+
 def test_native_parallel_matches_serial(tmp_path):
     """The per-input-threaded chunk loop must emit bytes identical to the
     reference-architecture serial loop (bench.py's proxy mode), across
