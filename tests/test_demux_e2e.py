@@ -796,6 +796,26 @@ def test_native_record_longer_than_fill_chunk(tmp_path):
         )
 
 
+def test_quality_lines_starting_with_at_or_plus(tmp_path):
+    """Quality strings may begin with '@' or '+' (legal FASTQ); parsers
+    that sniff record starts by '@' corrupt these.  Both engines must
+    agree byte-for-byte."""
+    fq = tmp_path / "in.fq"
+    fq.write_text(
+        "@r0\nAAAACGTA\n+\n@@@@++++\n@r1\nCCCCGTAC\n+\n+@+@+@+@\n"
+    )
+    meta = metadata_file(tmp_path, ["AAAA", "CCCC"])
+    outs = {}
+    for engine in ("native", "numpy"):
+        out = tmp_path / f"o_{engine}"
+        run_demux(_cfg(tmp_path, [fq], ["4B+T"], meta, out, engine))
+        outs[engine] = out
+    for f in ("Sample0000.R1.fq.gz", "Sample0001.R1.fq.gz"):
+        a = gzip.decompress((outs["native"] / f).read_bytes())
+        b = gzip.decompress((outs["numpy"] / f).read_bytes())
+        assert a == b and len(a) > 0
+
+
 def test_native_empty_gzip_input(tmp_path):
     """Zero-record inputs produce empty outputs and NaN-style metrics
     through the pipelined engine (EOF window on the first acquire)."""
