@@ -2410,14 +2410,20 @@ FusedScanFn pick_fused_scan() {
 using IupacScanFn = void (*)(const uint64_t*, const uint32_t*, uint32_t,
                              uint32_t, uint64_t, int, int&, int&, int64_t&);
 
+// exact mismatch count for one candidate (the scalar rescore the SIMD
+// filters hand survivors to)
+static inline int iupac_mm(uint64_t obs4, uint64_t exp4) {
+  uint64_t t = obs4 & ~exp4;
+  uint64_t y = t | (t >> 1);
+  y = (y | (y >> 2)) & 0x1111111111111111ull;
+  return __builtin_popcountll(y);
+}
+
 void iupac_scan_scalar(const uint64_t* packs, const uint32_t* ids,
                        uint32_t lo, uint32_t hi, uint64_t obs4, int cap,
                        int& best, int& next, int64_t& best_id) {
   for (uint32_t i = lo; i < hi; i++) {
-    uint64_t t = obs4 & ~packs[i];
-    uint64_t y = t | (t >> 1);
-    y = (y | (y >> 2)) & 0x1111111111111111ull;
-    const int mm = __builtin_popcountll(y);
+    const int mm = iupac_mm(obs4, packs[i]);
     if (mm > cap) continue;
     top2_update(mm,
                 ids ? static_cast<int64_t>(ids[i]) : static_cast<int64_t>(i),
@@ -2458,10 +2464,7 @@ __attribute__((target("avx2"))) void iupac_scan_avx2(
     while (pass) {
       const int b = __builtin_ctz(static_cast<unsigned>(pass));
       pass &= pass - 1;
-      uint64_t tt = obs4 & ~packs[i + b];
-      uint64_t yy = tt | (tt >> 1);
-      yy = (yy | (yy >> 2)) & 0x1111111111111111ull;
-      top2_update(__builtin_popcountll(yy),
+      top2_update(iupac_mm(obs4, packs[i + b]),
                   ids ? static_cast<int64_t>(ids[i + b])
                       : static_cast<int64_t>(i + b),
                   best, next, best_id);
@@ -2495,10 +2498,7 @@ __attribute__((target("avx512f,avx512bw"))) void iupac_scan_avx512(
     while (pass) {
       const int b = __builtin_ctz(pass);
       pass &= pass - 1;
-      uint64_t tt = obs4 & ~packs[i + b];
-      uint64_t yy = tt | (tt >> 1);
-      yy = (yy | (yy >> 2)) & 0x1111111111111111ull;
-      top2_update(__builtin_popcountll(yy),
+      top2_update(iupac_mm(obs4, packs[i + b]),
                   ids ? static_cast<int64_t>(ids[i + b])
                       : static_cast<int64_t>(i + b),
                   best, next, best_id);
