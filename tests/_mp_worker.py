@@ -5,6 +5,11 @@ Usage: python _mp_worker.py <mode> <pid> <nproc> <port> <workdir>
 
 import json
 import sys
+from pathlib import Path
+
+# Run as a bare script (`python tests/_mp_worker.py`), so sys.path[0] is
+# tests/ — make the repo root importable regardless of install state.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
