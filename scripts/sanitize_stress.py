@@ -20,6 +20,10 @@ import sys
 import tempfile
 from pathlib import Path
 
+# Run as a bare script (`python scripts/sanitize_stress.py`), so sys.path[0]
+# is scripts/ — make the repo root importable regardless of install state.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np  # noqa: E402
