@@ -2394,10 +2394,22 @@ __attribute__((target("avx512f,avx512bw"))) void fused_scan_avx512(
 
 #endif  // FQTK_X86_SIMD
 
+// FQTK_SIMD=scalar|avx2|avx512 caps the dispatch level (default: best the
+// CPU supports).  Tests use it to exercise every variant on one host — an
+// avx512 machine otherwise never runs the avx2 code at all.
+inline int simd_level_cap() {
+  const char* e = getenv("FQTK_SIMD");
+  if (!e) return 2;
+  if (strcmp(e, "scalar") == 0) return 0;
+  if (strcmp(e, "avx2") == 0) return 1;
+  return 2;
+}
+
 FusedScanFn pick_fused_scan() {
 #ifdef FQTK_X86_SIMD
-  if (__builtin_cpu_supports("avx512bw")) return fused_scan_avx512;
-  if (__builtin_cpu_supports("avx2")) return fused_scan_avx2;
+  const int cap = simd_level_cap();
+  if (cap >= 2 && __builtin_cpu_supports("avx512bw")) return fused_scan_avx512;
+  if (cap >= 1 && __builtin_cpu_supports("avx2")) return fused_scan_avx2;
 #endif
   return fused_scan_scalar;
 }
@@ -2514,8 +2526,9 @@ __attribute__((target("avx512f,avx512bw"))) void iupac_scan_avx512(
 
 IupacScanFn pick_iupac_scan() {
 #ifdef FQTK_X86_SIMD
-  if (__builtin_cpu_supports("avx512bw")) return iupac_scan_avx512;
-  if (__builtin_cpu_supports("avx2")) return iupac_scan_avx2;
+  const int cap = simd_level_cap();
+  if (cap >= 2 && __builtin_cpu_supports("avx512bw")) return iupac_scan_avx512;
+  if (cap >= 1 && __builtin_cpu_supports("avx2")) return iupac_scan_avx2;
 #endif
   return iupac_scan_scalar;
 }

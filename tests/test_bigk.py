@@ -420,3 +420,40 @@ def test_bigk_iupac_longer_than_16_falls_back():
     packing and stay on the device path."""
     with pytest.raises(native_io.NativeDemuxError):
         native_io.NativeBigKMatcher(["ACGTACGTACGTACGTN", "TGCATGCATGCATGCAA"], 1, 2)
+
+
+@pytest.mark.parametrize("level", ["scalar", "avx2", "avx512"])
+def test_bigk_simd_dispatch_levels_agree(level, monkeypatch):
+    """Every SIMD dispatch level of the candidate scans (FQTK_SIMD caps the
+    runtime avx512bw > avx2 > scalar choice) must produce assignments
+    identical to the NumPy spec — an avx512 host otherwise never executes
+    the avx2 variants at all.  Covers both the pure-ACGT fused scan and the
+    degenerate-IUPAC containment scan."""
+    monkeypatch.setenv("FQTK_SIMD", level)
+    monkeypatch.setenv("FQTK_BIGK_NO_CACHE", "1")  # isolate the scans
+    rng = np.random.default_rng(777)
+    k, length = 400, 16
+    barcodes = _whitelist(rng, k, length)
+    # degenerate variant: one N per barcode exercises the iupac scan
+    bc_iupac = [b[:7] + "N" + b[8:] for b in barcodes]
+
+    n = 3000
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    obs = np.frombuffer(
+        b"".join(barcodes[int(c)].encode() for c in rng.integers(0, k, size=n)),
+        dtype=np.uint8,
+    ).reshape(n, length).copy()
+    mut = rng.integers(0, 3, size=n) == 0
+    obs[mut, rng.integers(0, length, size=n)[mut]] = letters[
+        rng.integers(0, 4, size=int(mut.sum()))
+    ]
+    obs[:8] = np.frombuffer(b"N" * length, dtype=np.uint8)  # no-call rows
+
+    for bcs in (barcodes, bc_iupac):
+        expected = ExpectedSet.from_barcodes(bcs)
+        m = native_io.NativeBigKMatcher(bcs, 1, 2, threads=2)
+        got = m.assign(_pack(obs))
+        m.close()
+        want, _, _ = assign_batch_np(obs, expected, 1, 2)
+        want = np.where(want < 0, k, want).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
