@@ -69,6 +69,17 @@ class FastqReader:
             self._line_no += 1
         return line
 
+    @staticmethod
+    def _chomp(line: bytes) -> bytes:
+        """Strip one trailing newline and at most ONE carriage return before
+        it (CR-tolerant like the native scanner; a line body ending in
+        literal '\\r' bytes is preserved — rstrip would eat them all)."""
+        if line.endswith(b"\n"):
+            line = line[:-1]
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        return line
+
     def __next__(self) -> FastqRecord:
         head = self._readline()
         if not head:
@@ -89,14 +100,14 @@ class FastqReader:
             raise FastqParseError(
                 f"{self._name}:{self._line_no}: FASTQ separator line must start with '+'"
             )
-        seq = seq.rstrip(b"\r\n")
-        qual = qual.rstrip(b"\r\n")
+        seq = self._chomp(seq)
+        qual = self._chomp(qual)
         if len(seq) != len(qual):
             raise FastqParseError(
                 f"{self._name}:{self._line_no}: sequence and quality lengths differ "
                 f"({len(seq)} vs {len(qual)})"
             )
-        return FastqRecord(head.rstrip(b"\r\n")[1:], seq, qual)
+        return FastqRecord(self._chomp(head)[1:], seq, qual)
 
     def close(self) -> None:
         self._stream.close()

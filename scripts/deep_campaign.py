@@ -257,11 +257,163 @@ def subsample_leg(n: int) -> int:
     return fails
 
 
+def malformed_leg(n: int) -> int:
+    """Malformed-input differential: corrupt a valid scenario one way and
+    require BOTH engines to reach the same outcome kind — an error for the
+    corruption classes, identical success for the benign ones (CRLF).  For
+    the scanner's own contract classes both error texts must carry the same
+    contract phrase; IO-layer corruption (gzip bit-flips, truncated
+    compressed streams) legitimately yields different decoder messages, so
+    only the outcome kind is compared there."""
+    corruptions = [
+        "crlf",           # benign: CR-tolerant scanners, byte-equal outputs
+        "no_at",          # header line without '@'
+        "no_plus",        # separator line without '+'
+        "qual_len",       # quality shorter than sequence
+        "truncated",      # EOF mid-record (uncompressed input)
+        "gzip_flip",      # bit-flip inside a gzip stream
+        "gzip_trunc",     # compressed stream cut short
+        "out_of_sync",    # paired inputs with different record counts
+    ]
+    contract_phrase = {
+        "no_at": "FASTQ record header must start with '@'",
+        "no_plus": "FASTQ separator line must start with '+'",
+        "qual_len": "sequence and quality lengths differ",
+        "truncated": "truncated FASTQ record",
+        "out_of_sync": "out of sync",
+    }
+    fails = 0
+    ok_count = 0
+    for case in range(n):
+        rng = random.Random(555000 + case)
+        kind = corruptions[case % len(corruptions)]
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td)
+            n_reads = rng.randint(4, 60)
+            bcs = ["GATTACAG", "TTTTCCCC", "AAAAGGGG"]
+            meta = tmp / "meta.tsv"
+            meta.write_text(
+                "sample_id\tbarcode\n"
+                + "".join(f"s{i}\t{b}\n" for i, b in enumerate(bcs))
+            )
+            eol = b"\r\n" if kind == "crlf" else b"\n"
+
+            def fq_bytes(count, mutate_row=None):
+                out = bytearray()
+                for r in range(count):
+                    bc = bcs[r % len(bcs)].encode()
+                    seq = bc + b"ACGTACGT"
+                    lines = [
+                        b"@r%d 1:N:0:0" % r,
+                        seq,
+                        b"+",
+                        b"I" * len(seq),
+                    ]
+                    if mutate_row is not None and r == mutate_row:
+                        lines = mutate_row_fn(lines)
+                    for ln in lines:
+                        out += ln + eol
+                return bytes(out)
+
+            bad_row = rng.randint(0, n_reads - 1)
+
+            def mutate_row_fn(lines):
+                if kind == "no_at":
+                    return [lines[0][1:]] + lines[1:]
+                if kind == "no_plus":
+                    return lines[:2] + [b"*"] + lines[3:]
+                if kind == "qual_len":
+                    return lines[:3] + [lines[3][:-2]]
+                return lines
+
+            mutate = bad_row if kind in ("no_at", "no_plus", "qual_len") else None
+            data1 = fq_bytes(n_reads, mutate)
+            data2 = fq_bytes(n_reads if kind != "out_of_sync" else n_reads - 2)
+            if kind == "truncated":
+                # cut mid-record: keep the bad record's header only
+                cut = data1.rfind(b"@r%d " % bad_row)
+                data1 = data1[: cut + 8]
+            p1, p2 = tmp / "in1.fq", tmp / "in2.fq"
+            if kind in ("gzip_flip", "gzip_trunc"):
+                p1, p2 = tmp / "in1.fq.gz", tmp / "in2.fq.gz"
+                z1 = bytearray(gzip.compress(data1))
+                if kind == "gzip_flip":
+                    z1[len(z1) // 2] ^= 0x55
+                else:
+                    z1 = z1[: max(20, len(z1) * 2 // 3)]
+                p1.write_bytes(bytes(z1))
+                p2.write_bytes(gzip.compress(data2))
+            else:
+                p1.write_bytes(data1)
+                p2.write_bytes(data2)
+
+            res = {}
+            for engine in ("native", "numpy"):
+                try:
+                    r = run_demux(
+                        DemuxConfig(
+                            inputs=[p1, p2],
+                            read_structures=["8B+T", "+T"],
+                            sample_metadata=meta,
+                            output=tmp / f"o_{engine}",
+                            max_mismatches=1,
+                            min_mismatch_delta=2,
+                            batch_size=16,
+                            engine=engine,
+                        )
+                    )
+                    res[engine] = ("ok", r.total_templates)
+                except Exception as e:
+                    res[engine] = ("err", f"{type(e).__name__}: {e}")
+            if res["native"][0] != res["numpy"][0]:
+                print(f"FAIL malformed {case} [{kind}]: outcome mismatch {res}")
+                fails += 1
+                continue
+            if kind == "crlf":
+                if res["native"][0] != "ok" or res["native"][1] != n_reads:
+                    print(f"FAIL malformed {case} [crlf]: {res}")
+                    fails += 1
+                    continue
+                for f in sorted((tmp / "o_native").glob("*.fq.gz")):
+                    a = gzip.open(f, "rb").read()
+                    b = gzip.open(tmp / "o_numpy" / f.name, "rb").read()
+                    if a != b:
+                        print(f"FAIL malformed {case} [crlf]: {f.name} differs")
+                        fails += 1
+            else:
+                if res["native"][0] != "err":
+                    print(f"FAIL malformed {case} [{kind}]: both succeeded {res}")
+                    fails += 1
+                    continue
+                phrase = contract_phrase.get(kind)
+                if phrase and not (
+                    phrase in res["native"][1] and phrase in res["numpy"][1]
+                ):
+                    print(
+                        f"FAIL malformed {case} [{kind}]: contract phrase "
+                        f"missing {res}"
+                    )
+                    fails += 1
+                    continue
+            ok_count += 1
+    if n > 0 and ok_count == 0:
+        print("FAIL malformed leg: no scenario completed")
+        fails += 1
+    print(f"malformed leg: {n} scenarios ({ok_count} ran ok), {fails} failures")
+    return fails
+
+
 def main() -> int:
     n_demux = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     n_matcher = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     n_subsample = int(sys.argv[3]) if len(sys.argv) > 3 else 100
-    fails = demux_leg(n_demux) + matcher_leg(n_matcher) + subsample_leg(n_subsample)
+    n_malformed = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    fails = (
+        demux_leg(n_demux)
+        + matcher_leg(n_matcher)
+        + subsample_leg(n_subsample)
+        + malformed_leg(n_malformed)
+    )
     print(f"deep_campaign: {'CLEAN' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0
 

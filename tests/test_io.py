@@ -90,6 +90,17 @@ def test_fastq_reader_crlf(tmp_path):
     assert recs[0].seq == b"ACGT"
 
 
+def test_fastq_reader_strips_exactly_one_cr(tmp_path):
+    """Exactly one trailing CR is consumed (native-scanner semantics): a
+    line BODY ending in literal '\\r' bytes survives, it is not rstrip'd."""
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"@r1\r\r\nACG\r\r\n+\r\nIII\r\r\n")
+    recs = read_fastq(p)
+    assert recs[0].head == b"r1\r"
+    assert recs[0].seq == b"ACG\r"
+    assert recs[0].qual == b"III\r"
+
+
 def test_fastq_reader_malformed_header(tmp_path):
     p = tmp_path / "t.fq"
     p.write_bytes(b"r1\nACGT\n+\nIIII\n")
