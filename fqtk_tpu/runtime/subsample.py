@@ -183,6 +183,16 @@ class _RawFastqReader:
         self._stream = stream
         self._name = name
 
+    @staticmethod
+    def _chomp(line: bytes) -> bytes:
+        # one newline + at most ONE CR, matching the native scanner (a line
+        # body ending in literal '\r' bytes must survive)
+        if line.endswith(b"\n"):
+            line = line[:-1]
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        return line
+
     def next_record(self):
         head = self._stream.readline()
         if not head:
@@ -195,10 +205,10 @@ class _RawFastqReader:
         if head[:1] != b"@" or plus[:1] != b"+":
             raise SubsampleError(f"{self._name}: malformed FASTQ record {head!r}")
         return (
-            head.rstrip(b"\r\n"),
-            seq.rstrip(b"\r\n"),
-            plus.rstrip(b"\r\n"),
-            qual.rstrip(b"\r\n"),
+            self._chomp(head),
+            self._chomp(seq),
+            self._chomp(plus),
+            self._chomp(qual),
         )
 
     def close(self):
