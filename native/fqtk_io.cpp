@@ -2782,42 +2782,48 @@ class BigKMatcher {
     if (use_cache && static_cast<int>(caches_.size()) < n_threads)
       caches_.resize(n_threads);
     const int row_bytes = (len_ + 1) / 2;
+    auto work = [this, obs, stride, assigned, use_cache, row_bytes](
+                    int t, int64_t lo, int64_t hi) {
+      MemoEntry* cache = nullptr;
+      if (use_cache) {
+        if (caches_[t].empty()) caches_[t].assign(1u << kCacheBits, {});
+        cache = caches_[t].data();
+      }
+      for (int64_t r = lo; r < hi; r++) {
+        const uint8_t* row = obs + r * stride;
+        if (!cache) {
+          assigned[r] = assign_one(row);
+          continue;
+        }
+        uint64_t kb[2] = {0, 0};
+        memcpy(kb, row, row_bytes);
+        kb[0] &= key_mask0_;
+        kb[1] &= key_mask1_;
+        MemoEntry* slot =
+            cache + (memo_hash(kb[0], kb[1]) & ((1u << kCacheBits) - 1));
+        if (slot->used && slot->k0 == kb[0] && slot->k1 == kb[1]) {
+          assigned[r] = slot->v;
+          continue;
+        }
+        const int32_t v = assign_one(row);
+        slot->k0 = kb[0];
+        slot->k1 = kb[1];
+        slot->v = v;
+        slot->used = 1;
+        assigned[r] = v;
+      }
+    };
     std::vector<std::thread> ts;
     int64_t per = (n + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; t++) {
+    for (int t = 0; t + 1 < n_threads; t++) {
       int64_t lo = t * per, hi = std::min(n, lo + per);
       if (lo >= hi) break;
-      ts.emplace_back([this, obs, stride, assigned, lo, hi, t, use_cache,
-                       row_bytes] {
-        MemoEntry* cache = nullptr;
-        if (use_cache) {
-          if (caches_[t].empty()) caches_[t].assign(1u << kCacheBits, {});
-          cache = caches_[t].data();
-        }
-        for (int64_t r = lo; r < hi; r++) {
-          const uint8_t* row = obs + r * stride;
-          if (!cache) {
-            assigned[r] = assign_one(row);
-            continue;
-          }
-          uint64_t kb[2] = {0, 0};
-          memcpy(kb, row, row_bytes);
-          kb[0] &= key_mask0_;
-          kb[1] &= key_mask1_;
-          MemoEntry* slot =
-              cache + (memo_hash(kb[0], kb[1]) & ((1u << kCacheBits) - 1));
-          if (slot->used && slot->k0 == kb[0] && slot->k1 == kb[1]) {
-            assigned[r] = slot->v;
-            continue;
-          }
-          const int32_t v = assign_one(row);
-          slot->k0 = kb[0];
-          slot->k1 = kb[1];
-          slot->v = v;
-          slot->used = 1;
-          assigned[r] = v;
-        }
-      });
+      ts.emplace_back(work, t, lo, hi);
+    }
+    {
+      // last partition on the calling thread: one fewer spawn/join
+      int64_t lo = static_cast<int64_t>(n_threads - 1) * per;
+      if (lo < n) work(n_threads - 1, lo, n);
     }
     for (auto& th : ts) th.join();
   }
@@ -3125,27 +3131,46 @@ class SmallKMatcher {
     std::lock_guard<std::mutex> lock(assign_mu_);
     n_threads = std::max(1, n_threads);
     const bool use_cache = cache_enabled_;
-    if (use_cache && static_cast<int>(caches_.size()) < n_threads)
-      caches_.resize(n_threads);
+    // Adaptive width: when the previous batch was nearly all cache hits the
+    // per-row work is a ~15ns probe, and thread spawn/scheduling costs more
+    // than it saves (measured: 2 threads beat 7 by ~2x on warm 16K windows;
+    // cache-off scans still want every core).  Real demux streams repeat
+    // their barcodes heavily, so steady-state windows take the narrow path.
+    int eff = n_threads;
+    if (use_cache && last_batch_hot_) eff = std::min(n_threads, 2);
+    if (use_cache && static_cast<int>(caches_.size()) < eff)
+      caches_.resize(eff);
+    std::atomic<int64_t> hits{0};
+    auto work = [&](int t, int64_t lo, int64_t hi) {
+      MemoEntry* cache = nullptr;
+      if (use_cache) {
+        if (caches_[t].empty()) caches_[t].assign(1u << kCacheBits, {});
+        cache = caches_[t].data();
+      }
+      int64_t local_hits = 0;
+      for (int64_t r = lo; r < hi; r++)
+        assigned[r] = assign_one(obs + r * stride, cache, &local_hits);
+      if (use_cache) hits.fetch_add(local_hits, std::memory_order_relaxed);
+    };
     std::vector<std::thread> ts;
-    int64_t per = (n + n_threads - 1) / n_threads;
-    for (int t = 0; t < n_threads; t++) {
+    int64_t per = (n + eff - 1) / eff;
+    for (int t = 0; t + 1 < eff; t++) {
       int64_t lo = t * per, hi = std::min(n, lo + per);
       if (lo >= hi) break;
-      ts.emplace_back([this, obs, stride, assigned, lo, hi, t, use_cache] {
-        MemoEntry* cache = nullptr;
-        if (use_cache) {
-          if (caches_[t].empty()) caches_[t].assign(1u << kCacheBits, {});
-          cache = caches_[t].data();
-        }
-        for (int64_t r = lo; r < hi; r++)
-          assigned[r] = assign_one(obs + r * stride, cache);
-      });
+      ts.emplace_back(work, t, lo, hi);
+    }
+    {
+      // last partition runs on the calling thread: one fewer spawn/join
+      int64_t lo = static_cast<int64_t>(eff - 1) * per;
+      if (lo < n) work(eff - 1, lo, n);
     }
     for (auto& th : ts) th.join();
+    if (use_cache && n > 0)
+      last_batch_hot_ = hits.load(std::memory_order_relaxed) * 10 >= n * 9;
   }
 
-  int32_t assign_one(const uint8_t* row, MemoEntry* cache = nullptr) {
+  int32_t assign_one(const uint8_t* row, MemoEntry* cache = nullptr,
+                     int64_t* hit_count = nullptr) {
     constexpr uint64_t kLow = 0x1111111111111111ull;
     uint64_t obs[kMaxBlocks];
     const int row_bytes = (len_ + 1) / 2;
@@ -3159,7 +3184,10 @@ class SmallKMatcher {
       const uint64_t k0 = obs[0];
       const uint64_t k1 = n_blocks_ > 1 ? obs[1] : 0;
       slot = cache + (memo_hash(k0, k1) & ((1u << kCacheBits) - 1));
-      if (slot->used && slot->k0 == k0 && slot->k1 == k1) return slot->v;
+      if (slot->used && slot->k0 == k0 && slot->k1 == k1) {
+        if (hit_count) (*hit_count)++;
+        return slot->v;
+      }
       slot->k0 = k0;
       slot->k1 = k1;
       slot->used = 1;  // value written below before return
@@ -3212,6 +3240,7 @@ class SmallKMatcher {
   int len_, max_mm_, delta_, n_blocks_ = 0, nocall_budget_ = 0;
   bool ok_ = true;
   bool cache_enabled_ = false;
+  bool last_batch_hot_ = false;  // previous batch was >=90% cache hits
   uint64_t tail_mask_ = ~0ull;
   std::vector<uint64_t> exp_;  // [K, n_blocks] nibble-mask-packed barcodes
   std::vector<std::vector<MemoEntry>> caches_;  // one per worker slot
