@@ -30,7 +30,7 @@ def render_help() -> str:
         a for a in parser._actions if a.__class__.__name__ == "_SubParsersAction"
     ]
     blocks = []
-    for name in ("demux", "subsample"):
+    for name in ("demux", "subsample", "concat-shards"):
         sp = sub_actions[0].choices[name]
         sp.prog = f"fqtk-tpu {name}"
         blocks.append(f"### `fqtk-tpu {name} --help`\n\n```\n{sp.format_help()}```")
