@@ -41,6 +41,21 @@ class FastqParseError(ValueError):
     pass
 
 
+def chomp_line(line: bytes) -> bytes:
+    """Strip one trailing newline and at most ONE carriage return before it.
+
+    This is the single source of truth for the CR-tolerance rule shared by
+    every Python reader and the native scanner (``native/fqtk_io.cpp``,
+    ``consume one optional CR before the newline``): a line body ending in
+    literal ``\\r`` bytes is preserved — ``rstrip`` would eat them all.
+    """
+    if line.endswith(b"\n"):
+        line = line[:-1]
+    if line.endswith(b"\r"):
+        line = line[:-1]
+    return line
+
+
 def open_reader(path: str | Path) -> BinaryIO:
     """Open a possibly-gzipped file for buffered binary reading."""
     path = Path(path)
@@ -69,16 +84,8 @@ class FastqReader:
             self._line_no += 1
         return line
 
-    @staticmethod
-    def _chomp(line: bytes) -> bytes:
-        """Strip one trailing newline and at most ONE carriage return before
-        it (CR-tolerant like the native scanner; a line body ending in
-        literal '\\r' bytes is preserved — rstrip would eat them all)."""
-        if line.endswith(b"\n"):
-            line = line[:-1]
-        if line.endswith(b"\r"):
-            line = line[:-1]
-        return line
+    # CR-tolerance rule shared with the native scanner; see chomp_line.
+    _chomp = staticmethod(chomp_line)
 
     def __next__(self) -> FastqRecord:
         head = self._readline()

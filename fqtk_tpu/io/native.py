@@ -196,6 +196,8 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int,
     ]
     lib.fqtk_smallk_free.argtypes = [ctypes.c_void_p]
+    lib.fqtk_simd_level.restype = ctypes.c_int
+    lib.fqtk_simd_level.argtypes = []
     lib.fqtk_demux_error.restype = ctypes.c_char_p
     lib.fqtk_demux_error.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_free.argtypes = [ctypes.c_void_p]
@@ -236,6 +238,15 @@ def _bind(lib: ctypes.CDLL) -> None:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def simd_level() -> int:
+    """Resolved candidate-scan dispatch level (0=scalar, 1=avx2, 2=avx512):
+    min(FQTK_SIMD cap, CPU capability), read fresh from the environment."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeDemuxError("native library unavailable")
+    return int(lib.fqtk_simd_level())
 
 
 class NativeDemuxError(RuntimeError):

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional
 
-from ..io.fastq import BgzfWriter, open_reader
+from ..io.fastq import BgzfWriter, chomp_line, open_reader
 
 logger = logging.getLogger("fqtk")
 
@@ -183,15 +183,10 @@ class _RawFastqReader:
         self._stream = stream
         self._name = name
 
-    @staticmethod
-    def _chomp(line: bytes) -> bytes:
-        # one newline + at most ONE CR, matching the native scanner (a line
-        # body ending in literal '\r' bytes must survive)
-        if line.endswith(b"\n"):
-            line = line[:-1]
-        if line.endswith(b"\r"):
-            line = line[:-1]
-        return line
+    # one newline + at most ONE CR, matching the native scanner — single
+    # source of truth in io/fastq.py so the demux and subsample Python
+    # paths can never desynchronize
+    _chomp = staticmethod(chomp_line)
 
     def next_record(self):
         head = self._stream.readline()

@@ -2402,6 +2402,11 @@ inline int simd_level_cap() {
   if (!e) return 2;
   if (strcmp(e, "scalar") == 0) return 0;
   if (strcmp(e, "avx2") == 0) return 1;
+  if (strcmp(e, "avx512") != 0)
+    fprintf(stderr,
+            "fqtk: WARNING: unrecognized FQTK_SIMD=%s (expected "
+            "scalar|avx2|avx512); using best available\n",
+            e);
   return 2;
 }
 
@@ -3658,6 +3663,18 @@ FQTK_API void fqtk_smallk_assign(SmallKMatcher* m, const uint8_t* obs_packed,
 }
 
 FQTK_API void fqtk_smallk_free(SmallKMatcher* m) { delete m; }
+
+// Resolved SIMD dispatch level the candidate scans will use right now
+// (0=scalar, 1=avx2, 2=avx512), i.e. min(FQTK_SIMD cap, CPU capability).
+// Tests assert this so an FQTK_SIMD typo can't silently run the wrong scan.
+FQTK_API int fqtk_simd_level(void) {
+#ifdef FQTK_X86_SIMD
+  const int cap = simd_level_cap();
+  if (cap >= 2 && __builtin_cpu_supports("avx512bw")) return 2;
+  if (cap >= 1 && __builtin_cpu_supports("avx2")) return 1;
+#endif
+  return 0;
+}
 
 // Reference-architecture measurement mode (see RefProxyMatcher above):
 // runs the whole demux on the host with fqtk's own pipeline shape to

@@ -374,12 +374,16 @@ def malformed_leg(n: int) -> int:
                     print(f"FAIL malformed {case} [crlf]: {res}")
                     fails += 1
                     continue
+                diff = False
                 for f in sorted((tmp / "o_native").glob("*.fq.gz")):
                     a = gzip.open(f, "rb").read()
                     b = gzip.open(tmp / "o_numpy" / f.name, "rb").read()
                     if a != b:
                         print(f"FAIL malformed {case} [crlf]: {f.name} differs")
-                        fails += 1
+                        diff = True
+                if diff:
+                    fails += 1
+                    continue
             else:
                 if res["native"][0] != "err":
                     print(f"FAIL malformed {case} [{kind}]: both succeeded {res}")

@@ -431,6 +431,10 @@ def test_bigk_simd_dispatch_levels_agree(level, monkeypatch):
     degenerate-IUPAC containment scan."""
     monkeypatch.setenv("FQTK_SIMD", level)
     monkeypatch.setenv("FQTK_BIGK_NO_CACHE", "1")  # isolate the scans
+    # the cap must actually bite (a typo'd FQTK_SIMD value silently running
+    # the full dispatch is exactly the failure this test exists to prevent)
+    cap = {"scalar": 0, "avx2": 1, "avx512": 2}[level]
+    assert native_io.simd_level() <= cap
     rng = np.random.default_rng(777)
     k, length = 400, 16
     barcodes = _whitelist(rng, k, length)
