@@ -20,3 +20,35 @@ Layers (see SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+#: reference-parity library surface (``fqtk_lib``'s public items, SURVEY §2a
+#: #5-#8), importable from the top level like ``use fqtk_lib::...``.  Lazy so
+#: that ``import fqtk_tpu`` stays free of numpy/jax import cost.
+_LAZY = {
+    "encode": "fqtk_tpu.core.encoding",
+    "decode": "fqtk_tpu.core.encoding",
+    "byte_is_nocall": "fqtk_tpu.core.encoding",
+    "is_valid_iupac": "fqtk_tpu.core.encoding",
+    "BitEnc": "fqtk_tpu.core.bitenc",
+    "BarcodeMatch": "fqtk_tpu.core.barcode_matcher",
+    "BarcodeMatcher": "fqtk_tpu.core.barcode_matcher",
+    "Sample": "fqtk_tpu.core.samples",
+    "SampleGroup": "fqtk_tpu.core.samples",
+    "ReadStructure": "fqtk_tpu.core.read_structure",
+    "SegmentType": "fqtk_tpu.core.read_structure",
+}
+
+__all__ = sorted(_LAZY) + ["__version__"]
+
+
+def __getattr__(name: str):
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return __all__

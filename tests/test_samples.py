@@ -165,3 +165,23 @@ def test_reading_tsv_row_field_count_mismatch(tmp_path):
     )
     with pytest.raises(SampleError, match="fields"):
         SampleGroup.from_file(p)
+
+
+def test_top_level_library_surface():
+    """The reference is also a library (fqtk_lib, SURVEY §2a #5-#8); the
+    same names are importable from the package top level."""
+    import fqtk_tpu
+
+    m = fqtk_tpu.BarcodeMatcher(
+        [fqtk_tpu.Sample("s1", "AAAA"), fqtk_tpu.Sample("s2", "CCCC")],
+        max_mismatches=1,
+        min_mismatch_delta=2,
+    )
+    match = m.assign(b"AAAT")
+    assert match is not None and match.best_match == 0
+    assert fqtk_tpu.decode(fqtk_tpu.encode(b"ACGTN")) == "ACGTN"
+    assert str(fqtk_tpu.ReadStructure.from_str("8B+T")) == "8B+T"
+    assert fqtk_tpu.is_valid_iupac(ord("R")) and not fqtk_tpu.is_valid_iupac(ord("Z"))
+    assert "BitEnc" in dir(fqtk_tpu)
+    with pytest.raises(AttributeError):
+        fqtk_tpu.not_a_symbol
