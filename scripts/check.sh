@@ -9,6 +9,7 @@ cd "$(dirname "$0")/.."
 
 python scripts/lint.py
 JAX_PLATFORMS=cpu python scripts/update_docs.py --check
+python scripts/test_parity_audit.py
 python -m compileall -q fqtk_tpu tests bench.py __graft_entry__.py
 make -C native
 python -m pytest tests/ -q

@@ -49,6 +49,17 @@ def test_bitenc_invalid_width():
         BitEnc(9)
 
 
+def test_bitenc_many_pushes_all_widths():
+    """Bulk pushes across every width never corrupt earlier symbols
+    (reference regression test ``bitenc.rs:549`` / rust-bio issue 29)."""
+    for width in range(2, 9):
+        enc = BitEnc(width)
+        for _ in range(1000):
+            enc.push(1)
+        assert enc.nr_symbols() == 1000
+        assert all(v == 1 for v in enc)
+
+
 def test_bitenc_clear_empty():
     enc = BitEnc(2)
     assert enc.is_empty()

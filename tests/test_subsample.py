@@ -171,6 +171,15 @@ def test_validation_errors_collected(tmp_path):
     assert "Compression level must be 1-12, got 0." in msg
     assert "Output parent directory" in msg
 
+    cfg_neg = SubsampleConfig(
+        inputs=[tmp_path / "nope.fq"],
+        output=tmp_path / "out",
+        fraction=-0.1,
+        threads=2,
+    )
+    with pytest.raises(SubsampleError, match=r"Fraction must be in \[0.0, 1.0\], got -0.1"):
+        run_subsample(cfg_neg)
+
 
 def test_effective_seed_explicit():
     cfg = SubsampleConfig(inputs=[], output="x", fraction=0.5, seed=99)
