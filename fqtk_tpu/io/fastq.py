@@ -57,14 +57,17 @@ def chomp_line(line: bytes) -> bytes:
 
 
 def open_reader(path: str | Path) -> BinaryIO:
-    """Open a possibly-gzipped file for buffered binary reading."""
+    """Open a possibly-gzipped file for buffered binary reading.
+
+    Sniffs the gzip magic with ``peek`` (no consuming, no seeking), so
+    non-seekable inputs — pipes, process substitution — stream correctly,
+    as the reference's buffered reader does.
+    """
     path = Path(path)
-    raw = open(path, "rb")
-    magic = raw.read(2)
-    raw.seek(0)
-    if magic == b"\x1f\x8b":
-        return io.BufferedReader(gzip.GzipFile(fileobj=raw), BUFFER_SIZE)  # type: ignore[arg-type]
-    return io.BufferedReader(raw, BUFFER_SIZE)  # type: ignore[arg-type]
+    buf = io.BufferedReader(open(path, "rb"), BUFFER_SIZE)
+    if buf.peek(2)[:2] == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=buf), BUFFER_SIZE)  # type: ignore[arg-type]
+    return buf
 
 
 class FastqReader:

@@ -23,6 +23,8 @@ follows the reference exactly; see the assertions cited inline.
 from __future__ import annotations
 
 import logging
+import os
+import stat
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -195,9 +197,15 @@ def validate_and_prepare(cfg: DemuxConfig):
             errors.append(f'Provided input file "{inp}" doesn\'t exist')
 
     # attempt to open the files for reading (collected, first failure only —
-    # the reference's Result collect short-circuits; demux.rs:843-851)
+    # the reference's Result collect short-circuits; demux.rs:843-851).
+    # Stream inputs (pipes / process substitution / sockets) are exempt:
+    # an open-close probe would block without a writer, or kill the writer
+    # with SIGPIPE before the engine's single real open.
     for inp in cfg.inputs:
         try:
+            mode = os.stat(inp).st_mode
+            if stat.S_ISFIFO(mode) or stat.S_ISSOCK(mode) or stat.S_ISCHR(mode):
+                continue
             with open(inp, "rb"):
                 pass
         except OSError as e:

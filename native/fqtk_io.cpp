@@ -142,6 +142,11 @@ class InputStream {
     }
     unsigned char head[18];
     size_t n = fread(head, 1, sizeof(head), file_);
+    // replay the sniffed bytes instead of seeking back, so non-seekable
+    // inputs (pipes, process substitution) stream correctly — the
+    // reference's buffered reader sniffs without consuming either
+    memcpy(pushback_, head, n);
+    pushback_len_ = n;
     gzipped_ = (n >= 2 && head[0] == 0x1f && head[1] == 0x8b);
 #ifdef FQTK_HAVE_LIBDEFLATE
     // BGZF detection: FEXTRA with a 'BC' subfield.  BGZF members carry
@@ -156,7 +161,6 @@ class InputStream {
       comp_buf_.resize(1 << 16);
     }
 #endif
-    fseek(file_, 0, SEEK_SET);
     if (gzipped_ && !bgzf_) {
       memset(&strm_, 0, sizeof(strm_));
       // 15+32: zlib/gzip auto-detect; loop handles concatenated members
@@ -179,12 +183,12 @@ class InputStream {
   // Read up to `len` decompressed bytes; returns bytes read (0 == EOF).
   size_t read(uint8_t* dst, size_t len) {
     if (!ok_) return 0;
-    if (!gzipped_) return fread(dst, 1, len, file_);
+    if (!gzipped_) return raw_read(dst, len);
     if (bgzf_) return read_bgzf(dst, len);
     size_t total = 0;
     while (total < len) {
-      if (strm_.avail_in == 0 && !feof(file_)) {
-        size_t n = fread(in_buf_.data(), 1, in_buf_.size(), file_);
+      if (strm_.avail_in == 0 && !raw_eof()) {
+        size_t n = raw_read(in_buf_.data(), in_buf_.size());
         strm_.next_in = in_buf_.data();
         strm_.avail_in = static_cast<unsigned>(n);
       }
@@ -203,7 +207,7 @@ class InputStream {
         ok_ = false;
         break;
       }
-      if (ret == Z_BUF_ERROR && strm_.avail_in == 0 && feof(file_)) break;
+      if (ret == Z_BUF_ERROR && strm_.avail_in == 0 && raw_eof()) break;
     }
     return total;
   }
@@ -263,7 +267,7 @@ class InputStream {
   void da_io_loop() {
     for (;;) {
       uint8_t hdr[18];
-      size_t n = fread(hdr, 1, sizeof(hdr), file_);
+      size_t n = raw_read(hdr, sizeof(hdr));
       bool bad = false, eof = (n == 0);
       std::vector<uint8_t> body;
       if (!eof) {
@@ -277,8 +281,7 @@ class InputStream {
             bad = true;
           } else {
             body.resize(bsize - 18);
-            if (fread(body.data(), 1, body.size(), file_) != body.size())
-              bad = true;
+            if (raw_read(body.data(), body.size()) != body.size()) bad = true;
           }
         }
       }
@@ -389,7 +392,7 @@ class InputStream {
 
   bool next_bgzf_block() {
     uint8_t hdr[18];
-    size_t n = fread(hdr, 1, sizeof(hdr), file_);
+    size_t n = raw_read(hdr, sizeof(hdr));
     if (n == 0) return false;  // EOF
     if (n != sizeof(hdr) || hdr[0] != 0x1f || hdr[1] != 0x8b ||
         !(hdr[3] & 4) || hdr[10] != 6 || hdr[11] != 0 || hdr[12] != 'B' ||
@@ -404,7 +407,7 @@ class InputStream {
     }
     size_t rest = bsize - 18;
     if (comp_buf_.size() < rest) comp_buf_.resize(rest);
-    if (fread(comp_buf_.data(), 1, rest, file_) != rest) {
+    if (raw_read(comp_buf_.data(), rest) != rest) {
       ok_ = false;
       return false;
     }
@@ -433,8 +436,28 @@ class InputStream {
   size_t read_bgzf(uint8_t*, size_t) { return 0; }
 #endif
 
+  // Compressed/raw byte source: the constructor's sniffed header bytes
+  // replay first (never seek — pipes can't), then the file continues.
+  size_t raw_read(uint8_t* dst, size_t len) {
+    size_t total = 0;
+    if (pushback_pos_ < pushback_len_) {
+      size_t take = std::min(len, pushback_len_ - pushback_pos_);
+      memcpy(dst, pushback_ + pushback_pos_, take);
+      pushback_pos_ += take;
+      total = take;
+    }
+    if (total < len) total += fread(dst + total, 1, len - total, file_);
+    return total;
+  }
+
+  bool raw_eof() const {
+    return pushback_pos_ >= pushback_len_ && feof(file_);
+  }
+
   std::string path_;
   FILE* file_ = nullptr;
+  uint8_t pushback_[18];
+  size_t pushback_len_ = 0, pushback_pos_ = 0;
   bool gzipped_ = false;
   bool bgzf_ = false;
   bool ok_ = true;

@@ -928,3 +928,64 @@ def test_device_failure_mid_run_tears_down_cleanly(tmp_path, monkeypatch):
         )
     )
     assert res.total_templates == 40
+
+
+@pytest.mark.parametrize("engine", ["numpy", "native"])
+@pytest.mark.parametrize("compression", ["plain", "gzip", "bgzf"])
+def test_fifo_inputs_stream_without_seeking(tmp_path, engine, compression):
+    """Non-seekable inputs (named pipes / process substitution) must stream:
+    the readers sniff the gzip/BGZF magic without seeking back (the
+    reference's buffered reader contract), and validation must not
+    open-close a pipe (that would kill the writer before the real open)."""
+    import os
+    import threading
+
+    from fqtk_tpu.io.fastq import BgzfWriter
+
+    barcodes = ["AAAAAAAAGATTACAGA", "CCCCCCCCGATTACAGA"]
+    sample_metadata = metadata_file(tmp_path, barcodes)
+    n = 40
+    bases = [barcodes[i % 2] + "ACGT" * 10 for i in range(n)]
+
+    # file-based reference run (same engine) for byte comparison
+    ref_in = fastq_file(tmp_path, "ref", "ex", bases)
+    out_ref = tmp_path / "out_ref"
+    run_demux(
+        _cfg(tmp_path, [ref_in], ["17B+T"], sample_metadata, out_ref, engine)
+    )
+
+    payload = ref_in.read_bytes()
+    if compression == "gzip":
+        payload = gzip.compress(payload)
+    elif compression == "bgzf":
+        bpath = tmp_path / "ref.bgzf"
+        w = BgzfWriter(bpath, compression_level=5)
+        w.write(payload)
+        w.close()
+        payload = bpath.read_bytes()
+
+    fifo = tmp_path / "in.fifo"
+    os.mkfifo(fifo)
+
+    def feed():
+        with open(fifo, "wb") as fh:
+            fh.write(payload)
+
+    t = threading.Thread(target=feed)
+    t.start()
+    try:
+        out_fifo = tmp_path / "out_fifo"
+        run_demux(
+            _cfg(tmp_path, [fifo], ["17B+T"], sample_metadata, out_fifo, engine)
+        )
+    finally:
+        t.join(timeout=30)
+    assert not t.is_alive()
+
+    for p in sorted(out_ref.glob("*.fq.gz")):
+        a = gzip.decompress(p.read_bytes())
+        b = gzip.decompress((out_fifo / p.name).read_bytes())
+        assert a == b, f"{p.name} differs between file and FIFO input"
+    assert (out_ref / "demux-metrics.txt").read_text() == (
+        out_fifo / "demux-metrics.txt"
+    ).read_text()

@@ -392,3 +392,45 @@ def test_subsample_empty_input(tmp_path, use_native):
     )
     assert res.total_read == 0 and res.total_kept == 0
     assert gzip.decompress((tmp_path / "o.R1.fq.gz").read_bytes()) == b""
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_subsample_fifo_input_streams(tmp_path, use_native):
+    """Named-pipe inputs stream without seeking, matching file-based runs."""
+    import os
+    import threading
+
+    from fqtk_tpu.io import native as native_io
+
+    if use_native and not native_io.available():
+        pytest.skip("native library unavailable")
+
+    bases = ["ACGTACGT" for _ in range(50)]
+    src = fastq_file(tmp_path, "src", "r", bases)
+    cfg_file = SubsampleConfig(
+        inputs=[src], output=tmp_path / "f", fraction=0.5, seed=7, threads=2
+    )
+    run_subsample(cfg_file, use_native=use_native)
+
+    fifo = tmp_path / "in.fifo"
+    os.mkfifo(fifo)
+    payload = src.read_bytes()
+
+    def feed():
+        with open(fifo, "wb") as fh:
+            fh.write(payload)
+
+    t = threading.Thread(target=feed)
+    t.start()
+    try:
+        cfg_fifo = SubsampleConfig(
+            inputs=[fifo], output=tmp_path / "p", fraction=0.5, seed=7, threads=2
+        )
+        run_subsample(cfg_fifo, use_native=use_native)
+    finally:
+        t.join(timeout=30)
+    assert not t.is_alive()
+
+    a = read_fastq(tmp_path / "f.R1.fq.gz")
+    b = read_fastq(tmp_path / "p.R1.fq.gz")
+    assert a == b and len(a) > 0
