@@ -233,6 +233,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.fqtk_bgzf_close.restype = ctypes.c_int
     lib.fqtk_bgzf_close.argtypes = [ctypes.c_void_p]
 
 
@@ -616,8 +617,12 @@ class NativeBgzfWriter:
 
     def close(self) -> None:
         if self._h:
-            self._lib.fqtk_bgzf_close(self._h)
+            rc = self._lib.fqtk_bgzf_close(self._h)
             self._h = None
+            if rc != 0:
+                raise NativeDemuxError(
+                    "error writing BGZF output (short write — disk full?)"
+                )
 
     def __enter__(self):
         return self

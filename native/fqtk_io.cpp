@@ -26,6 +26,7 @@
 #include <cstdarg>
 #include <cstdint>
 #include <cstdio>
+#include <cerrno>
 #include <cstring>
 #include <deque>
 #include <map>
@@ -626,8 +627,9 @@ class CompressorPool;
 
 class BgzfWriter {
  public:
-  BgzfWriter(const std::string& path, int level, CompressorPool* pool)
-      : level_(level), pool_(pool) {
+  BgzfWriter(const std::string& path, int level, CompressorPool* pool,
+             ErrorState* err = nullptr)
+      : path_(path), level_(level), pool_(pool), err_(err) {
     file_ = fopen(path.c_str(), "wb");
     ok_ = file_ != nullptr;
     buf_.reserve(kBgzfBlockInput);
@@ -654,7 +656,13 @@ class BgzfWriter {
   }
   void commit(size_t actual) { len_ = reserve_off_ + actual; }
 
-  void close();
+  // Returns false if any delivery, the EOF block, or the final flush
+  // failed to reach disk (ENOSPC, EIO, ...).  The error is also recorded
+  // in the engine's ErrorState when one was provided — a demux/subsample
+  // run must FAIL on a short write, never report success over truncated
+  // outputs (the reference's io::Result plumbing gives it the same
+  // guarantee).
+  bool close();
   ~BgzfWriter() { close(); }
 
   // called by pool threads
@@ -665,11 +673,22 @@ class BgzfWriter {
  private:
   void submit_block();
 
+  void write_error() {
+    // errno is only meaningful right after the failing stdio call
+    std::string msg = str_printf("Error writing output file %s: %s",
+                                 path_.c_str(), strerror(errno));
+    write_failed_.store(true);
+    if (err_) err_->set(msg);
+  }
+
+  std::string path_;
   FILE* file_ = nullptr;
   bool ok_ = true;
   bool closed_ = false;
+  std::atomic<bool> write_failed_{false};
   int level_;
   CompressorPool* pool_;
+  ErrorState* err_ = nullptr;
   std::vector<uint8_t> buf_;  // capacity-sized per block; len_ is the cursor
   size_t len_ = 0;
   size_t reserve_off_ = 0;
@@ -844,24 +863,35 @@ void BgzfWriter::deliver(uint64_t seq, std::vector<uint8_t> compressed) {
   pending_[seq] = std::move(compressed);
   while (!pending_.empty() && pending_.begin()->first == next_write_) {
     auto it = pending_.begin();
-    fwrite(it->second.data(), 1, it->second.size(), file_);
+    // after the first short write, keep draining the sequence (so close()
+    // can complete) but stop touching the file
+    if (!write_failed_.load() &&
+        fwrite(it->second.data(), 1, it->second.size(), file_) !=
+            it->second.size()) {
+      write_error();
+    }
     pending_.erase(it);
     next_write_++;
   }
   if (pending_.empty()) drained_.notify_all();
 }
 
-void BgzfWriter::close() {
-  if (closed_ || !file_) return;
+bool BgzfWriter::close() {
+  if (closed_ || !file_) return !write_failed_.load();
   closed_ = true;
   if (len_ > 0) submit_block();
   {
     std::unique_lock<std::mutex> lk(mu_);
     drained_.wait(lk, [&] { return next_write_ == next_submit_; });
   }
-  fwrite(kBgzfEof, 1, sizeof(kBgzfEof), file_);
-  fclose(file_);
+  if (!write_failed_.load() &&
+      fwrite(kBgzfEof, 1, sizeof(kBgzfEof), file_) != sizeof(kBgzfEof)) {
+    write_error();
+  }
+  // fclose flushes the stdio buffer — a deferred ENOSPC surfaces here
+  if (fclose(file_) != 0 && !write_failed_.load()) write_error();
   file_ = nullptr;
+  return !write_failed_.load();
 }
 
 // ---------------------------------------------------------------------------
@@ -1180,7 +1210,7 @@ class DemuxEngine {
   }
 
   bool add_sample_writer(const char* path) {
-    auto w = std::make_unique<BgzfWriter>(path, level_, pool_.get());
+    auto w = std::make_unique<BgzfWriter>(path, level_, pool_.get(), &err);
     if (!w->ok()) {
       err.set(str_printf("Error opening output file for writing: %s", path));
       return false;
@@ -2014,7 +2044,7 @@ class SubsampleEngine {
       return false;
     }
     scanners_.push_back(std::make_unique<FastqScanner>(std::move(in)));
-    auto w = std::make_unique<BgzfWriter>(out_path, level_, pool_.get());
+    auto w = std::make_unique<BgzfWriter>(out_path, level_, pool_.get(), &err);
     if (!w->ok()) {
       err.set(str_printf("Failed to open output \"%s\"", out_path));
       return false;
@@ -3745,10 +3775,11 @@ FQTK_API void fqtk_bgzf_write(StandaloneWriter* s, const uint8_t* data,
   s->writer->write(data, static_cast<size_t>(len));
 }
 
-FQTK_API void fqtk_bgzf_close(StandaloneWriter* s) {
-  s->writer->close();
+FQTK_API int fqtk_bgzf_close(StandaloneWriter* s) {
+  int rc = s->writer->close() ? 0 : -1;
   s->pool->stop();
   delete s;
+  return rc;
 }
 
 // --------------------------------------------------------------------------

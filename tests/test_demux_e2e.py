@@ -989,3 +989,52 @@ def test_fifo_inputs_stream_without_seeking(tmp_path, engine, compression):
     assert (out_ref / "demux-metrics.txt").read_text() == (
         out_fifo / "demux-metrics.txt"
     ).read_text()
+
+
+def test_native_demux_fails_cleanly_on_disk_full(tmp_path):
+    """ENOSPC mid-run must fail the run with the operator-facing write
+    error, never report success over truncated outputs.  Uses a tiny tmpfs
+    as the output directory (root + mount required; skipped elsewhere)."""
+    import os
+    import subprocess
+
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    if os.geteuid() != 0:
+        pytest.skip("requires root to mount a tmpfs")
+    out = tmp_path / "out_full"
+    out.mkdir()
+    r = subprocess.run(
+        ["mount", "-t", "tmpfs", "-o", "size=64k", "tmpfs", str(out)],
+        capture_output=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"cannot mount tmpfs: {r.stderr.decode().strip()}")
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        barcodes = ["AAAAAAAAGATTACAGA", "CCCCCCCCGATTACAGA"]
+        sample_metadata = metadata_file(tmp_path, barcodes)
+        letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+        bases = [
+            barcodes[i % 2] + bytes(letters[rng.integers(0, 4, 100)]).decode()
+            for i in range(40_000)
+        ]
+        src = fastq_file(tmp_path, "big", "ex", bases)
+        with pytest.raises(DemuxError, match="Error writing output file"):
+            run_demux(
+                _cfg(
+                    tmp_path,
+                    [src],
+                    ["17B+T"],
+                    sample_metadata,
+                    out,
+                    "native",
+                    batch_size=4096,
+                )
+            )
+    finally:
+        subprocess.run(["umount", "-l", str(out)], capture_output=True)

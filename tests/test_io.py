@@ -209,3 +209,32 @@ def test_bgzf_decode_ahead_parallel_inflate(tmp_path):
         outs[engine] = gzip.decompress((out / "sA.R1.fq.gz").read_bytes())
     assert outs["native"] == outs["numpy"]
     assert outs["native"].count(b"\n") == 4 * n
+
+
+def test_bgzf_writer_surfaces_short_writes():
+    """A write failure (ENOSPC — /dev/full) must FAIL the writer close, not
+    silently truncate output; the reference's io::Result plumbing gives it
+    the same guarantee."""
+    import os
+
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    if not os.path.exists("/dev/full"):
+        pytest.skip("/dev/full not available")
+    w = native_io.NativeBgzfWriter("/dev/full", compression_level=5, threads=2)
+    w.write(b"@r\nACGT\n+\nIIII\n" * 5000)
+    with pytest.raises(native_io.NativeDemuxError):
+        w.close()
+
+
+def test_python_bgzf_writer_surfaces_short_writes():
+    import os
+
+    if not os.path.exists("/dev/full"):
+        pytest.skip("/dev/full not available")
+    w = BgzfWriter("/dev/full", compression_level=5)
+    with pytest.raises(OSError):
+        w.write(b"@r\nACGT\n+\nIIII\n" * 50000)
+        w.close()
