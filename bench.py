@@ -404,6 +404,102 @@ def run_config_ab(
     return best_e2e, best_t, best_proxy
 
 
+def bench_midk_config():
+    """Mid-K (host-matcher cap < K < pigeonhole threshold): here the TPU
+    device XLA path IS the production auto-choice — brute force is too big
+    for the host but the [B, K] contraction is MXU food.  Matcher-level,
+    proxy measured on identical reads (reference scalar branch-and-bound)."""
+    import ctypes
+
+    import jax
+    import jax.numpy as jnp
+
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.ops.matcher import ExpectedSet, make_assign_fn
+
+    k, length = 8192, 16
+    rng = np.random.default_rng(11)
+    vals = rng.choice(1 << 28, size=k + 64, replace=False)[:k].astype(np.uint32)
+    codes = np.zeros((k, length), dtype=np.uint8)
+    v = vals.copy()
+    for j in range(length):
+        codes[:, j] = v & 3
+        v >>= 2
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    bc_bytes = letters[codes]
+    barcodes = [bytes(r).decode() for r in bc_bytes]
+
+    b = 1 << 17
+    choice = rng.integers(0, k, size=b)
+    obs = bc_bytes[choice].copy()
+    mut = rng.integers(0, 10, size=b) == 0
+    pos = rng.integers(0, length, size=b)
+    obs[mut, pos[mut]] = letters[rng.integers(0, 4, size=int(mut.sum()))]
+
+    expected = ExpectedSet.from_barcodes(barcodes)
+    assign = make_assign_fn(expected, 1, 2)
+
+    iters = 4
+    inputs = [
+        jax.device_put(
+            bc_bytes[rng.integers(0, k, size=b)].copy()  # rotate: relay memoizes
+        )
+        for _ in range(iters)
+    ]
+    int(jnp.sum(assign(jax.device_put(obs))[0]))  # compile + warm
+    t0 = time.perf_counter()
+    for x in inputs:
+        _ = int(jnp.sum(assign(x)[0]))
+    call_rate = b * iters / (time.perf_counter() - t0)
+
+    dev_rate = _device_only_rate(
+        assign,
+        lambda n: bc_bytes[rng.integers(0, k, size=n)].copy(),
+        batches=(1 << 16, 1 << 17),
+    )
+    peak, kind = _peak_ops("bf16")
+    ops = 2.0 * assign.macs_per_row * dev_rate
+
+    result = {
+        "name": "mid_K_8192_16bp_mm1_d2",
+        "level": "matcher",
+        "engine": "device XLA contraction (product auto-path for "
+        "4096 < K < 65536 on one chip)",
+        "reads_per_sec": round(call_rate, 1),
+        "device_only_reads_per_sec": round(dev_rate, 1),
+        "device_kind": kind,
+        "achieved_tops": round(ops / 1e12, 2),
+        "device_mfu": round(ops / peak, 4) if peak else None,
+        "note": "call-level rate includes the relay's fixed per-call cost "
+        "at the production batch (2^17); device-only is the two-point fit",
+    }
+
+    if native_io.available():
+        lib = native_io.get_lib()
+        # idempotent: also declared in bench_bigk_config, but this config
+        # must be callable standalone (wrong marshaling segfaults)
+        lib.fqtk_refproxy_matcher_bench.restype = ctypes.c_double
+        lib.fqtk_refproxy_matcher_bench.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        concat = bc_bytes.tobytes()
+        cbuf = (ctypes.c_uint8 * len(concat)).from_buffer_copy(concat)
+        n_proxy = 4000
+        obs_c = np.ascontiguousarray(obs[:n_proxy])
+        proxy_rps = float(
+            lib.fqtk_refproxy_matcher_bench(
+                cbuf, k, length, 1, 2,
+                obs_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_proxy,
+            )
+        )
+        if proxy_rps > 0:
+            result["proxy_reads_per_sec"] = round(proxy_rps, 1)
+            result["vs_config_baseline"] = round(call_rate / proxy_rps, 1)
+    return result
+
+
 def bench_bigk_config():
     """Config #4: 737K-barcode whitelist, matcher-level (see module doc)."""
     from fqtk_tpu.core.encoding import ENCODE_LUT
@@ -736,6 +832,15 @@ def main():
         bigk = bench_bigk_config()
         if bigk:
             configs.append(bigk)
+
+        # ---- mid-K: the device XLA path is the production auto-choice ----
+        try:
+            configs.append(bench_midk_config())
+        except Exception as e:  # never lose the whole bench to one config
+            configs.append(
+                {"name": "mid_K_8192_16bp_mm1_d2",
+                 "error": f"{type(e).__name__}: {e}"[:200]}
+            )
 
         # ---- subsample: the other half of the CLI surface ----
         sub = bench_subsample_config(tmp, paths)
