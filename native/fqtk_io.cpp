@@ -2318,13 +2318,15 @@ class SubsampleEngine {
 
 // --- fused bucket-scan kernels (BigKMatcher hot loop, len <= 16) ----------
 //
-// Bucket entries fuse the candidate into one u64: low 2*len bits = the
-// 2-bit-packed barcode, high 32 bits = its id.  One 8-byte sequential load
-// per candidate (vs 12 bytes across two arrays) and a branch-free SIMD
-// filter: XOR vs the packed observation, fold bit pairs, per-lane popcount
-// (nibble shuffle + SAD), compare against the mismatch cap.  Candidates
-// almost always fail the cap (random barcodes differ in ~3/4 of positions),
-// so survivors are rare and finish on the scalar top-2 update.
+// The filter streams a pack-only uint32 array — 4 sequential bytes per
+// candidate — and a branch-free SIMD pass: XOR vs the packed observation,
+// fold bit pairs, per-lane popcount (nibble shuffle + maddubs/madd lane
+// sums), compare against the mismatch cap.  Candidates almost always fail
+// the cap (random barcodes differ in ~3/4 of positions), so survivors are
+// rare and only they touch the parallel id array.  At production K the
+// scan is memory-bandwidth-bound, so halving bytes/candidate (vs the
+// earlier (id << 32) | packed2 u64 entries) is a direct speedup, and each
+// 256/512-bit load now filters 8/16 candidates instead of 4/8.
 
 inline void top2_update(int mm, int64_t id, int& best, int& next,
                         int64_t& best_id) {
@@ -2343,19 +2345,24 @@ inline void top2_update(int mm, int64_t id, int& best, int& next,
   }
 }
 
-using FusedScanFn = void (*)(const uint64_t*, uint32_t, uint32_t, uint64_t,
-                             uint64_t, int, int&, int&, int64_t&);
+// len <= 16: a 2-bit-packed barcode fits in 32 bits, so the filter streams
+// a pack-only uint32 array (4 bytes per candidate — the scan is memory-
+// bandwidth-bound at production K, so bytes ARE time) and the parallel id
+// array is touched only for the rare cap survivors.
+using FusedScanFn = void (*)(const uint32_t*, const uint32_t*, uint32_t,
+                             uint32_t, uint32_t, uint32_t, int, int&, int&,
+                             int64_t&);
 
-void fused_scan_scalar(const uint64_t* data, uint32_t lo, uint32_t hi,
-                       uint64_t obs2, uint64_t low_mask, int cap, int& best,
-                       int& next, int64_t& best_id) {
+void fused_scan_scalar(const uint32_t* packs, const uint32_t* ids,
+                       uint32_t lo, uint32_t hi, uint32_t obs2,
+                       uint32_t low_mask, int cap, int& best, int& next,
+                       int64_t& best_id) {
   for (uint32_t i = lo; i < hi; i++) {
-    const uint64_t f = data[i];
-    const uint64_t x = (f ^ obs2) & low_mask;
-    const uint64_t y = (x | (x >> 1)) & 0x5555555555555555ull;
-    const int mm = __builtin_popcountll(y);
+    const uint32_t x = (packs[i] ^ obs2) & low_mask;
+    const uint32_t y = (x | (x >> 1)) & 0x55555555u;
+    const int mm = __builtin_popcount(y);
     if (mm > cap) continue;
-    top2_update(mm, static_cast<int64_t>(f >> 32), best, next, best_id);
+    top2_update(mm, static_cast<int64_t>(ids[i]), best, next, best_id);
   }
 }
 
@@ -2368,79 +2375,84 @@ void fused_scan_scalar(const uint64_t* data, uint32_t lo, uint32_t hi,
 #pragma GCC diagnostic ignored "-Wmaybe-uninitialized"
 
 __attribute__((target("avx2"))) void fused_scan_avx2(
-    const uint64_t* data, uint32_t lo, uint32_t hi, uint64_t obs2,
-    uint64_t low_mask, int cap, int& best, int& next, int64_t& best_id) {
-  const __m256i obs = _mm256_set1_epi64x(static_cast<long long>(obs2));
-  const __m256i lowm = _mm256_set1_epi64x(static_cast<long long>(low_mask));
-  const __m256i fives = _mm256_set1_epi64x(0x5555555555555555LL);
+    const uint32_t* packs, const uint32_t* ids, uint32_t lo, uint32_t hi,
+    uint32_t obs2, uint32_t low_mask, int cap, int& best, int& next,
+    int64_t& best_id) {
+  const __m256i obs = _mm256_set1_epi32(static_cast<int>(obs2));
+  const __m256i lowm = _mm256_set1_epi32(static_cast<int>(low_mask));
+  const __m256i fives = _mm256_set1_epi32(0x55555555);
   const __m256i nib = _mm256_set1_epi8(0x0f);
   const __m256i lut = _mm256_broadcastsi128_si256(
       _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
-  const __m256i capv = _mm256_set1_epi64x(cap);
-  const __m256i zero = _mm256_setzero_si256();
+  const __m256i capv = _mm256_set1_epi32(cap);
+  const __m256i ones8 = _mm256_set1_epi8(1);
+  const __m256i ones16 = _mm256_set1_epi16(1);
   uint32_t i = lo;
-  for (; i + 4 <= hi; i += 4) {
+  for (; i + 8 <= hi; i += 8) {
     __m256i e =
-        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(data + i));
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(packs + i));
     __m256i x = _mm256_and_si256(_mm256_xor_si256(e, obs), lowm);
     __m256i y =
-        _mm256_and_si256(_mm256_or_si256(x, _mm256_srli_epi64(x, 1)), fives);
+        _mm256_and_si256(_mm256_or_si256(x, _mm256_srli_epi32(x, 1)), fives);
     __m256i cl = _mm256_shuffle_epi8(lut, _mm256_and_si256(y, nib));
     __m256i ch = _mm256_shuffle_epi8(
         lut, _mm256_and_si256(_mm256_srli_epi16(y, 4), nib));
-    __m256i sums = _mm256_sad_epu8(_mm256_add_epi8(cl, ch), zero);
-    // pass where sums <= cap (both small non-negative: signed cmp is safe)
-    int fail = _mm256_movemask_pd(
-        _mm256_castsi256_pd(_mm256_cmpgt_epi64(sums, capv)));
-    int pass = ~fail & 0xF;
+    // per-32-bit-lane byte sums: maddubs(bytes, 1) -> 16-bit pairs,
+    // madd(pairs, 1) -> lane totals (all values tiny, no overflow)
+    __m256i sums = _mm256_madd_epi16(
+        _mm256_maddubs_epi16(_mm256_add_epi8(cl, ch), ones8), ones16);
+    int fail = _mm256_movemask_ps(
+        _mm256_castsi256_ps(_mm256_cmpgt_epi32(sums, capv)));
+    int pass = ~fail & 0xFF;
     while (pass) {
       const int b = __builtin_ctz(static_cast<unsigned>(pass));
       pass &= pass - 1;
-      const uint64_t f = data[i + b];
-      const uint64_t xx = (f ^ obs2) & low_mask;
-      const int mm = __builtin_popcountll((xx | (xx >> 1)) &
-                                          0x5555555555555555ull);
-      top2_update(mm, static_cast<int64_t>(f >> 32), best, next, best_id);
+      const uint32_t xx = (packs[i + b] ^ obs2) & low_mask;
+      const int mm = __builtin_popcount((xx | (xx >> 1)) & 0x55555555u);
+      top2_update(mm, static_cast<int64_t>(ids[i + b]), best, next, best_id);
     }
   }
   if (i < hi)
-    fused_scan_scalar(data, i, hi, obs2, low_mask, cap, best, next, best_id);
+    fused_scan_scalar(packs, ids, i, hi, obs2, low_mask, cap, best, next,
+                      best_id);
 }
 
 __attribute__((target("avx512f,avx512bw"))) void fused_scan_avx512(
-    const uint64_t* data, uint32_t lo, uint32_t hi, uint64_t obs2,
-    uint64_t low_mask, int cap, int& best, int& next, int64_t& best_id) {
-  const __m512i obs = _mm512_set1_epi64(static_cast<long long>(obs2));
-  const __m512i lowm = _mm512_set1_epi64(static_cast<long long>(low_mask));
-  const __m512i fives = _mm512_set1_epi64(0x5555555555555555LL);
+    const uint32_t* packs, const uint32_t* ids, uint32_t lo, uint32_t hi,
+    uint32_t obs2, uint32_t low_mask, int cap, int& best, int& next,
+    int64_t& best_id) {
+  const __m512i obs = _mm512_set1_epi32(static_cast<int>(obs2));
+  const __m512i lowm = _mm512_set1_epi32(static_cast<int>(low_mask));
+  const __m512i fives = _mm512_set1_epi32(0x55555555);
   const __m512i nib = _mm512_set1_epi8(0x0f);
   const __m512i lut = _mm512_broadcast_i32x4(
       _mm_setr_epi8(0, 1, 1, 2, 1, 2, 2, 3, 1, 2, 2, 3, 2, 3, 3, 4));
-  const __m512i capv = _mm512_set1_epi64(cap);
+  const __m512i capv = _mm512_set1_epi32(cap);
+  const __m512i ones8 = _mm512_set1_epi8(1);
+  const __m512i ones16 = _mm512_set1_epi16(1);
   uint32_t i = lo;
-  for (; i + 8 <= hi; i += 8) {
-    __m512i e = _mm512_loadu_si512(data + i);
+  for (; i + 16 <= hi; i += 16) {
+    __m512i e = _mm512_loadu_si512(packs + i);
     __m512i x = _mm512_and_si512(_mm512_xor_si512(e, obs), lowm);
     __m512i y =
-        _mm512_and_si512(_mm512_or_si512(x, _mm512_srli_epi64(x, 1)), fives);
+        _mm512_and_si512(_mm512_or_si512(x, _mm512_srli_epi32(x, 1)), fives);
     __m512i cl = _mm512_shuffle_epi8(lut, _mm512_and_si512(y, nib));
     __m512i ch = _mm512_shuffle_epi8(
         lut, _mm512_and_si512(_mm512_srli_epi16(y, 4), nib));
-    __m512i sums = _mm512_sad_epu8(_mm512_add_epi8(cl, ch),
-                                   _mm512_setzero_si512());
-    unsigned pass = _mm512_cmple_epu64_mask(sums, capv);
+    __m512i sums = _mm512_madd_epi16(
+        _mm512_maddubs_epi16(_mm512_add_epi8(cl, ch), ones8), ones16);
+    unsigned pass = _mm512_cmple_epu32_mask(sums, capv);
     while (pass) {
       const int b = __builtin_ctz(pass);
       pass &= pass - 1;
-      const uint64_t f = data[i + b];
-      const uint64_t xx = (f ^ obs2) & low_mask;
-      const int mm = __builtin_popcountll((xx | (xx >> 1)) &
-                                          0x5555555555555555ull);
-      top2_update(mm, static_cast<int64_t>(f >> 32), best, next, best_id);
+      const uint32_t xx = (packs[i + b] ^ obs2) & low_mask;
+      const int mm = __builtin_popcount((xx | (xx >> 1)) & 0x55555555u);
+      top2_update(mm, static_cast<int64_t>(ids[i + b]), best, next, best_id);
     }
   }
   if (i < hi)
-    fused_scan_scalar(data, i, hi, obs2, low_mask, cap, best, next, best_id);
+    fused_scan_scalar(packs, ids, i, hi, obs2, low_mask, cap, best, next,
+                      best_id);
 }
 
 #pragma GCC diagnostic pop
@@ -2703,12 +2715,14 @@ class BigKMatcher {
         t.offsets[i] += t.offsets[i - 1];
       std::vector<uint32_t> cursor(t.offsets.begin(), t.offsets.end() - 1);
       if (fused_) {
-        // one u64 per candidate: low 2*len bits = packed barcode, high 32 =
-        // id.  Sequential 8-byte streams + the SIMD filter (fused_scan_*).
-        t.fused.resize(k);
+        // split arrays: the SIMD filter streams 4-byte packs only; ids are
+        // random-accessed for the rare survivors (fused_scan_* above)
+        t.packs32.resize(k);
+        t.ids32.resize(k);
         for (int64_t s = 0; s < k; s++) {
           uint32_t slot = cursor[keys[s]]++;
-          t.fused[slot] = packed2_[s] | (static_cast<uint64_t>(s) << 32);
+          t.packs32[slot] = static_cast<uint32_t>(packed2_[s]);
+          t.ids32[slot] = static_cast<uint32_t>(s);
         }
       } else {
         t.ids.resize(k);
@@ -3037,9 +3051,10 @@ class BigKMatcher {
           key |= ((combo >> (2 * i)) & 3u) << wshift[i];
         const uint32_t lo = t.offsets[key], hi = t.offsets[key + 1];
         if (pure && fused_) {
-          // hot path: fused entries + SIMD filter (see fused_scan_* above)
-          scan_(t.fused.data(), lo, hi, obs2, low_mask_, cap, best, next,
-                best_id);
+          // hot path: pack-only stream + SIMD filter (fused_scan_* above)
+          scan_(t.packs32.data(), t.ids32.data(), lo, hi,
+                static_cast<uint32_t>(obs2),
+                static_cast<uint32_t>(low_mask_), cap, best, next, best_id);
         } else if (pure) {
           // 17..32bp whitelists: XOR of 2-bit-packed codes; a position
           // mismatches iff either of its 2 bits differs -> fold, popcount
@@ -3054,9 +3069,7 @@ class BigKMatcher {
         } else {
           // rare path (IUPAC/no-call/wildcard bytes): per-position masks
           for (uint32_t i = lo; i < hi; i++) {
-            const uint32_t id = fused_
-                                    ? static_cast<uint32_t>(t.fused[i] >> 32)
-                                    : t.ids[i];
+            const uint32_t id = fused_ ? t.ids32[i] : t.ids[i];
             const uint8_t* exp =
                 codes_.data() + static_cast<int64_t>(id) * len_;
             int mm = 0;
@@ -3091,9 +3104,10 @@ class BigKMatcher {
   struct CsrTable {
     uint32_t n_keys = 0;
     std::vector<uint32_t> offsets;
-    std::vector<uint64_t> fused;  // len <= 16: (id << 32) | packed2
-    std::vector<uint32_t> ids;    // len > 16 layout
-    std::vector<uint64_t> packs;  // packed2_ of ids, bucket-ordered
+    std::vector<uint32_t> packs32;  // len <= 16: 2-bit packs, filter stream
+    std::vector<uint32_t> ids32;    // len <= 16: ids, survivor lookups only
+    std::vector<uint32_t> ids;      // len > 16 layout
+    std::vector<uint64_t> packs;    // packed2_ of ids, bucket-ordered
   };
   int64_t k_;
   int len_, max_mm_, delta_, n_parts_ = 0;
