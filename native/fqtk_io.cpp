@@ -165,13 +165,16 @@ class InputStream {
     if (gzipped_ && !bgzf_) {
       memset(&strm_, 0, sizeof(strm_));
       // 15+32: zlib/gzip auto-detect; loop handles concatenated members
-      if (inflateInit2(&strm_, 15 + 32) != Z_OK) ok_ = false;
+      inflate_live_ = inflateInit2(&strm_, 15 + 32) == Z_OK;
+      if (!inflate_live_) ok_ = false;
       in_buf_.resize(1 << 20);
     }
   }
 
   ~InputStream() {
-    if (gzipped_ && !bgzf_ && ok_) inflateEnd(&strm_);
+    // keyed on init success, NOT ok_ — a later read error (truncation,
+    // corrupt stream) must still free the inflate window
+    if (inflate_live_) inflateEnd(&strm_);
 #ifdef FQTK_HAVE_LIBDEFLATE
     da_stop();
     if (bgzf_decomp_) libdeflate_free_decompressor(bgzf_decomp_);
@@ -193,22 +196,36 @@ class InputStream {
         strm_.next_in = in_buf_.data();
         strm_.avail_in = static_cast<unsigned>(n);
       }
-      if (strm_.avail_in == 0) break;  // true EOF
+      if (strm_.avail_in == 0) {
+        // true EOF — but EOF landing inside a deflate member means the
+        // input is TRUNCATED (partial download, head -c): fail rather
+        // than silently dropping the tail (the Python gzip reader and
+        // the BGZF legs both fail on this; demux must never report
+        // success over a partial input)
+        if (mid_member_) ok_ = false;
+        break;
+      }
       strm_.next_out = dst + total;
       strm_.avail_out = static_cast<unsigned>(len - total);
       int ret = inflate(&strm_, Z_NO_FLUSH);
       total = len - strm_.avail_out;
       if (ret == Z_STREAM_END) {
+        mid_member_ = false;
         // concatenated member boundary (BGZF files are many members)
         if (inflateReset2(&strm_, 15 + 32) != Z_OK) {
           ok_ = false;
           break;
         }
-      } else if (ret != Z_OK && ret != Z_BUF_ERROR) {
+      } else if (ret == Z_OK) {
+        mid_member_ = true;
+      } else if (ret != Z_BUF_ERROR) {
         ok_ = false;
         break;
       }
-      if (ret == Z_BUF_ERROR && strm_.avail_in == 0 && raw_eof()) break;
+      if (ret == Z_BUF_ERROR && strm_.avail_in == 0 && raw_eof()) {
+        if (mid_member_) ok_ = false;
+        break;
+      }
     }
     return total;
   }
@@ -267,24 +284,13 @@ class InputStream {
 
   void da_io_loop() {
     for (;;) {
-      uint8_t hdr[18];
-      size_t n = raw_read(hdr, sizeof(hdr));
-      bool bad = false, eof = (n == 0);
+      size_t payload_off = 0;
+      const int64_t bsize = next_bgzf_header(&payload_off);
+      bool bad = (bsize < 0), eof = (bsize == 0);
       std::vector<uint8_t> body;
-      if (!eof) {
-        if (n != sizeof(hdr) || hdr[0] != 0x1f || hdr[1] != 0x8b ||
-            !(hdr[3] & 4) || hdr[10] != 6 || hdr[11] != 0 || hdr[12] != 'B' ||
-            hdr[13] != 'C' || hdr[14] != 2 || hdr[15] != 0) {
-          bad = true;
-        } else {
-          size_t bsize = (hdr[16] | (hdr[17] << 8)) + 1;
-          if (bsize < 26 || bsize > (1 << 16)) {
-            bad = true;
-          } else {
-            body.resize(bsize - 18);
-            if (raw_read(body.data(), body.size()) != body.size()) bad = true;
-          }
-        }
+      if (!eof && !bad) {
+        body.resize(bsize - payload_off);
+        if (raw_read(body.data(), body.size()) != body.size()) bad = true;
       }
       std::unique_lock<std::mutex> lk(da_->mu);
       if (bad) {
@@ -391,22 +397,48 @@ class InputStream {
     return total;
   }
 
-  bool next_bgzf_block() {
-    uint8_t hdr[18];
+  // Reads one BGZF member's gzip header: fixed 12 bytes + the FEXTRA
+  // field, scanning its subfields for 'BC' (the SAM spec requires BC to
+  // be present, not to be the only subfield — htslib writes XLEN=6 but
+  // other writers may add subfields).  Returns the total member size
+  // (BSIZE+1) and sets *payload_off to where the deflate payload starts;
+  // 0 == clean EOF, -1 == malformed/truncated.
+  int64_t next_bgzf_header(size_t* payload_off) {
+    uint8_t hdr[12];
     size_t n = raw_read(hdr, sizeof(hdr));
-    if (n == 0) return false;  // EOF
+    if (n == 0) return 0;
     if (n != sizeof(hdr) || hdr[0] != 0x1f || hdr[1] != 0x8b ||
-        !(hdr[3] & 4) || hdr[10] != 6 || hdr[11] != 0 || hdr[12] != 'B' ||
-        hdr[13] != 'C' || hdr[14] != 2 || hdr[15] != 0) {
+        hdr[2] != 8 || !(hdr[3] & 4))
+      return -1;
+    const size_t xlen = hdr[10] | (hdr[11] << 8);
+    if (xlen < 6) return -1;
+    uint8_t extra[1 << 16];
+    if (raw_read(extra, xlen) != xlen) return -1;
+    int64_t bsize = -1;
+    for (size_t p = 0; p + 4 <= xlen;) {
+      const size_t slen = extra[p + 2] | (extra[p + 3] << 8);
+      if (extra[p] == 'B' && extra[p + 1] == 'C' && slen == 2 &&
+          p + 6 <= xlen) {
+        bsize = static_cast<int64_t>(extra[p + 4] | (extra[p + 5] << 8)) + 1;
+        break;
+      }
+      p += 4 + slen;
+    }
+    *payload_off = 12 + xlen;
+    if (bsize < static_cast<int64_t>(12 + xlen + 8) || bsize > (1 << 16))
+      return -1;  // also covers "no BC subfield found" (bsize == -1)
+    return bsize;
+  }
+
+  bool next_bgzf_block() {
+    size_t payload_off = 0;
+    const int64_t bsize = next_bgzf_header(&payload_off);
+    if (bsize == 0) return false;  // EOF
+    if (bsize < 0) {
       ok_ = false;  // mixed/truncated stream — refuse rather than misread
       return false;
     }
-    size_t bsize = (hdr[16] | (hdr[17] << 8)) + 1;
-    if (bsize < 26 || bsize > (1 << 16)) {
-      ok_ = false;
-      return false;
-    }
-    size_t rest = bsize - 18;
+    size_t rest = bsize - payload_off;
     if (comp_buf_.size() < rest) comp_buf_.resize(rest);
     if (raw_read(comp_buf_.data(), rest) != rest) {
       ok_ = false;
@@ -462,6 +494,8 @@ class InputStream {
   bool gzipped_ = false;
   bool bgzf_ = false;
   bool ok_ = true;
+  bool inflate_live_ = false;   // inflateInit2 succeeded (owns a window)
+  bool mid_member_ = false;     // EOF here == truncated member
   z_stream strm_;
   std::vector<uint8_t> in_buf_;
 #ifdef FQTK_HAVE_LIBDEFLATE
@@ -743,6 +777,11 @@ class CompressorPool {
       thread_local struct Compressor {
         libdeflate_compressor* c = nullptr;
         int level = -1;
+        // freed at worker-thread exit: pools are created per engine run,
+        // so a leak here would grow RSS with every open/close cycle
+        ~Compressor() {
+          if (c) libdeflate_free_compressor(c);
+        }
       } tl;
       if (tl.level != level) {
         if (tl.c) libdeflate_free_compressor(tl.c);
@@ -912,85 +951,37 @@ inline int format_int(char* dst, int v) {
   return n;
 }
 
+inline int64_t rewrite_header_buf(
+    uint8_t* out, const uint8_t* header, size_t header_len, int read_num,
+    const std::vector<std::pair<const uint8_t*, size_t>>& bc,
+    const std::vector<std::pair<const uint8_t*, size_t>>& umi,
+    std::string* err);
+
 // Appends the rewritten header (including '@') to `out`. Returns false and
-// sets err on contract violations.
+// sets err on contract violations.  Thin wrapper over rewrite_header_buf —
+// the header-contract logic must live in exactly one place (this is the
+// cold >64KB-record path; the hot route path calls the cursor variant
+// directly).
 bool rewrite_header(std::vector<uint8_t>& out, const uint8_t* header,
                     size_t header_len, int read_num,
                     const std::vector<std::pair<const uint8_t*, size_t>>& bc,
                     const std::vector<std::pair<const uint8_t*, size_t>>& umi,
                     std::string* err) {
-  const uint8_t* space = static_cast<const uint8_t*>(
-      memchr(header, ' ', header_len));
-  const uint8_t* name = header;
-  size_t name_len = space ? (space - header) : header_len;
-  const uint8_t* comment = space ? space + 1 : nullptr;
-  size_t comment_len = space ? header_len - name_len - 1 : 0;
-
-  out.push_back('@');
-
-  if (!umi.empty()) {
-    int sep_count = 0;
-    for (size_t i = 0; i < name_len; i++)
-      if (name[i] == ':') sep_count++;
-    if (sep_count > 7) {
-      *err = "Can't handle read name with more than 8 segments: " +
-             std::string(reinterpret_cast<const char*>(header), header_len);
-      return false;
-    }
-    out.insert(out.end(), name, name + name_len);
-    out.push_back(sep_count == 7 ? '+' : ':');
-    for (size_t i = 0; i < umi.size(); i++) {
-      if (i > 0) out.push_back('+');
-      out.insert(out.end(), umi[i].first, umi[i].first + umi[i].second);
-    }
-  } else {
-    out.insert(out.end(), name, name + name_len);
+  // upper bound: '@' + name + sep + UMIs(+separators) + ' ' + synthesized
+  // or rewritten comment (adds at most ~8 bytes over the original) +
+  // barcodes(+separators)
+  size_t extra = 40;
+  for (const auto& u : umi) extra += u.second + 1;
+  for (const auto& b : bc) extra += b.second + 1;
+  const size_t base = out.size();
+  out.resize(base + header_len + extra);
+  const int64_t n = rewrite_header_buf(out.data() + base, header, header_len,
+                                       read_num, bc, umi, err);
+  if (n < 0) {
+    out.resize(base);
+    return false;
   }
-
-  out.push_back(' ');
-
-  if (!comment) {
-    char tmp[20];
-    int n = format_int(tmp, read_num);
-    memcpy(tmp + n, ":N:0:", 5);
-    n += 5;
-    out.insert(out.end(), tmp, tmp + n);
-  } else {
-    int sep_count = 0;
-    for (size_t i = 0; i < comment_len; i++)
-      if (comment[i] == ':') sep_count++;
-    if (sep_count < 3) {
-      out.insert(out.end(), comment, comment + comment_len);
-      if (comment_len == 0 || comment[comment_len - 1] != ':')
-        out.push_back(':');
-    } else {
-      if (sep_count != 3) {
-        *err = "Comment in did not have 4 segments: " +
-               std::string(reinterpret_cast<const char*>(header), header_len);
-        return false;
-      }
-      const uint8_t* fc = static_cast<const uint8_t*>(
-          memchr(comment, ':', comment_len));
-      size_t first_colon = fc - comment;
-      const uint8_t* rem = comment + first_colon + 1;
-      size_t rem_len = comment_len - first_colon - 1;
-      // drop Illumina's single trailing digit index placeholder
-      if (rem_len > 0 && comment[comment_len - 1] >= '0' &&
-          comment[comment_len - 1] <= '9')
-        rem_len -= 1;
-      char tmp[16];
-      int n = format_int(tmp, read_num);
-      tmp[n++] = ':';
-      out.insert(out.end(), tmp, tmp + n);
-      out.insert(out.end(), rem, rem + rem_len);
-      if (rem_len == 0 || rem[rem_len - 1] != ':') out.push_back('+');
-    }
-  }
-
-  for (size_t i = 0; i < bc.size(); i++) {
-    if (i > 0) out.push_back('+');
-    out.insert(out.end(), bc[i].first, bc[i].first + bc[i].second);
-  }
+  out.resize(base + static_cast<size_t>(n));
   return true;
 }
 
@@ -2082,6 +2073,7 @@ class SubsampleEngine {
     int64_t consumed = 0;
     int64_t kept = 0;
     std::vector<uint8_t> rec_buf;
+    std::vector<uint8_t> expected_name;  // file 0's base name, per record
     for (; consumed < n; consumed++) {
       bool keep = keep_mask[consumed] != 0;
       size_t got = 0;
@@ -2097,15 +2089,15 @@ class SubsampleEngine {
           if (check_names_) {
             auto name = base_read_name(recs[i].head, recs[i].head_len);
             if (i == 0) {
-              expected_name_.assign(name.first, name.first + name.second);
-            } else if (name.second != expected_name_.size() ||
-                       memcmp(name.first, expected_name_.data(),
+              expected_name.assign(name.first, name.first + name.second);
+            } else if (name.second != expected_name.size() ||
+                       memcmp(name.first, expected_name.data(),
                               name.second) != 0) {
               err.set(str_printf(
                   "Read name mismatch at read %lld: file 0=\"%s\", file "
                   "%zu=\"%s\"",
                   static_cast<long long>(total_read_ + 1),
-                  std::string(expected_name_.begin(), expected_name_.end())
+                  std::string(expected_name.begin(), expected_name.end())
                       .c_str(),
                   i,
                   std::string(reinterpret_cast<const char*>(name.first),
@@ -2255,11 +2247,6 @@ class SubsampleEngine {
           return -1;
         }
       }
-      if (!f0.name_end.empty()) {
-        const uint32_t last0 =
-            f0.name_end.size() > 1 ? f0.name_end[f0.name_end.size() - 2] : 0;
-        expected_name_.assign(f0.names.begin() + last0, f0.names.end());
-      }
     }
     int64_t kept = 0;
     for (int64_t r = 0; r < consumed; r++) kept += keep_mask[r] ? 1 : 0;
@@ -2285,7 +2272,6 @@ class SubsampleEngine {
   int level_ = 5;
   bool check_names_ = false;
   bool parallel_ = false;
-  std::vector<uint8_t> expected_name_;
   int64_t total_read_ = 0;
 };
 
@@ -3775,7 +3761,10 @@ struct StandaloneWriter {
 FQTK_API StandaloneWriter* fqtk_bgzf_open(const char* path, int level,
                                           int threads) {
   auto* s = new StandaloneWriter();
-  s->pool = std::make_unique<CompressorPool>(threads, threads * 50);
+  // queue floor: threads <= 0 must not create a 0-capacity queue whose
+  // submit() would block forever (the pool ctor already floors workers)
+  s->pool = std::make_unique<CompressorPool>(threads,
+                                             std::max(8, threads * 50));
   s->writer = std::make_unique<BgzfWriter>(path, level, s->pool.get());
   if (!s->writer->ok()) {
     delete s;

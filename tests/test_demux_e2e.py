@@ -1038,3 +1038,60 @@ def test_native_demux_fails_cleanly_on_disk_full(tmp_path):
             )
     finally:
         subprocess.run(["umount", "-l", str(out)], capture_output=True)
+
+
+@pytest.mark.parametrize("engine", ["numpy", "native"])
+def test_truncated_gzip_member_fails_not_truncates(tmp_path, engine):
+    """A gzip input truncated mid-member whose decompressed prefix ends at
+    a clean record boundary must FAIL (the silent-data-loss class): the
+    native scanner tracks mid-member state at EOF, the Python reader gets
+    EOFError from gzip."""
+    import zlib
+
+    rec = b"@r0 1:N:0:0\nAAAAAAAAGATTACAGAACGT\n+\n" + b"I" * 21 + b"\n"
+    co = zlib.compressobj(5, zlib.DEFLATED, 31)
+    part1 = co.compress(rec * 32) + co.flush(zlib.Z_FULL_FLUSH)
+    co.compress(rec * 32) + co.flush(zlib.Z_FINISH)  # never written
+    trunc = tmp_path / "trunc.fq.gz"
+    trunc.write_bytes(part1)
+    meta = metadata_file(tmp_path, ["AAAAAAAAGATTACAGA"])
+    cfg = _cfg(tmp_path, [trunc], ["17B+T"], meta, tmp_path / "out", engine,
+               batch_size=16)
+    with pytest.raises(Exception, match="read/decompress error|end-of-stream"):
+        run_demux(cfg)
+
+
+@pytest.mark.parametrize("engine", ["numpy", "native"])
+def test_bgzf_with_extra_fextra_subfield(tmp_path, engine):
+    """Spec-valid BGZF whose FEXTRA carries additional subfields besides BC
+    (the SAM spec requires BC to be present, not alone) must read correctly
+    — the native block readers scan the subfields for BC."""
+    import struct
+    import zlib
+
+    def block(payload: bytes, extra_first: bool) -> bytes:
+        co = zlib.compressobj(5, zlib.DEFLATED, -15)
+        comp = co.compress(payload) + co.flush()
+        xx = b"XX" + struct.pack("<H", 2) + b"ab" if extra_first else b""
+        xlen = len(xx) + 6
+        bsize = 12 + xlen + len(comp) + 8
+        hdr = (
+            b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\xff"
+            + struct.pack("<H", xlen) + xx
+            + b"BC" + struct.pack("<H", 2) + struct.pack("<H", bsize - 1)
+        )
+        return (hdr + comp + struct.pack("<I", zlib.crc32(payload))
+                + struct.pack("<I", len(payload)))
+
+    eof_blk = bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"
+    )
+    rec = b"@r0 1:N:0:0\nAAAAAAAAGATTACAGAACGT\n+\n" + b"I" * 21 + b"\n"
+    # first member standard (the sniffer keys on it), second with an extra
+    # subfield before BC — a mixed-layout but fully valid BGZF stream
+    p = tmp_path / "multi_subfield.fq.gz"
+    p.write_bytes(block(rec * 10, False) + block(rec * 10, True) + eof_blk)
+    meta = metadata_file(tmp_path, ["AAAAAAAAGATTACAGA"])
+    cfg = _cfg(tmp_path, [p], ["17B+T"], meta, tmp_path / f"out_{engine}",
+               engine, batch_size=8)
+    assert run_demux(cfg).total_templates == 20
