@@ -52,7 +52,10 @@ def init_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:  # already initialized
-        if "already" not in str(e):
+        # jax's double-init message is "distributed.initialize should only
+        # be called once."; older versions said "already initialized"
+        msg = str(e)
+        if "already" not in msg and "once" not in msg:
             raise
 
 
@@ -76,10 +79,18 @@ def merge_host_counts(local_counts: np.ndarray) -> np.ndarray:
 
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(
-        np.asarray(local_counts, dtype=np.int64)
-    )  # [n_process, K+1]
-    return np.asarray(gathered).sum(axis=0).astype(np.int64)
+    # Ship the int64 vector as its two int32 halves: without jax_enable_x64
+    # (the default) jax silently downcasts int64 -> int32, which would
+    # corrupt counts above 2^31.  Viewing preserves the bytes exactly and
+    # all hosts share endianness within a slice.
+    local64 = np.ascontiguousarray(np.asarray(local_counts, dtype=np.int64))
+    halves = local64.view(np.int32).reshape(local64.shape + (2,))
+    gathered = multihost_utils.process_allgather(halves)
+    merged = np.asarray(gathered, dtype=np.int32)  # [n_process, K+1, 2]
+    per_host = np.ascontiguousarray(merged).view(np.int64).reshape(
+        merged.shape[:-1]
+    )
+    return per_host.sum(axis=0).astype(np.int64)
 
 
 def run_demux_multihost(

@@ -41,6 +41,8 @@ def _shard_dirs(output: Path, expected_shards: int = None) -> List[Path]:
     against a silently-partial merge: a contiguous prefix ``[0..m]`` of a
     larger run (lagging shared-filesystem visibility, a failed host) is an
     error, not a smaller merge."""
+    if not output.is_dir():
+        raise MergeError(f'Output path "{output}" is not a directory')
     shards = []
     for p in output.iterdir():
         if p.is_dir() and p.name.startswith("shard-"):

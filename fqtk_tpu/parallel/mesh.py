@@ -240,9 +240,7 @@ def make_sharded_assign_fn(
     )
     jitted = jax.jit(sharded)
 
-    import jax as _jax
-
-    compat_dev = _jax.device_put(
+    compat_dev = jax.device_put(
         compat, NamedSharding(mesh, P_compat)
     )
 

@@ -256,8 +256,6 @@ def _host_matcher_max_k() -> int:
     128K-read window vs the K*L host scan; see DESIGN.md).  Hosts with
     directly-attached TPUs should lower it (``FQTK_HOST_MATCHER_MAX_K=0``
     routes every whitelist to the device paths)."""
-    import os
-
     try:
         return int(os.environ.get("FQTK_HOST_MATCHER_MAX_K", "4096"))
     except ValueError:
@@ -303,8 +301,10 @@ def _build_device_assign_fn(
     cfg: DemuxConfig, expected: ExpectedSet, barcodes=None
 ):
     """Packed-input device matcher for the native engine.  Returns
-    ``(assign, pack_mode)`` where ``assign`` maps a packed observation
-    matrix to ``assigned[B]`` and ``pack_mode`` tells the engine which
+    ``(assign, pack_mode, host_matcher)`` where ``assign`` maps a packed
+    observation matrix to ``assigned[B]``, ``host_matcher`` tells the
+    caller assignment runs on the host (drives slicing semantics and the
+    pipeline window size), and ``pack_mode`` tells the engine which
     packing to produce: ``"nib4"`` ([B, ceil(L/2)] 4-bit IUPAC nibbles) or
     ``"bit2"`` ([B, ceil(L/4)] 2-bit ACGT codes; ambiguous rows flagged
     exceptional and resolved host-side).
@@ -327,8 +327,6 @@ def _build_device_assign_fn(
     - single device + huge whitelist: fused Pallas kernel.
     - otherwise: the XLA scan path.
     """
-    import os
-
     big_k = expected.count >= PALLAS_K_THRESHOLD and expected.length <= 255
     policy = cfg.matcher or "auto"
     host_threads = max(2, min(cfg.threads - 1, os.cpu_count() or 4))
@@ -412,7 +410,9 @@ def _build_device_assign_fn(
 
     n_dev = cfg.devices if cfg.devices is not None else jax.local_device_count()
     n_dev = max(1, min(n_dev, jax.local_device_count()))
-    if n_dev > 1 and cfg.batch_size % n_dev != 0:
+    # divisibility only constrains BATCH sharding; the big-K mesh shards the
+    # whitelist axis (n_batch=1), so any batch size works there
+    if n_dev > 1 and not big_k and cfg.batch_size % n_dev != 0:
         logger.warning(
             "batch size %d not divisible by %d devices; using a single device",
             cfg.batch_size,
@@ -519,7 +519,9 @@ def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None
 
         def assign(obs: np.ndarray) -> np.ndarray:
             idx, _, _ = fn(obs)
-            return np.asarray(idx)
+            # writable copy: jax.Array views are read-only and callers
+            # override rows (short/over-long barcodes -> unmatched)
+            return np.array(idx)
 
         return assign
 
@@ -602,6 +604,8 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
 
             fd_limit = resource.getrlimit(resource.RLIMIT_NOFILE)[1]
             resource.setrlimit(resource.RLIMIT_NOFILE, (fd_limit, fd_limit))
+            if fd_limit == resource.RLIM_INFINITY:  # -1: unlimited, not tiny
+                fd_limit = 1 << 30
         except Exception:  # pragma: no cover
             fd_limit = 1 << 20
         if len(names) * files_per_sample + 64 > fd_limit:

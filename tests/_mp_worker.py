@@ -43,8 +43,12 @@ def main() -> int:
         from fqtk_tpu.parallel.distributed import merge_host_counts
 
         local = np.arange(7, dtype=np.int64) + pid * 100
+        # counts above 2^31 must survive the gather exactly (jax without
+        # x64 silently downcasts int64 -> int32; the merge ships halves)
+        local[3] = (1 << 40) + pid
         merged = merge_host_counts(local)
         expected = sum(np.arange(7, dtype=np.int64) + p * 100 for p in range(nproc))
+        expected[3] = sum((1 << 40) + p for p in range(nproc))
         assert np.array_equal(merged, expected), (merged, expected)
         print("MERGE_OK", merged.tolist())
         return 0

@@ -1095,3 +1095,26 @@ def test_bgzf_with_extra_fextra_subfield(tmp_path, engine):
     cfg = _cfg(tmp_path, [p], ["17B+T"], meta, tmp_path / f"out_{engine}",
                engine, batch_size=8)
     assert run_demux(cfg).total_templates == 20
+
+
+def test_jax_engine_variable_length_barcode_override(tmp_path):
+    """The jax engine's assignment array must be writable: reads whose
+    variable-length barcode differs from the whitelist length are forced
+    to unmatched via an element override (np.asarray of a jax.Array is
+    read-only; a crash here was a real regression class)."""
+    barcodes = ["GATTACAT"]
+    meta = metadata_file(tmp_path, barcodes)
+    # 4T+B: an 11bp read yields a 7bp barcode (too short) that is all Ns,
+    # so the no-call gate forces unmatched instead of raising
+    recs = ["ACGT" + "GATTACAT", "ACGT" + "NNNNNNN"]
+    src = fastq_file(tmp_path, "vb", "ex", recs)
+    cfg = _cfg(
+        tmp_path, [src], ["4T+B"], meta, tmp_path / "out", "jax", batch_size=4
+    )
+    res = run_demux(cfg)
+    assert res.total_templates == 2
+    import gzip as _gzip
+
+    matched = _gzip.decompress((tmp_path / "out" / "Sample0000.R1.fq.gz").read_bytes())
+    unmatched = _gzip.decompress((tmp_path / "out" / "unmatched.R1.fq.gz").read_bytes())
+    assert matched.count(b"@") == 1 and unmatched.count(b"@") == 1

@@ -68,3 +68,33 @@ def test_multihost_counts_sum_exactly():
     for c in host_counts:
         acc += merge_host_counts(c)  # identity in single-process
     np.testing.assert_array_equal(acc, total)
+
+
+def test_init_distributed_double_init_is_noop(monkeypatch):
+    """jax's double-init error says 'should only be called once.'; the
+    documented no-op contract must swallow it (and older 'already
+    initialized' spellings)."""
+    import jax
+
+    from fqtk_tpu.parallel.distributed import init_distributed
+
+    def boom(**kw):
+        raise RuntimeError("distributed.initialize should only be called once.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    init_distributed(coordinator_address="127.0.0.1:1", num_processes=1, process_id=0)
+
+    def boom2(**kw):
+        raise RuntimeError("backend already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom2)
+    init_distributed(coordinator_address="127.0.0.1:1", num_processes=1, process_id=0)
+
+    def boom3(**kw):
+        raise RuntimeError("something else entirely")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom3)
+    with pytest.raises(RuntimeError, match="something else"):
+        init_distributed(
+            coordinator_address="127.0.0.1:1", num_processes=1, process_id=0
+        )
