@@ -83,7 +83,9 @@ def _build_parser() -> argparse.ArgumentParser:
         help="The level of compression to use to compress outputs.",
     )
     demux.add_argument(
-        "--skip-reasons", "-S", nargs="*", default=[],
+        # nargs="+": a bare -S must be a parse error like clap's
+        # Vec<SkipReason> (an empty list would silently disable skipping)
+        "--skip-reasons", "-S", nargs="+", default=[],
         help="Skip demultiplexing reads for any of the following reasons, "
         "otherwise panic: 'too-few-bases' (too few bases/qualities to "
         "extract given the read structures).",

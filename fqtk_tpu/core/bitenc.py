@@ -71,7 +71,9 @@ class BitEnc:
             self.push(value)
 
     def set(self, i: int, value: int) -> None:
-        if i >= self._len:
+        # negative indices would divmod into the last block's unused tail
+        # bits, corrupting hamming() (the Rust reference takes usize)
+        if i >= self._len or i < 0:
             raise IndexError(i)
         block, off = self._addr(i)
         shift = off * self.width

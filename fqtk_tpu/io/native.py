@@ -505,7 +505,13 @@ class NativeBigKMatcher:
             raise NativeDemuxError("native library unavailable")
         self._lib = lib
         self._threads = threads
+        if not barcodes:
+            raise NativeDemuxError("Must provide at least one sample")
         self.length = len(barcodes[0])
+        if any(len(b) != self.length for b in barcodes):
+            # len(barcodes[0]) frames every row of the concatenated buffer;
+            # unequal lengths would silently mis-frame the whole whitelist
+            raise NativeDemuxError("All barcodes must have the same length")
         concat = "".join(b.upper() for b in barcodes).encode()
         buf = (ctypes.c_uint8 * len(concat)).from_buffer_copy(concat)
         self._h = lib.fqtk_bigk_new(
@@ -559,7 +565,13 @@ class NativeSmallKMatcher:
             raise NativeDemuxError("native library unavailable")
         self._lib = lib
         self._threads = threads
+        if not barcodes:
+            raise NativeDemuxError("Must provide at least one sample")
         self.length = len(barcodes[0])
+        if any(len(b) != self.length for b in barcodes):
+            # len(barcodes[0]) frames every row of the concatenated buffer;
+            # unequal lengths would silently mis-frame the whole whitelist
+            raise NativeDemuxError("All barcodes must have the same length")
         concat = "".join(b.upper() for b in barcodes).encode()
         buf = (ctypes.c_uint8 * len(concat)).from_buffer_copy(concat)
         self._h = lib.fqtk_smallk_new(

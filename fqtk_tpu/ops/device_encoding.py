@@ -48,3 +48,15 @@ def unpack_nib4(obs_in, length):
     lo = (obs_in & 0xF).astype(jnp.int32)
     hi = (obs_in >> 4).astype(jnp.int32)
     return jnp.stack([lo, hi], axis=-1).reshape(b, -1)[:, :length]
+
+
+def unpack_bit2(obs_in, length):
+    """Unpack ``[B, ceil(L/4)]`` 2-bit-code bytes (lowest bit pair = first
+    position) to ``[B, L]`` int32 codes in 0..3 — the device side of the
+    native engine's bit2 transfer layout.  The single source of truth for
+    this layout; the XLA and Pallas matchers must never diverge on it."""
+    import jax.numpy as jnp
+
+    b = obs_in.shape[0]
+    parts = [((obs_in >> (2 * i)) & 3).astype(jnp.int32) for i in range(4)]
+    return jnp.stack(parts, axis=-1).reshape(b, -1)[:, :length]

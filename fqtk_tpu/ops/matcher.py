@@ -50,7 +50,6 @@ class ExpectedSet:
     """Pre-encoded expected-barcode whitelist (device-ready constants)."""
 
     masks: np.ndarray  # [K, L] uint8 4-bit masks of uppercased barcodes
-    compat: np.ndarray  # [L*16, K] int8 mismatch-indicator table
     max_ns_in_barcodes: int
     length: int
     count: int
@@ -68,17 +67,35 @@ class ExpectedSet:
         max_ns = max(count_nocalls(b) for b in upper)
         arr = np.frombuffer(b"".join(upper), dtype=np.uint8).reshape(len(upper), length)
         masks = ENCODE_LUT[arr]  # [K, L]
-        # compat[l, c, k] = 1 iff mask value c has a bit outside masks[k, l]
-        c = np.arange(16, dtype=np.uint8)  # all possible observed mask values
-        viol = (c[None, None, :] & ~masks.T[:, :, None]) & 0xF  # [L, K, 16]
-        compat = (viol != 0).astype(np.int8).transpose(0, 2, 1).reshape(length * 16, len(upper))
         return cls(
             masks=masks,
-            compat=np.ascontiguousarray(compat),
             max_ns_in_barcodes=max_ns,
             length=length,
             count=len(upper),
         )
+
+    @property
+    def compat(self) -> np.ndarray:
+        """[L*16, K] int8 mismatch-indicator table, built on first use.
+
+        Lazy because only the XLA nib4/raw contraction reads it: at the
+        737K-barcode single-cell scale it is ~189 MB (plus a same-sized
+        transient), pure waste for the pigeonhole/small-K host matchers,
+        the packed2 path (compat4), and the Pallas kernel (class-major)."""
+        cached = getattr(self, "_compat", None)
+        if cached is None:
+            # compat[l, c, k] = 1 iff mask value c has a bit outside
+            # masks[k, l]
+            c = np.arange(16, dtype=np.uint8)  # all observed mask values
+            viol = (c[None, None, :] & ~self.masks.T[:, :, None]) & 0xF
+            cached = np.ascontiguousarray(
+                (viol != 0)
+                .astype(np.int8)
+                .transpose(0, 2, 1)
+                .reshape(self.length * 16, self.count)
+            )
+            object.__setattr__(self, "_compat", cached)
+        return cached
 
 
 def mismatch_counts_np(obs_bytes: np.ndarray, expected: ExpectedSet) -> np.ndarray:
@@ -246,7 +263,12 @@ def make_assign_fn(
     nocall_budget = max_mismatches + expected.max_ns_in_barcodes
     acc = accum_dtype or jnp.int32
 
-    from .device_encoding import byte_is_nocall, byte_to_mask, unpack_nib4
+    from .device_encoding import (
+        byte_is_nocall,
+        byte_to_mask,
+        unpack_bit2,
+        unpack_nib4,
+    )
 
     # Device-resident whitelist passed as an argument (constants this large
     # bloat the compiled program; see pallas_matcher for the same pattern).
@@ -257,10 +279,7 @@ def make_assign_fn(
         obs_in = obs_in.astype(jnp.uint8)
         b = obs_in.shape[0]
         if packed2:
-            parts = [
-                ((obs_in >> (2 * i)) & 3).astype(jnp.int32) for i in range(4)
-            ]
-            codes = jnp.stack(parts, axis=-1).reshape(b, -1)[:, :length]
+            codes = unpack_bit2(obs_in, length)
             onehot = (
                 codes[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
             ).astype(jnp.int8)

@@ -220,7 +220,12 @@ def make_pallas_assign_fn(
         next2 = out[:, :, 2].reshape(b)
         return best2, idx2, next2
 
-    from .device_encoding import byte_is_nocall, byte_to_mask
+    from .device_encoding import (
+        byte_is_nocall,
+        byte_to_mask,
+        unpack_bit2,
+        unpack_nib4,
+    )
 
     # Ship the (possibly huge) compat table to device once as an argument —
     # baking it in as a program constant bloats the executable (378 MB for a
@@ -232,16 +237,11 @@ def make_pallas_assign_fn(
     @jax.jit
     def _assign(obs_in, compat_dev):
         obs_in = obs_in.astype(jnp.uint8)
-        b = obs_in.shape[0]
         if packed2:
-            parts = [((obs_in >> (2 * i)) & 3).astype(jnp.int32) for i in range(4)]
-            codes = jnp.stack(parts, axis=-1).reshape(b, -1)[:, :length]
-            vals_t = codes.T  # [L, B] codes 0..3
+            vals_t = unpack_bit2(obs_in, length).T  # [L, B] codes 0..3
             nocalls = None
         elif packed_masks:
-            lo = (obs_in & 0xF).astype(jnp.int32)
-            hi = (obs_in >> 4).astype(jnp.int32)
-            masks = jnp.stack([lo, hi], axis=-1).reshape(b, -1)[:, :length]
+            masks = unpack_nib4(obs_in, length)
             vals_t = masks.T  # [L, B]
             nocalls = jnp.sum((masks == 15).astype(jnp.int32), axis=1)
         else:

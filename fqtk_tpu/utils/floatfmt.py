@@ -34,10 +34,9 @@ def format_f64(x: float) -> str:
     lead_exp = exp + len(digits) - 1
     if -5 <= lead_exp <= 15:
         return _positional(sign, digits, exp)
-    mantissa = digits[0:1] + digits[1:]
-    mant_str = str(mantissa[0])
-    if len(mantissa) > 1:
-        mant_str += "." + "".join(str(d) for d in mantissa[1:])
+    mant_str = str(digits[0])
+    if len(digits) > 1:
+        mant_str += "." + "".join(str(d) for d in digits[1:])
     out = f"{mant_str}e{lead_exp}"
     return "-" + out if sign else out
 

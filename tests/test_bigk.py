@@ -461,3 +461,13 @@ def test_bigk_simd_dispatch_levels_agree(level, monkeypatch):
         want, _, _ = assign_batch_np(obs, expected, 1, 2)
         want = np.where(want < 0, k, want).astype(np.int32)
         np.testing.assert_array_equal(got, want)
+
+
+def test_matcher_constructors_validate_whitelist_shape():
+    """Empty and unequal-length whitelists get clean errors, not an
+    IndexError or silent row mis-framing of the concatenated buffer."""
+    for cls in (native_io.NativeBigKMatcher, native_io.NativeSmallKMatcher):
+        with pytest.raises(native_io.NativeDemuxError, match="at least one"):
+            cls([], 1, 2)
+        with pytest.raises(native_io.NativeDemuxError, match="same length"):
+            cls(["ACGT", "ACGTA"], 1, 2)

@@ -157,3 +157,15 @@ def test_matcher_lowercases_uppercased():
 def test_matcher_empty_samples_raises():
     with pytest.raises(ValueError, match="at least one sample"):
         BarcodeMatcher([], 2, 2)
+
+
+def test_bitenc_set_rejects_negative_index():
+    """set(-1) would write into the last block's unused tail bits and
+    corrupt hamming(); the Rust reference takes usize."""
+    enc = BitEnc(4)
+    enc.push_values(4, 1)
+    with pytest.raises(IndexError):
+        enc.set(-1, 15)
+    other = BitEnc(4)
+    other.push_values(4, 1)
+    assert enc.hamming(other, 10) == 0

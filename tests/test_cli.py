@@ -100,3 +100,14 @@ def test_per_subcommand_version(sub, capsys):
         main([sub, "--version"])
     assert e.value.code == 0
     assert __version__ in capsys.readouterr().out
+
+
+def test_skip_reasons_bare_flag_is_parse_error(capsys):
+    """A bare -S must fail at parse time like clap's Vec<SkipReason> — an
+    empty list would silently disable skipping."""
+    from fqtk_tpu.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["demux", "-i", "x", "-r", "8B", "-s", "m", "-o", "o", "-S"])
+    assert exc.value.code == 2
+    assert "expected at least one argument" in capsys.readouterr().err
