@@ -2,7 +2,7 @@
 section.  Long-running by design (minutes to hours at the default counts);
 the committed pytest suites run a fixed-seed subset of the same generators.
 
-Three legs, each comparing an independent implementation pair:
+Four legs, each comparing an independent implementation pair:
 
 1. demux: native engine vs the pure-Python/NumPy engine — byte equality of
    every decompressed output, metrics, skip counts, and error outcomes over
@@ -16,8 +16,12 @@ Three legs, each comparing an independent implementation pair:
    (cache churn) and no-call/wildcard storms.
 3. subsample: native vs Python engines — identical kept record sets and
    verbatim bytes under explicit seeds across fractions/input counts.
+4. malformed inputs: 8 corruption classes ('@'/'+' violations, length
+   mismatches, truncations, gzip bit-flips, out-of-sync pairs, benign
+   CRLF) — both engines must agree on outcome kind and contract phrase.
 
 Usage: python scripts/deep_campaign.py [n_demux] [n_matcher] [n_subsample]
+       [n_malformed]
 """
 
 import gzip
@@ -375,11 +379,21 @@ def malformed_leg(n: int) -> int:
                     fails += 1
                     continue
                 diff = False
-                for f in sorted((tmp / "o_native").glob("*.fq.gz")):
-                    a = gzip.open(f, "rb").read()
-                    b = gzip.open(tmp / "o_numpy" / f.name, "rb").read()
+                names = sorted(
+                    {p.name for p in (tmp / "o_native").glob("*.fq.gz")}
+                    | {p.name for p in (tmp / "o_numpy").glob("*.fq.gz")}
+                )
+                for name in names:
+                    try:
+                        a = gzip.open(tmp / "o_native" / name, "rb").read()
+                        b = gzip.open(tmp / "o_numpy" / name, "rb").read()
+                    except OSError:
+                        # present on only one side — itself a divergence
+                        print(f"FAIL malformed {case} [crlf]: {name} one-sided")
+                        diff = True
+                        continue
                     if a != b:
-                        print(f"FAIL malformed {case} [crlf]: {f.name} differs")
+                        print(f"FAIL malformed {case} [crlf]: {name} differs")
                         diff = True
                 if diff:
                     fails += 1

@@ -77,6 +77,7 @@ def main() -> int:
     # this host has ~2x noisy-neighbor phases lasting tens of minutes, so a
     # re-measure in a bad window must never lower the recorded baseline.
     pin_path = REPO / "BASELINE_MEASURED.json"
+    pinned_threads = args.threads
     if pin_path.exists():
         prev = json.loads(pin_path.read_text())
         if prev.get("value", 0) > best:
@@ -85,10 +86,13 @@ def main() -> int:
                 f"(> this window's {best/1e6:.3f}M)"
             )
             best = prev["value"]
+            # the metadata must describe the PINNED measurement, not this
+            # run's flags (bench.py publishes it in baseline_note)
+            pinned_threads = prev.get("threads", args.threads)
     out = {
         "metric": "rust_fqtk_demux_baseline_proxy_reads_per_sec",
         "value": round(best, 1),
-        "threads": args.threads,
+        "threads": pinned_threads,
         "method": (
             "C++ re-creation of the reference pipeline architecture "
             "(read-ahead threads + single scalar-matcher main thread + "
