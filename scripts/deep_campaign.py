@@ -21,16 +21,24 @@ Four legs, each comparing an independent implementation pair:
    CRLF) — both engines must agree on outcome kind and contract phrase.
 
 Usage: python scripts/deep_campaign.py [n_demux] [n_matcher] [n_subsample]
-       [n_malformed]
+       [n_malformed] [seed_offset]
+
+``seed_offset`` (also env ``FQTK_CAMPAIGN_OFFSET``) shifts every leg's
+per-case seed so successive sweeps explore fresh scenarios instead of
+replaying the same fixed seeds; scenario-class rotation (alphabets,
+corruption kinds) stays index-based so coverage of each class is unchanged.
 """
 
 import gzip
+import os
 import random
 import sys
 import tempfile
 from pathlib import Path
 
 import numpy as np
+
+OFFSET = int(os.environ.get("FQTK_CAMPAIGN_OFFSET", "0"))
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -59,7 +67,7 @@ def demux_leg(n: int) -> int:
     default_threshold = dmx.PALLAS_K_THRESHOLD
     try:
         for sid in range(n):
-            rng = random.Random(31337 + sid)
+            rng = random.Random(31337 + OFFSET + sid)
             with tempfile.TemporaryDirectory() as td:
                 tmp = Path(td)
                 inputs, structures, meta = _random_scenario(rng, tmp, sid)
@@ -139,7 +147,7 @@ def demux_leg(n: int) -> int:
 def matcher_leg(n: int) -> int:
     fails = 0
     for case in range(n):
-        rng = np.random.default_rng(909000 + case)
+        rng = np.random.default_rng(909000 + OFFSET + case)
         length = int(rng.integers(4, 17))
         # keep K below the unique-string count for short lengths (a draw
         # loop over an exhausted space would never terminate)
@@ -198,7 +206,7 @@ def subsample_leg(n: int) -> int:
     fails = 0
     ok_count = 0
     for case in range(n):
-        rng = random.Random(77000 + case)
+        rng = random.Random(77000 + OFFSET + case)
         with tempfile.TemporaryDirectory() as td:
             tmp = Path(td)
             n_in = rng.choice([1, 2, 4])
@@ -289,7 +297,7 @@ def malformed_leg(n: int) -> int:
     fails = 0
     ok_count = 0
     for case in range(n):
-        rng = random.Random(555000 + case)
+        rng = random.Random(555000 + OFFSET + case)
         kind = corruptions[case % len(corruptions)]
         with tempfile.TemporaryDirectory() as td:
             tmp = Path(td)
@@ -426,6 +434,11 @@ def main() -> int:
     n_matcher = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     n_subsample = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     n_malformed = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    global OFFSET
+    if len(sys.argv) > 5:
+        OFFSET = int(sys.argv[5])
+    if OFFSET:
+        print(f"seed offset: {OFFSET}")
     fails = (
         demux_leg(n_demux)
         + matcher_leg(n_matcher)
