@@ -26,6 +26,7 @@
 #include <cstdarg>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cerrno>
 #include <cstring>
 #include <deque>
@@ -1670,7 +1671,10 @@ class DemuxEngine {
   // job between pipe_acquire() and pipe_submit() is the device matcher call.
   // -------------------------------------------------------------------------
 
-  static constexpr int kPipeSlots = 4;
+  // Window-ring depth: how far parse may run ahead of route/compress.
+  // 4 absorbs normal jitter; FQTK_PIPE_SLOTS widens it for experiments
+  // (deeper rings buffer compress-queue bursts at small windows).
+  int pipe_slots_ = 4;
 
   struct PipeSlot {
     BatchSlot batch;
@@ -1691,6 +1695,10 @@ class DemuxEngine {
     if (err.failed || pipe_started_) return false;
     pipe_started_ = true;
     pipe_batch_ = batch;
+    if (const char* ps_env = getenv("FQTK_PIPE_SLOTS")) {
+      int v = atoi(ps_env);
+      if (v >= 2 && v <= 64) pipe_slots_ = v;
+    }
     // block-parallel BGZF inflate when cores outnumber parse threads
     // (e.g. single-input demux): up to 3 decode workers per input
     int hw = static_cast<int>(std::thread::hardware_concurrency());
@@ -1700,8 +1708,8 @@ class DemuxEngine {
     if (dec > 1)
       for (auto& st : parse_states_) st->in->set_decode_threads(dec);
     counts_.assign(writers_.size(), 0);
-    pslots_.reset(new PipeSlot[kPipeSlots]);
-    for (int s = 0; s < kPipeSlots; s++) {
+    pslots_.reset(new PipeSlot[pipe_slots_]);
+    for (int s = 0; s < pipe_slots_; s++) {
       pslots_[s].batch.per_input.resize(parse_states_.size());
       pslots_[s].bc.assign(
           static_cast<size_t>(batch) * row_stride_,
@@ -1719,7 +1727,7 @@ class DemuxEngine {
   void pipe_parse_worker(size_t i) {
     const size_t n_in = parse_states_.size();
     for (int64_t w = 0;; w++) {
-      PipeSlot* ps = &pslots_[w % kPipeSlots];
+      PipeSlot* ps = &pslots_[w % pipe_slots_];
       {
         std::unique_lock<std::mutex> lk(pmu_);
         slot_cv_.wait(lk, [&] {
@@ -1757,7 +1765,7 @@ class DemuxEngine {
         ps->n = n;
         ps->skipped = sk;
         ps->max_count = mx;
-        ready_q_.push_back(static_cast<int>(w % kPipeSlots));
+        ready_q_.push_back(static_cast<int>(w % pipe_slots_));
         if (mx == 0) pipe_done_ = true;  // true EOF window
         ready_cv_.notify_all();
         if (pipe_done_) {
@@ -1770,7 +1778,7 @@ class DemuxEngine {
 
   void pipe_release_slot(PipeSlot* ps) {
     // caller holds pmu_
-    ps->ready_for += kPipeSlots;
+    ps->ready_for += pipe_slots_;
     ps->inputs_done = 0;
     slot_cv_.notify_all();
   }
