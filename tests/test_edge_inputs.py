@@ -96,6 +96,28 @@ def test_multi_kilobase_reads(tmp_path):
     assert len(recs[1]) == len(seq) - 17
 
 
+def test_nocall_spellings_in_metadata_barcodes(tmp_path):
+    """The reference accepts 'n' and '.' in sample barcodes (both are
+    no-call spellings, samples.rs:53-55 via is_valid_iupac, mod.rs:90-92)
+    and encodes them to the all-bases mask, so any observed base matches
+    at that position (bitenc.rs:441)."""
+    meta = tmp_path / "meta.tsv"
+    meta.write_text(
+        "sample_id\tbarcode\n"
+        "S0\tAAAAAAAAGATTACAG.\n"
+        "S1\tCCCCCCCCGATTACAGn\n"
+    )
+    fq = tmp_path / "in.fq.gz"
+    with gzip.open(fq, "wb") as f:
+        for i in range(40):
+            bc = "AAAAAAAAGATTACAGT" if i % 2 else "CCCCCCCCGATTACAGT"
+            f.write(f"@r{i} 1:N:0:0\n{bc}ACGTACGT\n+\n{'I' * 25}\n".encode())
+    out = _run_both(tmp_path, [fq], ["17B+T"], meta, max_mismatches=0)
+    metrics = (out / "demux-metrics.txt").read_text().splitlines()
+    counts = {r.split("\t")[0]: r.split("\t")[2] for r in metrics[1:]}
+    assert counts == {"S0": "20", "S1": "20", "unmatched": "0"}
+
+
 def test_empty_gzip_input(tmp_path):
     """A valid gzip stream with zero FASTQ records: clean empty outputs,
     all metric counts zero."""
