@@ -86,6 +86,42 @@ def stress_demux(tmp: Path) -> None:
     print(f"demux stress: {n} reads ok", flush=True)
 
 
+def stress_longreads(tmp: Path) -> None:
+    """Multi-kilobase, variable-length reads: exercises the scanner's
+    slot-arena growth and the writers' block-buffer resize paths, which
+    the short-read stress never leaves cold."""
+    from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+    rng = np.random.default_rng(11)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    bcs = ["AACCGGTTAACCGGTT", "TTGGCCAATTGGCCAA"]
+    meta = tmp / "meta_long.tsv"
+    meta.write_text(
+        "sample_id\tbarcode\n"
+        + "".join(f"s{i}\t{b}\n" for i, b in enumerate(bcs))
+    )
+    lens = rng.integers(2_000, 12_000, size=3_000)
+
+    def seq(i):
+        body = bytes(letters[rng.integers(0, 4, size=int(lens[i]))])
+        return bcs[i % 2].encode() + body
+
+    _write_fastq_gz(tmp / "long1.fq.gz", len(lens), seq)
+    res = run_demux(
+        DemuxConfig(
+            inputs=[tmp / "long1.fq.gz"],
+            read_structures=["16B+T"],
+            sample_metadata=meta,
+            output=tmp / "out_long",
+            batch_size=512,
+            engine="native",
+            threads=8,
+        )
+    )
+    assert res.total_templates == len(lens), res.total_templates
+    print(f"long-read stress: {len(lens)} reads (2-12kb) ok", flush=True)
+
+
 def stress_subsample(tmp: Path) -> None:
     from fqtk_tpu.runtime.subsample import SubsampleConfig, run_subsample
 
@@ -133,6 +169,7 @@ def stress_bigk() -> None:
 def main() -> int:
     with tempfile.TemporaryDirectory() as td:
         stress_demux(Path(td))
+        stress_longreads(Path(td))
         stress_subsample(Path(td))
     stress_bigk()
     print("sanitize_stress: all ok", flush=True)
