@@ -758,17 +758,29 @@ def main():
             }
         )
 
+        # never lose the whole bench (and the headline line) to one
+        # secondary config: record the failure as that config's entry instead
+        def guarded(name, fn, *a):
+            try:
+                entry = fn(*a)
+            except Exception as e:
+                entry = {"name": name, "error": f"{type(e).__name__}: {e}"[:200]}
+            if entry:
+                configs.append(entry)
+
         # ---- config 1: single-end inline 17B+T, 16 samples, mm=0 ----
-        se_bcs = make_whitelist(16, 17, seed=21)
-        se_meta = write_metadata(tmp, se_bcs, "se_meta.tsv")
-        wse, _ = write_single_end_inputs(tmp, se_bcs, WARMUP_READS, "w_se")
-        se_path, _ = write_single_end_inputs(tmp, se_bcs, N_READS_SECONDARY, "se")
-        se_rps, se_t, proxy_se = run_config_ab(
-            tmp, [se_path], ["17B+T"], se_meta, se_bcs, N_READS_SECONDARY,
-            "se", trials=3, max_mm=0, delta=2, warm_inputs=[wse],
-        )
-        configs.append(
-            {
+        def bench_single_end_config():
+            se_bcs = make_whitelist(16, 17, seed=21)
+            se_meta = write_metadata(tmp, se_bcs, "se_meta.tsv")
+            wse, _ = write_single_end_inputs(tmp, se_bcs, WARMUP_READS, "w_se")
+            se_path, _ = write_single_end_inputs(
+                tmp, se_bcs, N_READS_SECONDARY, "se"
+            )
+            se_rps, se_t, proxy_se = run_config_ab(
+                tmp, [se_path], ["17B+T"], se_meta, se_bcs, N_READS_SECONDARY,
+                "se", trials=3, max_mm=0, delta=2, warm_inputs=[wse],
+            )
+            return {
                 "name": "single_end_inline_17B+T_16samples_mm0",
                 "level": "e2e",
                 "reads_per_sec": round(se_rps, 1),
@@ -778,23 +790,27 @@ def main():
                     se_rps, N_READS_SECONDARY, se_t
                 ),
             }
-        )
+
+        guarded("single_end_inline_17B+T_16samples_mm0", bench_single_end_config)
 
         # ---- config 3: IUPAC/N expected barcodes (same shape as #1) ----
-        iupac_bcs = make_whitelist(16, 17, seed=23)
-        iupac_bcs = [
-            b[:4] + "N" + b[5:10] + "RY"[i % 2] + b[11:] for i, b in enumerate(iupac_bcs)
-        ]
-        iu_meta = write_metadata(tmp, iupac_bcs, "iu_meta.tsv")
-        iu_reads = [b.replace("N", "A").replace("R", "G").replace("Y", "C")
-                    for b in iupac_bcs]
-        iu_path, _ = write_single_end_inputs(tmp, iu_reads, N_READS_SECONDARY, "iu")
-        iu_rps, iu_t, proxy_iu = run_config_ab(
-            tmp, [iu_path], ["17B+T"], iu_meta, iupac_bcs, N_READS_SECONDARY,
-            "iu", trials=3, max_mm=1, delta=2,
-        )
-        configs.append(
-            {
+        def bench_iupac_config():
+            iupac_bcs = make_whitelist(16, 17, seed=23)
+            iupac_bcs = [
+                b[:4] + "N" + b[5:10] + "RY"[i % 2] + b[11:]
+                for i, b in enumerate(iupac_bcs)
+            ]
+            iu_meta = write_metadata(tmp, iupac_bcs, "iu_meta.tsv")
+            iu_reads = [b.replace("N", "A").replace("R", "G").replace("Y", "C")
+                        for b in iupac_bcs]
+            iu_path, _ = write_single_end_inputs(
+                tmp, iu_reads, N_READS_SECONDARY, "iu"
+            )
+            iu_rps, iu_t, proxy_iu = run_config_ab(
+                tmp, [iu_path], ["17B+T"], iu_meta, iupac_bcs, N_READS_SECONDARY,
+                "iu", trials=3, max_mm=1, delta=2,
+            )
+            return {
                 "name": "iupac_N_expected_barcodes_17B+T_16samples",
                 "level": "e2e",
                 "reads_per_sec": round(iu_rps, 1),
@@ -804,23 +820,24 @@ def main():
                     iu_rps, N_READS_SECONDARY, iu_t
                 ),
             }
-        )
+
+        guarded("iupac_N_expected_barcodes_17B+T_16samples", bench_iupac_config)
 
         # ---- config 5: variable-length '+' structures, PE (headline shape) ----
-        v1, _ = write_single_end_inputs(
-            tmp, [b[:BC1] for b in barcodes], N_READS_SECONDARY, "v1",
-            var_template=True,
-        )
-        v2, _ = write_single_end_inputs(
-            tmp, [b[BC1:] for b in barcodes], N_READS_SECONDARY, "v2",
-            var_template=True,
-        )
-        var_rps, var_t, proxy_var = run_config_ab(
-            tmp, [v1, v2], ["8B+T", "9B+T"], meta, barcodes,
-            N_READS_SECONDARY, "var", trials=3,
-        )
-        configs.append(
-            {
+        def bench_varlen_config():
+            v1, _ = write_single_end_inputs(
+                tmp, [b[:BC1] for b in barcodes], N_READS_SECONDARY, "v1",
+                var_template=True,
+            )
+            v2, _ = write_single_end_inputs(
+                tmp, [b[BC1:] for b in barcodes], N_READS_SECONDARY, "v2",
+                var_template=True,
+            )
+            var_rps, var_t, proxy_var = run_config_ab(
+                tmp, [v1, v2], ["8B+T", "9B+T"], meta, barcodes,
+                N_READS_SECONDARY, "var", trials=3,
+            )
+            return {
                 "name": "variable_length_plus_structures_PE_96samples",
                 "level": "e2e",
                 "reads_per_sec": round(var_rps, 1),
@@ -832,17 +849,8 @@ def main():
                 "note": "multi-host streaming validated separately "
                 "(tests/test_multiprocess.py on a 2-process jax.distributed run)",
             }
-        )
 
-        # never lose the whole bench (and the headline line) to one
-        # late config: record the failure as that config's entry instead
-        def guarded(name, fn, *a):
-            try:
-                entry = fn(*a)
-            except Exception as e:
-                entry = {"name": name, "error": f"{type(e).__name__}: {e}"[:200]}
-            if entry:
-                configs.append(entry)
+        guarded("variable_length_plus_structures_PE_96samples", bench_varlen_config)
 
         # ---- config 4: 737K single-cell whitelist (matcher-level) ----
         guarded("single_cell_737K_whitelist_16B", bench_bigk_config)
