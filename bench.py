@@ -50,10 +50,11 @@ BC1, BC2 = 8, 9
 L = BC1 + BC2
 TEMPLATE_LEN = 100
 BATCH = 1 << 17
-#: big-K pallas tile sizes (best of the measured sweep; see DESIGN.md —
-#: larger tile_b at tile_k=4096 exceeds VMEM on v5e)
+#: big-K pallas tile sizes (best of the measured sweep with the
+#: column-merge top-2; see DESIGN.md — the 2x[TB,TK] running-key scratch
+#: bounds the tile area under the 16MB scoped-VMEM limit on v5e)
 PALLAS_TILE_B = 512
-PALLAS_TILE_K = 4096
+PALLAS_TILE_K = 2048
 
 
 def rust_baseline() -> tuple:

@@ -9,8 +9,17 @@ This kernel fuses the whole pipeline per tile in VMEM:
                                       2x the bf16 MXU rate on v5e/v6 — or
                                       bf16 x bf16 -> f32, both exact since
                                       counts <= 255)
-    tile top-2 (combined count*TK+col key, one min per reduction)  (VPU)
-    running (best, idx, next) merge across K tiles  (VMEM scratch)
+    top-2 reduction, one of two schemes (VPU):
+      * column-merge (int8 default): per lane column, running elementwise
+        (smallest, second-smallest) (count, tile-id) keys across K tiles —
+        3 VPU ops and NO cross-lane reduction per step; one masked lane
+        top-2 over (count, tile, column) keys at the last K tile.  The
+        count*ck key scale rides the matmul (scaled one-hot x scaled
+        compat), so the per-step key build is a single scalar add.
+        Measured 1.7x the per-step scheme at K=737K (cross-lane mins were
+        the VPU wall, not elementwise passes).
+      * per-step lane-reduce (bf16 / fallback): combined count*TK+col key,
+        two lane mins per K tile, running (best, idx, next) merge.
 
 ``W`` is the one-hot width: 16 for 4-bit IUPAC mask input (``nib4``), 4 for
 2-bit pure-ACGT codes (``packed2`` — quarter-width transfers AND a 4x
@@ -72,6 +81,9 @@ def make_pallas_assign_fn(
     packed2: bool = False,
     compact_output: bool = False,
     mxu_dtype: str = "int8",
+    _fuse_key_scale: bool = True,
+    _top2_colmerge: bool = True,
+    _colmerge_unroll: int = 1,
 ):
     """Build ``obs_bytes[B, L] -> (assigned, best, next)`` with the fused
     Pallas kernel.  B must be a multiple of ``tile_b`` (the demux pipeline
@@ -111,6 +123,67 @@ def make_pallas_assign_fn(
     in_dtype = jnp.int8 if int8_mxu else jnp.bfloat16
     acc_dtype = jnp.int32 if int8_mxu else jnp.float32
 
+    # MXU-fused key scaling (int8 mode): the combined key needs
+    # ``counts * tile_k`` — a full [TB, TK] VPU multiply per grid step.
+    # Setting the one-hot's nonzero to s1 and the compat indicator to s2
+    # with s1 * s2 == tile_k makes every mismatch contribute exactly
+    # tile_k *inside the matmul*, so the kernel reads the pre-scaled key
+    # base straight out of the MXU and only adds the column iota.  Exact:
+    # max accumulator = L * tile_k <= 255 * 8128 < 2^31.  Valid whenever
+    # tile_k (always a power of two here) splits into int8-range factors.
+    key_s1 = 1 << ((tile_k.bit_length() - 1 + 1) // 2)
+    key_s2 = tile_k // key_s1
+    # Column-merge top-2: instead of two cross-lane min reductions per K
+    # step, keep elementwise running (smallest, second-smallest) keys per
+    # lane column across the K tiles and lane-reduce ONCE per B tile.  The
+    # per-column key only needs (count, tile-id) — the column is the lane
+    # position, recovered at the end — and ``count * ck`` comes pre-scaled
+    # out of the matmul (one-hot cs1, compat cs2, cs1 * cs2 == ck), so a K
+    # step costs ONE scalar add plus the 3-op two-smallest merge, with no
+    # reductions.  The final lane-wise top-2 extends keys to
+    # (count, tile, column) lexicographic order — exactly the reference's
+    # first-global-index tie-break.  Exactness: the extended key's maximum
+    # (MAX_COUNT+1) * ck * tile_k must stay an int32.
+    ck = 1 << max(1, (n_k_tiles - 1).bit_length())  # tile-id capacity
+    ck_s1 = 1 << ((ck.bit_length() - 1 + 1) // 2)
+    ck_s2 = ck // ck_s1
+    colmerge = (
+        _top2_colmerge
+        and int8_mxu
+        and tile_k & (tile_k - 1) == 0
+        and ck_s1 <= 127
+        and ck_s2 <= 127
+        and (MAX_COUNT + 2) * ck * tile_k < (1 << 31)
+    )
+    mxu_scaled = (
+        _fuse_key_scale and int8_mxu and key_s1 <= 127 and key_s2 <= 127
+        and not colmerge
+    )
+    if colmerge and _colmerge_unroll > 1 and n_k_tiles % _colmerge_unroll:
+        # pad the whitelist out to a whole number of unrolled steps (pad
+        # tiles behave exactly like pad columns: count == L, largest ids)
+        extra = _colmerge_unroll - n_k_tiles % _colmerge_unroll
+        n_k_tiles += extra
+        k_padded = n_k_tiles * tile_k
+        compat_host = np.concatenate(
+            [
+                compat_host,
+                np.ones((compat_host.shape[0], extra * tile_k), dtype=np.int8),
+            ],
+            axis=1,
+        )
+        ck = 1 << max(1, (n_k_tiles - 1).bit_length())
+        ck_s1 = 1 << ((ck.bit_length() - 1 + 1) // 2)
+        ck_s2 = ck // ck_s1
+        colmerge = (
+            ck_s1 <= 127 and ck_s2 <= 127
+            and (MAX_COUNT + 2) * ck * tile_k < (1 << 31)
+        )
+    if mxu_scaled:
+        compat_host = compat_host * np.int8(key_s2)
+    elif colmerge:
+        compat_host = compat_host * np.int8(ck_s2)
+
     def kernel(obs_ref, cls_ref, compat_ref, out_ref, acc):
         # Layout discipline: every per-read value stays a [TB, 1] column
         # (rows on sublanes) — 1-D vectors would force lane<->sublane
@@ -133,14 +206,20 @@ def make_pallas_assign_fn(
         # matching _compat_classmajor's row order.  The per-row class
         # constant comes in as an input (cls_ref): no per-step division.
         rep = pltpu.repeat(masks_t, repeats=onehot_width, axis=0)
-        onehot = (rep == cls_ref[:]).astype(in_dtype)
+        if mxu_scaled:
+            # nonzero = key_s1, paired with the key_s2-scaled compat table:
+            # the matmul emits counts * tile_k directly (see above).  The
+            # select runs over the small [W*L, TB] block, not [TB, TK].
+            onehot = jnp.where(rep == cls_ref[:], key_s1, 0).astype(in_dtype)
+        else:
+            onehot = (rep == cls_ref[:]).astype(in_dtype)
 
         counts = jax.lax.dot_general(
             onehot,
             compat_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
-        )  # [TB, TK], exact integers <= L <= 255
+        )  # [TB, TK], exact integers <= L <= 255 (x tile_k when mxu_scaled)
 
         # combined-key top-2: key = count * TK + col packs (count, index)
         # so a single min yields both with the first-occurrence tie-break;
@@ -157,7 +236,7 @@ def make_pallas_assign_fn(
         if int8_mxu:
             lcol = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
             big = MAX_COUNT * tile_k
-            key = counts * tile_k + lcol
+            key = counts + lcol if mxu_scaled else counts * tile_k + lcol
             m1 = jnp.min(key, axis=1, keepdims=True)  # [TB, 1]
             m2 = jnp.min(jnp.where(key == m1, big, key), axis=1, keepdims=True)
             cb = m1 // tile_k
@@ -193,26 +272,109 @@ def make_pallas_assign_fn(
         def _emit():
             out_ref[0, :, :] = acc[:]
 
+    st = tile_k.bit_length() - 1  # log2(tile_k)
+    sk = ck.bit_length() - 1  # log2(ck)
+    unroll = _colmerge_unroll if colmerge else 1
+    n_steps = -(-n_k_tiles // unroll)
+
+    def kernel_colmerge(obs_ref, cls_ref, compat_ref, out_ref, m1s, m2s):
+        # Reduction-free K steps: per (read, lane-column) keep the two
+        # smallest (count, tile-id) keys seen across K tiles, then one
+        # masked lane-wise top-2 over (count, tile, column) at the last
+        # K tile.  The matmul emits count * ck directly (scaled one-hot
+        # and compat), so the key build is a single scalar add.  With
+        # ``unroll`` > 1, several K tiles merge into the accumulators per
+        # grid step (pre-sorted pairwise), cutting accumulator VMEM
+        # traffic by the unroll factor.
+        kb = pl.program_id(1)
+        init = jnp.int32((MAX_COUNT + 1) << sk)
+
+        @pl.when(kb == 0)
+        def _init():
+            m1s[:] = jnp.full((tile_b, tile_k), init, jnp.int32)
+            m2s[:] = jnp.full((tile_b, tile_k), init, jnp.int32)
+
+        masks_t = obs_ref[:]
+        rep = pltpu.repeat(masks_t, repeats=onehot_width, axis=0)
+        onehot = jnp.where(rep == cls_ref[:], ck_s1, 0).astype(in_dtype)
+        lo = hi = None
+        for u in range(unroll):
+            counts_ck = jax.lax.dot_general(
+                onehot,
+                compat_ref[:, u * tile_k:(u + 1) * tile_k],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )  # [TB, TK] = count * ck, exact
+            gkey = counts_ck + (kb * unroll + u)
+            if lo is None:
+                lo, hi = gkey, None
+            elif hi is None:
+                lo, hi = jnp.minimum(lo, gkey), jnp.maximum(lo, gkey)
+            else:
+                lo2 = jnp.minimum(lo, gkey)
+                hi = jnp.minimum(hi, jnp.maximum(lo, gkey))
+                lo = lo2
+        prev1 = m1s[:]
+        m1s[:] = jnp.minimum(prev1, lo)
+        if hi is None:
+            m2s[:] = jnp.minimum(m2s[:], jnp.maximum(prev1, lo))
+        else:
+            m2s[:] = jnp.minimum(
+                jnp.minimum(m2s[:], hi), jnp.maximum(prev1, lo)
+            )
+
+        @pl.when(kb == n_steps - 1)
+        def _emit():
+            colid = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
+            ext1 = m1s[:] * tile_k + colid  # (count, tile, column) lex key
+            ext_init = init << st
+            g1 = jnp.min(ext1, axis=1, keepdims=True)  # [TB, 1]
+            masked = jnp.where(ext1 == g1, ext_init, ext1)
+            g2 = jnp.minimum(
+                jnp.min(masked, axis=1, keepdims=True),
+                jnp.min(m2s[:] * tile_k + colid, axis=1, keepdims=True),
+            )
+            bestc = g1 >> (sk + st)
+            best = jnp.minimum(bestc, MAX_COUNT)
+            kbb = (g1 >> st) & (ck - 1)
+            idx = kbb * tile_k + (g1 & (tile_k - 1))
+            nxt = jnp.minimum(g2 >> (sk + st), MAX_COUNT)
+            cid8 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 8), 1)
+            out_ref[0, :, :] = jnp.where(
+                cid8 == 0,
+                best,
+                jnp.where(cid8 == 1, idx, jnp.where(cid8 == 2, nxt, 0)),
+            )
+
     def run_kernel(obs_vals_t_i32, compat_dev):
         b = obs_vals_t_i32.shape[1]  # input is [L, B]
         n_b_tiles = b // tile_b
-        grid = (n_b_tiles, n_k_tiles)
+        grid = (n_b_tiles, n_steps)
         # results packed as [nB, TB, 8]: cols 0..2 = best/idx/next (8 lanes
         # keeps the accumulator in the natural rows-on-sublanes orientation)
         cls_col = jnp.asarray(
             (np.arange(wl, dtype=np.int32) // length)[:, None]
         )  # [W*L, 1]: class id per row (packed2: code 0..3 directly)
+        if colmerge:
+            body = kernel_colmerge
+            scratch = [
+                pltpu.VMEM((tile_b, tile_k), jnp.int32),
+                pltpu.VMEM((tile_b, tile_k), jnp.int32),
+            ]
+        else:
+            body = kernel
+            scratch = [pltpu.VMEM((tile_b, 8), jnp.int32)]
         out = pl.pallas_call(
-            kernel,
+            body,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((length, tile_b), lambda i, j: (0, i)),
                 pl.BlockSpec((wl, 1), lambda i, j: (0, 0)),
-                pl.BlockSpec((wl, tile_k), lambda i, j: (0, j)),
+                pl.BlockSpec((wl, tile_k * unroll), lambda i, j: (0, j)),
             ],
             out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n_b_tiles, tile_b, 8), jnp.int32),
-            scratch_shapes=[pltpu.VMEM((tile_b, 8), jnp.int32)],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(obs_vals_t_i32, cls_col, compat_dev)
         best2 = out[:, :, 0].reshape(b)

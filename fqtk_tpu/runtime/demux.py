@@ -452,13 +452,15 @@ def _build_device_assign_fn(
 
         # int8 MXU + bit2-packed observations (ambiguous rows flagged by the
         # engine and resolved host-side, same as the XLA bit2 path) at the
-        # measured-best tiles — 2.07x the bf16/nib4 kernel at K=737K
+        # measured-best tiles; the column-merge top-2 reduction (see
+        # pallas_matcher) measured 1.7x the per-step lane-reduce scheme at
+        # K=737K, itself 2.07x the round-2 bf16/nib4 kernel
         fn = make_pallas_assign_fn(
             expected,
             cfg.max_mismatches,
             cfg.min_mismatch_delta,
             tile_b=512,
-            tile_k=4096,
+            tile_k=2048,
             packed2=True,
             compact_output=True,
             mxu_dtype="int8",

@@ -130,6 +130,33 @@ def test_pallas_packed2_matches_numpy(mxu_dtype):
     np.testing.assert_array_equal(j_next, np_next)
 
 
+@pytest.mark.parametrize("colmerge,unroll", [(False, 1), (True, 1), (True, 2), (True, 3)])
+def test_pallas_top2_schemes_agree(colmerge, unroll):
+    """Both top-2 reductions (per-step lane-reduce and column-merge, incl.
+    unrolled column-merge with a partial last step) must reproduce the
+    numpy spec — with duplicated barcodes forcing cross-tile count ties,
+    where the first global index must win."""
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = rng.choice(bases, size=(300, 12)).astype(np.uint8)
+    seqs[150] = seqs[3]  # same barcode in tiles 1 and 2 -> best-count tie
+    seqs[299] = seqs[0]
+    barcodes = [bytes(r).decode() for r in seqs]
+    es = ExpectedSet.from_barcodes(barcodes)
+    obs = rng.choice(bases, size=(600, 12)).astype(np.uint8)
+    obs[:300] = seqs
+    np_idx, np_best, np_next = assign_batch_np(obs, es, 2, 1)
+    expect = np.where(np_idx < 0, es.count, np_idx)
+    fn = make_pallas_assign_fn(
+        es, 2, 1, tile_b=256, tile_k=128, interpret=True,
+        _top2_colmerge=colmerge, _colmerge_unroll=unroll,
+    )
+    idx, best, nxt = (np.asarray(x) for x in fn(obs))
+    np.testing.assert_array_equal(idx, expect)
+    np.testing.assert_array_equal(best, np_best)
+    np.testing.assert_array_equal(nxt, np_next)
+
+
 def test_pallas_packed_masks_and_compact_output():
     from fqtk_tpu.core.encoding import ENCODE_LUT
 
