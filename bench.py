@@ -413,16 +413,20 @@ def run_config_ab(
 
 def bench_midk_config():
     """Mid-K (host-matcher cap < K < pigeonhole threshold): here the TPU
-    device XLA path IS the production auto-choice — brute force is too big
-    for the host but the [B, K] contraction is MXU food.  Matcher-level,
-    proxy measured on identical reads (reference scalar branch-and-bound)."""
+    device path IS the production auto-choice — brute force is too big for
+    the host but the [B, K] contraction is MXU food.  Since the
+    column-merge top-2 landed, the production engine is the fused pallas
+    kernel (bit2 transfer, int8 MXU) rather than the XLA contraction (4-6x
+    slower device-side at this K).  Matcher-level, proxy measured on
+    identical reads (reference scalar branch-and-bound)."""
     import ctypes
 
     import jax
     import jax.numpy as jnp
 
     from fqtk_tpu.io import native as native_io
-    from fqtk_tpu.ops.matcher import ExpectedSet, make_assign_fn
+    from fqtk_tpu.ops.matcher import ExpectedSet
+    from fqtk_tpu.ops.pallas_matcher import make_pallas_assign_fn
 
     k, length = 8192, 16
     rng = np.random.default_rng(11)
@@ -444,34 +448,53 @@ def bench_midk_config():
     obs[mut, pos[mut]] = letters[rng.integers(0, 4, size=int(mut.sum()))]
 
     expected = ExpectedSet.from_barcodes(barcodes)
-    assign = make_assign_fn(expected, 1, 2)
+    # production engine: pallas colmerge, bit2-packed transfer (the demux
+    # driver's single-chip device branch, runtime/demux.py)
+    fn = make_pallas_assign_fn(
+        expected, 1, 2, tile_b=512, tile_k=2048, packed2=True,
+        compact_output=True, mxu_dtype="int8",
+    )
+    code2 = np.zeros(256, dtype=np.uint8)
+    for c, bb in zip((0, 1, 2, 3), b"ACGT"):
+        code2[bb] = c
+
+    def pack_bit2(byts):
+        cc = code2[byts]
+        return (
+            cc[:, 0::4] | (cc[:, 1::4] << 2) | (cc[:, 2::4] << 4)
+            | (cc[:, 3::4] << 6)
+        ).astype(np.uint8)
+
+    jitted, compat = fn.jitted, fn.compat_dev
+    assign = lambda x: jitted(x, compat)  # noqa: E731
 
     iters = 4
     inputs = [
         jax.device_put(
-            bc_bytes[rng.integers(0, k, size=b)].copy()  # rotate: relay memoizes
+            pack_bit2(bc_bytes[rng.integers(0, k, size=b)])  # rotate: relay memoizes
         )
         for _ in range(iters)
     ]
-    int(jnp.sum(assign(jax.device_put(obs))[0]))  # compile + warm
+    int(jnp.sum(assign(jax.device_put(pack_bit2(obs)))[0].astype(jnp.int32)))
     t0 = time.perf_counter()
     for x in inputs:
-        _ = int(jnp.sum(assign(x)[0]))
+        _ = int(jnp.sum(assign(x)[0].astype(jnp.int32)))
     call_rate = b * iters / (time.perf_counter() - t0)
 
     dev_rate = _device_only_rate(
         assign,
-        lambda n: bc_bytes[rng.integers(0, k, size=n)].copy(),
-        batches=(1 << 16, 1 << 17),
+        lambda n: pack_bit2(bc_bytes[rng.integers(0, k, size=n)]),
+        batches=(1 << 18, 1 << 19),
     )
-    peak, kind = _peak_ops("bf16")
-    ops = 2.0 * assign.macs_per_row * dev_rate
+    peak, kind = _peak_ops("int8")
+    ops = 2.0 * fn.macs_per_row * dev_rate
 
     result = {
         "name": "mid_K_8192_16bp_mm1_d2",
         "level": "matcher",
-        "engine": "device XLA contraction (product auto-path for "
-        "4096 < K < 65536 on one chip)",
+        "engine": "pallas column-merge kernel, int8/bit2 (product "
+        "auto-path for 4096 < K < 65536 on one chip; was the XLA "
+        "contraction, 4-6x slower device-side)",
         "reads_per_sec": round(call_rate, 1),
         "device_only_reads_per_sec": round(dev_rate, 1),
         "device_kind": kind,

@@ -466,6 +466,23 @@ def _build_device_assign_fn(
             mxu_dtype="int8",
         )
         pack_mode = "bit2"
+    elif jax.default_backend() != "cpu":
+        from ..ops.pallas_matcher import make_pallas_assign_fn
+
+        # mid-K single chip (host-matcher cap < K < pigeonhole threshold):
+        # the column-merge pallas kernel measured 4-6x the XLA [B, K]
+        # contraction at K=8192 on v5e (see DESIGN.md), same bit2 transfer
+        fn = make_pallas_assign_fn(
+            expected,
+            cfg.max_mismatches,
+            cfg.min_mismatch_delta,
+            tile_b=512,
+            tile_k=2048,
+            packed2=True,
+            compact_output=True,
+            mxu_dtype="int8",
+        )
+        pack_mode = "bit2"
     else:
         from ..ops.matcher import make_assign_fn
 
