@@ -886,28 +886,53 @@ def main():
         guarded("subsample_PE_fraction0.3", bench_subsample_config, tmp, paths)
 
     baseline_rps, baseline_note = rust_baseline()
+    full = {
+        "metric": "demux_e2e_reads_per_sec",
+        "value": round(e2e_rps, 1),
+        "unit": "reads/s",
+        # vs_baseline is the CONTROLLED comparison: product and
+        # reference-architecture proxy measured back-to-back on the
+        # same inputs in the same noise window (this VM has ~2x
+        # noisy-neighbor phases lasting tens of minutes, so ratios
+        # against numbers from other windows are not meaningful).
+        # The best-ever-observed pinned proxy is kept alongside.
+        "vs_baseline": round(e2e_rps / proxy_di, 4)
+        if proxy_di
+        else round(e2e_rps / baseline_rps, 4),
+        "vs_pinned_best_proxy": round(e2e_rps / baseline_rps, 4),
+        "kernel_assign_reads_per_sec": round(kernel_rps, 1),
+        "kernel_device": kernel_device,
+        "stage_seconds": stage_timings,
+        "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2, native engine",
+        "baseline_note": baseline_note,
+        "configs": configs,
+    }
+    print(json.dumps(full))
+    # The driver keeps only the TAIL of the bench output, so the big line
+    # above can lose its headline fields to truncation.  Persist the full
+    # record to disk and re-print a compact headline-last summary so any
+    # tail capture still carries the numbers that matter.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "demux_e2e_reads_per_sec",
-                "value": round(e2e_rps, 1),
+                "headline_reads_per_sec": full["value"],
                 "unit": "reads/s",
-                # vs_baseline is the CONTROLLED comparison: product and
-                # reference-architecture proxy measured back-to-back on the
-                # same inputs in the same noise window (this VM has ~2x
-                # noisy-neighbor phases lasting tens of minutes, so ratios
-                # against numbers from other windows are not meaningful).
-                # The best-ever-observed pinned proxy is kept alongside.
-                "vs_baseline": round(e2e_rps / proxy_di, 4)
-                if proxy_di
-                else round(e2e_rps / baseline_rps, 4),
-                "vs_pinned_best_proxy": round(e2e_rps / baseline_rps, 4),
-                "kernel_assign_reads_per_sec": round(kernel_rps, 1),
-                "kernel_device": kernel_device,
-                "stage_seconds": stage_timings,
-                "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2, native engine",
-                "baseline_note": baseline_note,
-                "configs": configs,
+                "vs_baseline": full["vs_baseline"],
+                "configs_vs_baseline": {
+                    c["name"]: c.get("vs_config_baseline")
+                    for c in configs
+                },
+                "value": full["value"],
             }
         )
     )

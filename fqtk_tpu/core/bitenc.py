@@ -36,8 +36,12 @@ class BitEnc:
 
     @classmethod
     def with_capacity(cls, width: int, n: int) -> "BitEnc":
+        """Pre-size the block storage for ``n`` values (``bitenc.rs:86-95``
+        reserves ``n * width / 32`` blocks).  CPython lists have no reserve,
+        so the blocks are allocated zeroed up front; ``nr_blocks`` reports
+        *used* blocks, so capacity stays unobservable, as in the reference."""
         enc = cls(width)
-        enc._storage = []
+        enc._storage = [0] * (n * width // 32)
         return enc
 
     def __len__(self) -> int:
@@ -47,7 +51,8 @@ class BitEnc:
         return self._len == 0
 
     def nr_blocks(self) -> int:
-        return len(self._storage)
+        # used blocks, not physical capacity (with_capacity preallocates)
+        return -(-self._len // self._per_block)
 
     def nr_symbols(self) -> int:
         return self._len
@@ -61,7 +66,7 @@ class BitEnc:
 
     def push(self, value: int) -> None:
         block, off = self._addr(self._len)
-        if block == len(self._storage):
+        if block >= len(self._storage):
             self._storage.append(0)
         self._storage[block] |= (value & self._mask) << (off * self.width)
         self._len += 1

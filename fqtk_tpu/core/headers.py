@@ -67,6 +67,14 @@ def rewrite_header(
     else:
         sep_count = comment.count(b":")
         if sep_count < 3:
+            if not comment:
+                # A header ending in a space has an empty comment; the
+                # reference fail-fasts here (`chars.last().unwrap()` panics
+                # on None, demux.rs:231).  Matched, with a clearer message.
+                raise HeaderError(
+                    "Header comment is empty: "
+                    + header.decode("utf-8", "replace")
+                )
             out += comment
             if comment[-1:] != b":":
                 out += b":"
@@ -83,6 +91,15 @@ def rewrite_header(
                 remainder = comment[first_colon + 1 : -1]
             else:
                 remainder = comment[first_colon + 1 :]
+            if not remainder:
+                # Unreachable for a 4-part comment (the first colon cannot
+                # be the last character when three colons follow it), but
+                # the reference's `remainder.last().unwrap()` (demux.rs:251)
+                # would panic here — matched defensively.
+                raise HeaderError(
+                    "Header comment index section is empty: "
+                    + header.decode("utf-8", "replace")
+                )
             out += b"%d:" % read_num
             out += remainder
             if remainder[-1:] != b":":

@@ -156,29 +156,52 @@ def make_pallas_assign_fn(
         and (MAX_COUNT + 2) * ck * tile_k < (1 << 31)
     )
     mxu_scaled = (
-        _fuse_key_scale and int8_mxu and key_s1 <= 127 and key_s2 <= 127
+        _fuse_key_scale and int8_mxu
+        and key_s1 <= 127 and key_s2 <= 127
+        # key_s1 * key_s2 must equal tile_k exactly or count/column key
+        # ranges overlap (only guaranteed for power-of-two tile_k)
+        and key_s1 * key_s2 == tile_k
         and not colmerge
     )
-    if colmerge and _colmerge_unroll > 1 and n_k_tiles % _colmerge_unroll:
+    unroll_eff = _colmerge_unroll
+    if colmerge and unroll_eff > 1 and n_k_tiles % unroll_eff:
         # pad the whitelist out to a whole number of unrolled steps (pad
-        # tiles behave exactly like pad columns: count == L, largest ids)
-        extra = _colmerge_unroll - n_k_tiles % _colmerge_unroll
-        n_k_tiles += extra
-        k_padded = n_k_tiles * tile_k
-        compat_host = np.concatenate(
-            [
-                compat_host,
-                np.ones((compat_host.shape[0], extra * tile_k), dtype=np.int8),
-            ],
-            axis=1,
-        )
-        ck = 1 << max(1, (n_k_tiles - 1).bit_length())
-        ck_s1 = 1 << ((ck.bit_length() - 1 + 1) // 2)
-        ck_s2 = ck // ck_s1
-        colmerge = (
-            ck_s1 <= 127 and ck_s2 <= 127
-            and (MAX_COUNT + 2) * ck * tile_k < (1 << 31)
-        )
+        # tiles behave exactly like pad columns: count == L, largest ids).
+        # Feasibility is rechecked BEFORE mutating anything: the padding can
+        # double ck past the int8/int32 key bounds, and in that case we keep
+        # the (already feasible) unroll=1 colmerge kernel instead of padding
+        # and falling into the slower per-step scheme.
+        extra = unroll_eff - n_k_tiles % unroll_eff
+        nkt2 = n_k_tiles + extra
+        ck2 = 1 << max(1, (nkt2 - 1).bit_length())
+        ck2_s1 = 1 << ((ck2.bit_length() - 1 + 1) // 2)
+        ck2_s2 = ck2 // ck2_s1
+        if (
+            ck2_s1 <= 127 and ck2_s2 <= 127
+            and (MAX_COUNT + 2) * ck2 * tile_k < (1 << 31)
+        ):
+            n_k_tiles = nkt2
+            k_padded = n_k_tiles * tile_k
+            compat_host = np.concatenate(
+                [
+                    compat_host,
+                    np.ones(
+                        (compat_host.shape[0], extra * tile_k), dtype=np.int8
+                    ),
+                ],
+                axis=1,
+            )
+            ck, ck_s1, ck_s2 = ck2, ck2_s1, ck2_s2
+        else:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "colmerge unroll %d would push the tile-id key past int8/"
+                "int32 bounds at %d K tiles; keeping unroll=1",
+                unroll_eff,
+                nkt2,
+            )
+            unroll_eff = 1
     if mxu_scaled:
         compat_host = compat_host * np.int8(key_s2)
     elif colmerge:
@@ -274,7 +297,7 @@ def make_pallas_assign_fn(
 
     st = tile_k.bit_length() - 1  # log2(tile_k)
     sk = ck.bit_length() - 1  # log2(ck)
-    unroll = _colmerge_unroll if colmerge else 1
+    unroll = unroll_eff if colmerge else 1
     n_steps = -(-n_k_tiles // unroll)
 
     def kernel_colmerge(obs_ref, cls_ref, compat_ref, out_ref, m1s, m2s):

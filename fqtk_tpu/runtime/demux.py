@@ -447,31 +447,23 @@ def _build_device_assign_fn(
             False,
         )
 
-    if big_k and jax.default_backend() != "cpu":
+    # The fused Pallas kernel requires an actual TPU backend (pltpu lowering)
+    # and barcode lengths <= 255 (combined-key exactness bound); anything
+    # else — CPU backend, a GPU jax install, long barcodes — takes the XLA
+    # contraction, which lowers everywhere.
+    pallas_ok = (
+        expected.length <= 255 and jax.default_backend() == "tpu"
+    )
+    if pallas_ok:
         from ..ops.pallas_matcher import make_pallas_assign_fn
 
-        # int8 MXU + bit2-packed observations (ambiguous rows flagged by the
-        # engine and resolved host-side, same as the XLA bit2 path) at the
-        # measured-best tiles; the column-merge top-2 reduction (see
-        # pallas_matcher) measured 1.7x the per-step lane-reduce scheme at
-        # K=737K, itself 2.07x the round-2 bf16/nib4 kernel
-        fn = make_pallas_assign_fn(
-            expected,
-            cfg.max_mismatches,
-            cfg.min_mismatch_delta,
-            tile_b=512,
-            tile_k=2048,
-            packed2=True,
-            compact_output=True,
-            mxu_dtype="int8",
-        )
-        pack_mode = "bit2"
-    elif jax.default_backend() != "cpu":
-        from ..ops.pallas_matcher import make_pallas_assign_fn
-
-        # mid-K single chip (host-matcher cap < K < pigeonhole threshold):
-        # the column-merge pallas kernel measured 4-6x the XLA [B, K]
-        # contraction at K=8192 on v5e (see DESIGN.md), same bit2 transfer
+        # Single chip, any K above the host-matcher cap: int8 MXU + bit2-
+        # packed observations (ambiguous rows flagged by the engine and
+        # resolved host-side, same as the XLA bit2 path) at the measured-
+        # best tiles.  The column-merge top-2 reduction (see pallas_matcher)
+        # measured 1.7x the per-step lane-reduce scheme at K=737K (itself
+        # 2.07x the round-2 bf16/nib4 kernel) and 4-6x the XLA [B, K]
+        # contraction at mid-K (K=8192) on v5e; see DESIGN.md.
         fn = make_pallas_assign_fn(
             expected,
             cfg.max_mismatches,

@@ -1036,9 +1036,16 @@ inline int64_t rewrite_header_buf(
     for (size_t i = 0; i < comment_len; i++)
       if (comment[i] == ':') sep_count++;
     if (sep_count < 3) {
+      if (comment_len == 0) {
+        // header ends in a space: the reference fail-fasts here
+        // (chars.last().unwrap() on None, demux.rs:231)
+        *err = "Header comment is empty: " +
+               std::string(reinterpret_cast<const char*>(header), header_len);
+        return -1;
+      }
       memcpy(p, comment, comment_len);
       p += comment_len;
-      if (comment_len == 0 || comment[comment_len - 1] != ':') *p++ = ':';
+      if (comment[comment_len - 1] != ':') *p++ = ':';
     } else {
       if (sep_count != 3) {
         *err = "Comment in did not have 4 segments: " +
@@ -1053,11 +1060,18 @@ inline int64_t rewrite_header_buf(
       if (rem_len > 0 && comment[comment_len - 1] >= '0' &&
           comment[comment_len - 1] <= '9')
         rem_len -= 1;
+      if (rem_len == 0) {
+        // unreachable for a 4-part comment, but the reference's
+        // remainder.last().unwrap() (demux.rs:251) would panic here
+        *err = "Header comment index section is empty: " +
+               std::string(reinterpret_cast<const char*>(header), header_len);
+        return -1;
+      }
       p += format_int(reinterpret_cast<char*>(p), read_num);
       *p++ = ':';
       memcpy(p, rem, rem_len);
       p += rem_len;
-      if (rem_len == 0 || rem[rem_len - 1] != ':') *p++ = '+';
+      if (rem[rem_len - 1] != ':') *p++ = '+';
     }
   }
 

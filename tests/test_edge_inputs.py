@@ -129,3 +129,43 @@ def test_empty_gzip_input(tmp_path):
     assert gzip.open(out / "S0.R1.fq.gz").read() == b""
     metrics = (out / "demux-metrics.txt").read_text().splitlines()
     assert all(r.split("\t")[2] == "0" for r in metrics[1:])
+
+
+def test_header_trailing_space_fails_both_engines(tmp_path):
+    # "@name " has an empty comment: the reference panics in
+    # write_header_internal (`chars.last().unwrap()`, demux.rs:231).  Both
+    # engines must fail the run with the shared contract message rather
+    # than silently emitting "name :".
+    src = tmp_path / "r.fastq"
+    src.write_text("@q1 \nGATTGGGA\n+\n;;;;;;;;\n")
+    meta = _meta(tmp_path, ["GATTGGG"])
+    for engine in ("native", "numpy"):
+        out = tmp_path / f"out_sp_{engine}"
+        cfg = DemuxConfig(
+            inputs=[src],
+            read_structures=["7B+T"],
+            sample_metadata=meta,
+            output=out,
+            engine=engine,
+        )
+        try:
+            run_demux(cfg)
+            raise AssertionError(f"{engine}: empty-comment header accepted")
+        except AssertionError:
+            raise
+        except Exception as exc:  # DemuxError (native) / HeaderError (numpy)
+            assert "Header comment is empty" in str(exc), (engine, exc)
+
+
+def test_header_degenerate_four_part_comment_both_engines(tmp_path):
+    # ":::" and ":::5" are 4-part comments with empty fields; the engines
+    # must agree byte-for-byte on the rewrite (remainder "::", no '+')
+    src = tmp_path / "r.fastq"
+    src.write_text(
+        "@q1 :::\nGATTGGGA\n+\n;;;;;;;;\n@q2 :::5\nGATTGGGC\n+\n;;;;;;;;\n"
+    )
+    meta = _meta(tmp_path, ["GATTGGG"])
+    out = _run_both(tmp_path, [src], ["7B+T"], meta)
+    data = gzip.open(out / "S0.R1.fq.gz").read()
+    assert b"@q1 1:::GATTGGG\n" in data
+    assert b"@q2 1:::GATTGGG\n" in data

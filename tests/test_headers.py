@@ -73,3 +73,25 @@ def test_comment_trailing_colon_no_plus():
 def test_comment_too_many_parts():
     with pytest.raises(HeaderError, match="4 segments"):
         rewrite_header(b"q1 1:N:0:0:0", 1, [b"ACGT"], [])
+
+
+def test_empty_comment_fails_fast():
+    # A header ending in a space has an empty comment; the reference panics
+    # (`chars.last().unwrap()` on None, demux.rs:231) — matched as an error.
+    with pytest.raises(HeaderError, match="Header comment is empty"):
+        rewrite_header(b"q1 ", 1, [b"ACGT"], [])
+
+
+def test_degenerate_four_part_comment_empty_fields():
+    # comment ":::" has 3 colons and all-empty fields; the reference's
+    # remainder is "::" (non-empty), emitted without a trailing '+'
+    # (demux.rs:238-255)
+    out = rewrite_header(b"q1 :::", 2, [b"GATT"], [])
+    assert out == b"@q1 2:::GATT"
+
+
+def test_degenerate_four_part_comment_trailing_digit_strip():
+    # ":::5" strips the Illumina '0'-style trailing digit placeholder,
+    # remainder "::" again ends in ':' so no '+' separator
+    out = rewrite_header(b"q1 :::5", 2, [b"GATT"], [])
+    assert out == b"@q1 2:::GATT"
