@@ -35,18 +35,35 @@ the K tiles of one B tile (standard accumulator pattern).  Tie-breaks match
 the reference scan (first index wins, ``barcode_matching.rs:132``) because
 the combined key picks the first minimum within a tile and the cross-tile
 merge prefers the earlier tile on ties.
+
+The kernel is factored into three pieces so the multi-device K-sharded path
+(:mod:`fqtk_tpu.parallel.mesh`) can run the SAME kernel per whitelist shard
+inside ``shard_map``:
+
+- :func:`plan_local_kernel` — static tiling/scheme decisions for a local
+  column count ``k``;
+- :func:`compat_for_plan` — class-major (scaled, padded) mismatch table for
+  a mask array, built per shard so the full [L*16, K] table never
+  materializes;
+- :func:`make_kernel_runner` — ``(vals_t[L, B] int32, compat) -> (best,
+  idx, next)`` over the local columns (pad columns score exactly L and can
+  never win while a real column exists; see the in-kernel comments).
 """
 
 from __future__ import annotations
 
+import logging
+from dataclasses import dataclass
 
 import numpy as np
 
 from .matcher import MAX_COUNT, ExpectedSet
 
+logger = logging.getLogger(__name__)
+
 
 def _compat_classmajor(
-    expected: ExpectedSet, k_padded: int, onehot_width: int
+    masks: np.ndarray, k_padded: int, onehot_width: int
 ) -> np.ndarray:
     """Mismatch-indicator table in *class-major* row layout ``c*L + l``.
 
@@ -54,15 +71,16 @@ def _compat_classmajor(
     times, so kernel column ``j`` corresponds to position ``l = j % L`` and
     class ``c = j // L`` — the row order here must match.  Classes are the
     16 possible 4-bit masks (nib4 input) or the 4 pure base codes mapped to
-    their masks 1/2/4/8 (packed2 input).
+    their masks 1/2/4/8 (packed2 input).  ``masks`` is ``[K, L] uint8``
+    (``ExpectedSet.masks`` or a K-shard slice of it).
     """
-    length, k = expected.length, expected.count
+    k, length = masks.shape
     if onehot_width == 4:
         c = np.array([1, 2, 4, 8], dtype=np.uint8)  # masks of codes 0..3
     else:
         c = np.arange(16, dtype=np.uint8)
     # viol[c, l, k] = 1 iff mask value c has a bit outside expected (k, l)
-    viol = (c[:, None, None] & ~expected.masks.T[None, :, :]) & 0xF
+    viol = (c[:, None, None] & ~masks.T[None, :, :]) & 0xF
     compat = (viol != 0).astype(np.int8).reshape(onehot_width * length, k)
     if k_padded != k:
         pad = np.ones((compat.shape[0], k_padded - k), dtype=np.int8)
@@ -70,42 +88,59 @@ def _compat_classmajor(
     return compat
 
 
-def make_pallas_assign_fn(
-    expected: ExpectedSet,
-    max_mismatches: int,
-    min_mismatch_delta: int,
+@dataclass(frozen=True)
+class KernelPlan:
+    """Static decisions for one kernel instantiation over ``k`` columns."""
+
+    k: int
+    length: int
+    onehot_width: int
+    wl: int
+    tile_b: int
+    tile_k: int
+    n_k_tiles: int
+    k_padded: int
+    colmerge: bool
+    mxu_scaled: bool
+    key_s1: int
+    key_s2: int
+    ck: int
+    ck_s1: int
+    ck_s2: int
+    unroll: int
+    n_steps: int
+    int8_mxu: bool
+    interpret: bool
+
+    @property
+    def compat_scale(self) -> int:
+        """Factor baked into the compat table (rides the matmul)."""
+        if self.mxu_scaled:
+            return self.key_s2
+        if self.colmerge:
+            return self.ck_s2
+        return 1
+
+    @property
+    def macs_per_row(self) -> int:
+        return self.k_padded * self.wl
+
+
+def plan_local_kernel(
+    k: int,
+    length: int,
     tile_b: int = 512,
     tile_k: int = 512,
     interpret: bool = False,
-    packed_masks: bool = False,
     packed2: bool = False,
-    compact_output: bool = False,
     mxu_dtype: str = "int8",
     _fuse_key_scale: bool = True,
     _top2_colmerge: bool = True,
     _colmerge_unroll: int = 1,
-):
-    """Build ``obs_bytes[B, L] -> (assigned, best, next)`` with the fused
-    Pallas kernel.  B must be a multiple of ``tile_b`` (the demux pipeline
-    always ships fixed-size padded batches).
-
-    ``packed_masks``: input is ``[B, ceil(L/2)] uint8`` nib4 (two 4-bit
-    IUPAC masks per byte).  ``packed2``: input is ``[B, ceil(L/4)] uint8``
-    (four 2-bit ACGT codes per byte); the no-call gate is skipped — the
-    caller resolves flagged ambiguous rows host-side.  ``mxu_dtype``:
-    "int8" (default; double MXU rate) or "bf16".
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if packed_masks and packed2:
-        raise ValueError("packed_masks and packed2 are mutually exclusive")
+) -> KernelPlan:
+    """Choose tiling and reduction scheme for ``k`` local columns."""
     if mxu_dtype not in ("int8", "bf16"):
         raise ValueError(f"mxu_dtype must be int8 or bf16, got {mxu_dtype}")
-    k = expected.count
-    length = expected.length
     if length > 255:
         raise ValueError(
             "pallas matcher supports barcode lengths <= 255 (combined-key "
@@ -116,12 +151,8 @@ def make_pallas_assign_fn(
     tile_k = min(tile_k, max(128, 1 << (k - 1).bit_length()))
     n_k_tiles = -(-k // tile_k)
     k_padded = n_k_tiles * tile_k
-    compat_host = _compat_classmajor(expected, k_padded, onehot_width)
-    nocall_budget = max_mismatches + expected.max_ns_in_barcodes
 
     int8_mxu = mxu_dtype == "int8"
-    in_dtype = jnp.int8 if int8_mxu else jnp.bfloat16
-    acc_dtype = jnp.int32 if int8_mxu else jnp.float32
 
     # MXU-fused key scaling (int8 mode): the combined key needs
     # ``counts * tile_k`` — a full [TB, TK] VPU multiply per grid step.
@@ -167,10 +198,10 @@ def make_pallas_assign_fn(
     if colmerge and unroll_eff > 1 and n_k_tiles % unroll_eff:
         # pad the whitelist out to a whole number of unrolled steps (pad
         # tiles behave exactly like pad columns: count == L, largest ids).
-        # Feasibility is rechecked BEFORE mutating anything: the padding can
-        # double ck past the int8/int32 key bounds, and in that case we keep
-        # the (already feasible) unroll=1 colmerge kernel instead of padding
-        # and falling into the slower per-step scheme.
+        # Feasibility is rechecked BEFORE committing: the padding can
+        # double ck past the int8/int32 key bounds, and in that case we
+        # keep the (already feasible) unroll=1 colmerge kernel instead of
+        # padding and falling into the slower per-step scheme.
         extra = unroll_eff - n_k_tiles % unroll_eff
         nkt2 = n_k_tiles + extra
         ck2 = 1 << max(1, (nkt2 - 1).bit_length())
@@ -182,30 +213,74 @@ def make_pallas_assign_fn(
         ):
             n_k_tiles = nkt2
             k_padded = n_k_tiles * tile_k
-            compat_host = np.concatenate(
-                [
-                    compat_host,
-                    np.ones(
-                        (compat_host.shape[0], extra * tile_k), dtype=np.int8
-                    ),
-                ],
-                axis=1,
-            )
             ck, ck_s1, ck_s2 = ck2, ck2_s1, ck2_s2
         else:
-            import logging
-
-            logging.getLogger(__name__).info(
+            logger.info(
                 "colmerge unroll %d would push the tile-id key past int8/"
                 "int32 bounds at %d K tiles; keeping unroll=1",
                 unroll_eff,
                 nkt2,
             )
             unroll_eff = 1
-    if mxu_scaled:
-        compat_host = compat_host * np.int8(key_s2)
-    elif colmerge:
-        compat_host = compat_host * np.int8(ck_s2)
+    unroll = unroll_eff if colmerge else 1
+    n_steps = -(-n_k_tiles // unroll)
+    return KernelPlan(
+        k=k,
+        length=length,
+        onehot_width=onehot_width,
+        wl=wl,
+        tile_b=tile_b,
+        tile_k=tile_k,
+        n_k_tiles=n_k_tiles,
+        k_padded=k_padded,
+        colmerge=colmerge,
+        mxu_scaled=mxu_scaled,
+        key_s1=key_s1,
+        key_s2=key_s2,
+        ck=ck,
+        ck_s1=ck_s1,
+        ck_s2=ck_s2,
+        unroll=unroll,
+        n_steps=n_steps,
+        int8_mxu=int8_mxu,
+        interpret=interpret,
+    )
+
+
+def compat_for_plan(masks: np.ndarray, plan: KernelPlan) -> np.ndarray:
+    """Class-major compat table for ``masks`` [K, L], padded + scaled."""
+    compat = _compat_classmajor(masks, plan.k_padded, plan.onehot_width)
+    if plan.compat_scale != 1:
+        compat = compat * np.int8(plan.compat_scale)
+    return compat
+
+
+def make_kernel_runner(plan: KernelPlan):
+    """Build ``run(vals_t[L, B] int32, compat_dev) -> (best, idx, next)``.
+
+    ``vals_t`` is the TRANSPOSED observed class-value matrix (mask values
+    0..15 for nib4, codes 0..3 for packed2); B must be a multiple of
+    ``plan.tile_b``.  ``compat_dev`` is :func:`compat_for_plan`'s output on
+    device (dtype int8 or bfloat16 to match the plan).  Pure function of the
+    local columns — used directly by the single-device path and per shard
+    under ``shard_map`` by the K-sharded mesh path.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile_b, tile_k = plan.tile_b, plan.tile_k
+    length, wl, onehot_width = plan.length, plan.wl, plan.onehot_width
+    n_k_tiles, k_padded = plan.n_k_tiles, plan.k_padded
+    colmerge, mxu_scaled = plan.colmerge, plan.mxu_scaled
+    key_s1, ck, ck_s1 = plan.key_s1, plan.ck, plan.ck_s1
+    unroll, n_steps = plan.unroll, plan.n_steps
+    in_dtype = jnp.int8 if plan.int8_mxu else jnp.bfloat16
+    acc_dtype = jnp.int32 if plan.int8_mxu else jnp.float32
+    int8_mxu = plan.int8_mxu
+    st = tile_k.bit_length() - 1  # log2(tile_k)
+    sk = ck.bit_length() - 1  # log2(ck)
 
     def kernel(obs_ref, cls_ref, compat_ref, out_ref, acc):
         # Layout discipline: every per-read value stays a [TB, 1] column
@@ -295,11 +370,6 @@ def make_pallas_assign_fn(
         def _emit():
             out_ref[0, :, :] = acc[:]
 
-    st = tile_k.bit_length() - 1  # log2(tile_k)
-    sk = ck.bit_length() - 1  # log2(ck)
-    unroll = unroll_eff if colmerge else 1
-    n_steps = -(-n_k_tiles // unroll)
-
     def kernel_colmerge(obs_ref, cls_ref, compat_ref, out_ref, m1s, m2s):
         # Reduction-free K steps: per (read, lane-column) keep the two
         # smallest (count, tile-id) keys seen across K tiles, then one
@@ -369,15 +439,17 @@ def make_pallas_assign_fn(
                 jnp.where(cid8 == 1, idx, jnp.where(cid8 == 2, nxt, 0)),
             )
 
+    cls_col_host = (np.arange(wl, dtype=np.int32) // length)[:, None]
+
     def run_kernel(obs_vals_t_i32, compat_dev):
+        import jax.numpy as jnp
+
         b = obs_vals_t_i32.shape[1]  # input is [L, B]
         n_b_tiles = b // tile_b
         grid = (n_b_tiles, n_steps)
         # results packed as [nB, TB, 8]: cols 0..2 = best/idx/next (8 lanes
         # keeps the accumulator in the natural rows-on-sublanes orientation)
-        cls_col = jnp.asarray(
-            (np.arange(wl, dtype=np.int32) // length)[:, None]
-        )  # [W*L, 1]: class id per row (packed2: code 0..3 directly)
+        cls_col = jnp.asarray(cls_col_host)  # [W*L, 1]: class id per row
         if colmerge:
             body = kernel_colmerge
             scratch = [
@@ -398,12 +470,65 @@ def make_pallas_assign_fn(
             out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n_b_tiles, tile_b, 8), jnp.int32),
             scratch_shapes=scratch,
-            interpret=interpret,
+            interpret=plan.interpret,
         )(obs_vals_t_i32, cls_col, compat_dev)
         best2 = out[:, :, 0].reshape(b)
         idx2 = out[:, :, 1].reshape(b)
         next2 = out[:, :, 2].reshape(b)
         return best2, idx2, next2
+
+    return run_kernel
+
+
+def make_pallas_assign_fn(
+    expected: ExpectedSet,
+    max_mismatches: int,
+    min_mismatch_delta: int,
+    tile_b: int = 512,
+    tile_k: int = 512,
+    interpret: bool = False,
+    packed_masks: bool = False,
+    packed2: bool = False,
+    compact_output: bool = False,
+    mxu_dtype: str = "int8",
+    _fuse_key_scale: bool = True,
+    _top2_colmerge: bool = True,
+    _colmerge_unroll: int = 1,
+):
+    """Build ``obs_bytes[B, L] -> (assigned, best, next)`` with the fused
+    Pallas kernel.  B must be a multiple of ``tile_b`` (the demux pipeline
+    always ships fixed-size padded batches).
+
+    ``packed_masks``: input is ``[B, ceil(L/2)] uint8`` nib4 (two 4-bit
+    IUPAC masks per byte).  ``packed2``: input is ``[B, ceil(L/4)] uint8``
+    (four 2-bit ACGT codes per byte); the no-call gate is skipped — the
+    caller resolves flagged ambiguous rows host-side.  ``mxu_dtype``:
+    "int8" (default; double MXU rate) or "bf16".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if packed_masks and packed2:
+        raise ValueError("packed_masks and packed2 are mutually exclusive")
+    k = expected.count
+    length = expected.length
+    plan = plan_local_kernel(
+        k,
+        length,
+        tile_b=tile_b,
+        tile_k=tile_k,
+        interpret=interpret,
+        packed2=packed2,
+        mxu_dtype=mxu_dtype,
+        _fuse_key_scale=_fuse_key_scale,
+        _top2_colmerge=_top2_colmerge,
+        _colmerge_unroll=_colmerge_unroll,
+    )
+    compat_host = compat_for_plan(expected.masks, plan)
+    nocall_budget = max_mismatches + expected.max_ns_in_barcodes
+    in_dtype = jnp.int8 if plan.int8_mxu else jnp.bfloat16
+
+    run_kernel = make_kernel_runner(plan)
 
     from .device_encoding import (
         byte_is_nocall,
@@ -415,9 +540,7 @@ def make_pallas_assign_fn(
     # Ship the (possibly huge) compat table to device once as an argument —
     # baking it in as a program constant bloats the executable (378 MB for a
     # 737K whitelist) past remote-compiler request limits.
-    import jax as _jax
-
-    compat_dev_arr = _jax.device_put(compat_host.astype(in_dtype))
+    compat_dev_arr = jax.device_put(compat_host.astype(in_dtype))
 
     @jax.jit
     def _assign(obs_in, compat_dev):
@@ -468,6 +591,6 @@ def make_pallas_assign_fn(
     # jitted step + resident compat, and the MAC count per already-padded row
     assign.jitted = _assign
     assign.compat_dev = compat_dev_arr
-    assign.macs_per_row = k_padded * wl
+    assign.macs_per_row = plan.macs_per_row
     assign.tile_b = tile_b
     return assign

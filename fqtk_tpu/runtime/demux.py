@@ -433,19 +433,28 @@ def _build_device_assign_fn(
             "whitelist" if big_k else "batch",
             jax.local_device_count(),
         )
-        return (
-            make_sharded_assign_fn(
-                expected,
-                cfg.max_mismatches,
-                cfg.min_mismatch_delta,
-                mesh,
-                packed_masks=True,
-                compact_output=True,
-                with_counts=False,
-            ),
-            "nib4",
-            False,
+        # bit2 transfers (quarter width; ambiguous rows resolve host-side)
+        # whenever the per-shard Pallas kernel is eligible — the same
+        # int8/bit2 column-merge kernel as the single-chip path, so
+        # multi-chip big-K gets single-chip per-device throughput.  On
+        # non-TPU backends (or >255bp barcodes) the shards fall back to the
+        # XLA contraction over nib4, which carries the no-call gate on
+        # device.
+        mesh_pallas = (
+            expected.length <= 255 and jax.default_backend() == "tpu"
         )
+        fn = make_sharded_assign_fn(
+            expected,
+            cfg.max_mismatches,
+            cfg.min_mismatch_delta,
+            mesh,
+            packed2=mesh_pallas,
+            packed_masks=not mesh_pallas,
+            compact_output=True,
+            with_counts=False,
+            use_pallas=mesh_pallas,
+        )
+        return fn, ("bit2" if mesh_pallas else "nib4"), False
 
     # The fused Pallas kernel requires an actual TPU backend (pltpu lowering)
     # and barcode lengths <= 255 (combined-key exactness bound); anything

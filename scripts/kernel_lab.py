@@ -1,0 +1,385 @@
+"""Big-K device kernel lab: can the TPU beat the host pigeonhole at K=737K?
+
+VERDICT r3 item 2 asks for one real attempt to break the [B, K]-reduction
+wall (target: device-only >= 2M reads/s at K=737K, vs 795K for the r3
+column-merge kernel and 3.08M for the 4-thread host pigeonhole), or a
+measured per-stage decomposition proving the ~4.2M MXU bound unreachable.
+
+Variants (all int8 MXU, bit2 obs, tiles parametrized):
+
+- v0_colmerge   : the r3 production kernel (baseline; exact full top-2).
+- v1_m1only     : drop the second-best accumulator (INEXACT — bound probe:
+                  the floor for any scheme needing >= 2 ops + 2 acc bytes).
+- v2_matmul     : matmul only, merge replaced by a [TB,1] copy (bound probe
+                  for the pure-MXU ceiling).
+- v3_clamp8     : NEW exact-for-gating kernel.  Counts clamp at
+                  W+1 = max_mm + max(delta,1) + 1 (clamping provably never
+                  changes the accept decision or the winning index — see
+                  docs/DESIGN.md), so the per-column running (best, second,
+                  best-tile) fit THREE int8 accumulators: 4x less
+                  accumulator VMEM traffic than the two int32 colmerge
+                  accumulators, and int8 VPU ops where supported.
+- v3w_clamp8    : v3 with the matmul emitting int8 directly
+                  (preferred_element_type=int8; exact, counts <= L <= 127).
+
+Run on the real chip:  python scripts/kernel_lab.py [variants...]
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+MAX_COUNT = 255
+
+
+def unique_barcodes(k, length):
+    vals = (np.arange(k, dtype=np.uint64) * 2654435761) % (1 << (2 * length))
+    vals = np.unique(vals)
+    extra = np.setdiff1d(
+        np.arange(k + 65536, dtype=np.uint64), vals, assume_unique=False
+    )
+    vals = np.concatenate([vals, extra])[:k]
+    codes = np.zeros((k, length), dtype=np.uint8)
+    v = vals.copy()
+    for j in range(length):
+        codes[:, j] = v & 3
+        v >>= 2
+    return codes
+
+
+def pack_bit2(obs_codes):
+    b, length = obs_codes.shape
+    w = -(-length // 4) * 4
+    padded = np.zeros((b, w), dtype=np.uint8)
+    padded[:, :length] = obs_codes
+    return (
+        padded[:, 0::4] | (padded[:, 1::4] << 2) | (padded[:, 2::4] << 4)
+        | (padded[:, 3::4] << 6)
+    ).astype(np.uint8)
+
+
+def compat_classmajor4(masks, k_padded, scale=1):
+    k, length = masks.shape
+    c = np.array([1, 2, 4, 8], dtype=np.uint8)
+    viol = (c[:, None, None] & ~masks.T[None, :, :]) & 0xF
+    compat = (viol != 0).astype(np.int8).reshape(4 * length, k)
+    if k_padded != k:
+        compat = np.concatenate(
+            [compat, np.ones((compat.shape[0], k_padded - k), np.int8)], axis=1
+        )
+    return compat * np.int8(scale)
+
+
+def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048):
+    """Return (assign_jitted(vals_t, compat_dev) -> outputs tuple, compat_dev,
+    macs_per_row)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = masks.shape[0]
+    onehot_width = 4
+    wl = length * onehot_width
+    n_k_tiles = -(-k // tile_k)
+    k_padded = n_k_tiles * tile_k
+
+    if name == "v0_colmerge":
+        from fqtk_tpu.ops.matcher import ExpectedSet
+        from fqtk_tpu.ops.pallas_matcher import (
+            compat_for_plan,
+            make_kernel_runner,
+            plan_local_kernel,
+        )
+
+        plan = plan_local_kernel(
+            k, length, tile_b=tile_b, tile_k=tile_k, packed2=True,
+            mxu_dtype="int8",
+        )
+        run = make_kernel_runner(plan)
+        compat_dev = jax.device_put(compat_for_plan(masks, plan))
+
+        @jax.jit
+        def go(vals_t, compat):
+            return run(vals_t, compat)
+
+        return go, compat_dev, plan.macs_per_row
+
+    if name in ("v1_m1only", "v2_matmul"):
+        ck = 1 << max(1, (n_k_tiles - 1).bit_length())
+        ck_s1 = 1 << ((ck.bit_length() - 1 + 1) // 2)
+        ck_s2 = ck // ck_s1
+        compat_host = compat_classmajor4(masks, k_padded, scale=ck_s2)
+        m1_only = name == "v1_m1only"
+
+        def kern(obs_ref, cls_ref, compat_ref, out_ref, m1s):
+            kb = pl.program_id(1)
+            init = jnp.int32((MAX_COUNT + 1) * ck)
+
+            @pl.when(kb == 0)
+            def _init():
+                m1s[:] = jnp.full((tile_b, tile_k), init, jnp.int32)
+
+            rep = pltpu.repeat(obs_ref[:], repeats=onehot_width, axis=0)
+            onehot = jnp.where(rep == cls_ref[:], ck_s1, 0).astype(jnp.int8)
+            counts_ck = jax.lax.dot_general(
+                onehot, compat_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            if m1_only:
+                m1s[:] = jnp.minimum(m1s[:], counts_ck + kb)
+            else:
+                m1s[:, 0:1] = counts_ck[:, 0:1]  # touch output, no merge
+
+            @pl.when(kb == n_k_tiles - 1)
+            def _emit():
+                colid = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
+                ext1 = m1s[:] * tile_k + colid
+                g1 = jnp.min(ext1, axis=1, keepdims=True)
+                cid8 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 8), 1)
+                out_ref[0, :, :] = jnp.where(cid8 == 0, g1 >> 8, g1 & 255)
+
+        def build(body, scratch):
+            def go_raw(vals_t, compat):
+                b = vals_t.shape[1]
+                cls_col = jnp.asarray(
+                    (np.arange(wl, dtype=np.int32) // length)[:, None]
+                )
+                out = pl.pallas_call(
+                    body,
+                    grid=(b // tile_b, n_k_tiles),
+                    in_specs=[
+                        pl.BlockSpec((length, tile_b), lambda i, j: (0, i)),
+                        pl.BlockSpec((wl, 1), lambda i, j: (0, 0)),
+                        pl.BlockSpec((wl, tile_k), lambda i, j: (0, j)),
+                    ],
+                    out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (b // tile_b, tile_b, 8), jnp.int32
+                    ),
+                    scratch_shapes=scratch,
+                )(vals_t, cls_col, compat)
+                return (out[:, :, 0].reshape(b),)
+
+            return jax.jit(go_raw)
+
+        compat_dev = jax.device_put(compat_host)
+        return (
+            build(kern, [pltpu.VMEM((tile_b, tile_k), jnp.int32)]),
+            compat_dev,
+            k_padded * wl,
+        )
+
+    if name in ("v3_clamp8", "v3w_clamp8"):
+        # clamp at W+1 (W = max_mm + max(delta,1)); int8 accumulators
+        w_clamp = max_mm + max(delta, 1) + 1  # 4 for (1,2)
+        assert n_k_tiles <= 255, "uint8 tile ids"
+        direct_i8 = name == "v3w_clamp8"
+        compat_host = compat_classmajor4(masks, k_padded)
+        nt_pow2 = 1 << max(1, (n_k_tiles - 1).bit_length())
+
+        def kern(obs_ref, cls_ref, compat_ref, out_ref, m1s, m2s, t1s):
+            kb = pl.program_id(1)
+
+            @pl.when(kb == 0)
+            def _init():
+                m1s[:] = jnp.full((tile_b, tile_k), w_clamp, jnp.int8)
+                m2s[:] = jnp.full((tile_b, tile_k), w_clamp, jnp.int8)
+                t1s[:] = jnp.zeros((tile_b, tile_k), jnp.uint8)
+
+            rep = pltpu.repeat(obs_ref[:], repeats=onehot_width, axis=0)
+            onehot = (rep == cls_ref[:]).astype(jnp.int8)
+            if direct_i8:
+                counts = jax.lax.dot_general(
+                    onehot, compat_ref[:],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int8,
+                )  # exact: counts <= L <= 127
+                c8 = jnp.minimum(counts, jnp.int8(w_clamp))
+            else:
+                counts = jax.lax.dot_general(
+                    onehot, compat_ref[:],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                c8 = jnp.minimum(counts, w_clamp).astype(jnp.int8)
+            prev1 = m1s[:]
+            better = c8 < prev1
+            m1s[:] = jnp.where(better, c8, prev1)
+            t1s[:] = jnp.where(better, jnp.uint8(kb), t1s[:])
+            m2s[:] = jnp.minimum(m2s[:], jnp.maximum(prev1, c8))
+
+            @pl.when(kb == n_k_tiles - 1)
+            def _emit():
+                colid = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
+                # lex key (count, tile, column) = reference first-index order
+                ext1 = (
+                    m1s[:].astype(jnp.int32) * nt_pow2
+                    + t1s[:].astype(jnp.int32)
+                ) * tile_k + colid
+                g1 = jnp.min(ext1, axis=1, keepdims=True)
+                masked = jnp.where(ext1 == g1, jnp.int32(2**30), ext1)
+                other = jnp.min(masked, axis=1, keepdims=True) // (
+                    nt_pow2 * tile_k
+                )
+                m2min = jnp.min(
+                    m2s[:].astype(jnp.int32), axis=1, keepdims=True
+                )
+                nxt = jnp.minimum(other, m2min)
+                best = g1 // (nt_pow2 * tile_k)
+                idx_t = (g1 // tile_k) & (nt_pow2 - 1)
+                idx = idx_t * tile_k + (g1 & (tile_k - 1))
+                cid8 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 8), 1)
+                out_ref[0, :, :] = jnp.where(
+                    cid8 == 0, best,
+                    jnp.where(cid8 == 1, idx, jnp.where(cid8 == 2, nxt, 0)),
+                )
+
+        def go_raw(vals_t, compat):
+            b = vals_t.shape[1]
+            cls_col = jnp.asarray(
+                (np.arange(wl, dtype=np.int32) // length)[:, None]
+            )
+            out = pl.pallas_call(
+                kern,
+                grid=(b // tile_b, n_k_tiles),
+                in_specs=[
+                    pl.BlockSpec((length, tile_b), lambda i, j: (0, i)),
+                    pl.BlockSpec((wl, 1), lambda i, j: (0, 0)),
+                    pl.BlockSpec((wl, tile_k), lambda i, j: (0, j)),
+                ],
+                out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (b // tile_b, tile_b, 8), jnp.int32
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((tile_b, tile_k), jnp.int8),
+                    pltpu.VMEM((tile_b, tile_k), jnp.int8),
+                    pltpu.VMEM((tile_b, tile_k), jnp.uint8),
+                ],
+            )(vals_t, cls_col, compat)
+            return (
+                out[:, :, 1].reshape(b),
+                out[:, :, 0].reshape(b),
+                out[:, :, 2].reshape(b),
+            )
+
+        compat_dev = jax.device_put(compat_host)
+        return jax.jit(go_raw), compat_dev, k_padded * wl
+
+    raise ValueError(name)
+
+
+def rate_of(go, compat_dev, length, codes, batches=(1 << 16, 1 << 17), iters=3):
+    import jax
+    import jax.numpy as jnp
+
+    from fqtk_tpu.ops.device_encoding import unpack_bit2
+
+    k = codes.shape[0]
+    rng = np.random.default_rng(999)
+
+    @jax.jit
+    def full(packed, compat):
+        vals_t = unpack_bit2(packed.astype(jnp.uint8), length).T
+        return go(vals_t, compat)
+
+    times = []
+    for b in batches:
+        ins = [
+            jax.device_put(pack_bit2(codes[rng.integers(0, k, size=b)]))
+            for _ in range(iters + 1)
+        ]
+        _ = int(jnp.sum(full(ins[-1], compat_dev)[0].astype(jnp.int32)))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _ = int(jnp.sum(full(ins[i], compat_dev)[0].astype(jnp.int32)))
+        times.append((time.perf_counter() - t0) / iters)
+    (b1, b2), (t1, t2) = batches, times
+    slope = (t2 - t1) / (b2 - b1)
+    return (1.0 / slope if slope > 0 else b2 / t2), times, full
+
+
+def main():
+    import jax
+
+    from fqtk_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    k, length = 737280, 16
+    codes = unique_barcodes(k, length)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    from fqtk_tpu.core.encoding import ENCODE_LUT
+
+    masks = ENCODE_LUT[letters[codes]]
+
+    specs = sys.argv[1:] or [
+        "v0_colmerge:512:2048",
+        "v2_matmul:512:2048",
+        "v1_m1only:512:2048",
+        "v3_clamp8:512:2048",
+        "v3w_clamp8:512:2048",
+        "v3w_clamp8:512:4096",
+        "v3w_clamp8:256:4096",
+    ]
+    print(f"backend={jax.default_backend()} K={k} L={length}")
+    fulls = {}
+    results = {}
+    for spec in specs:
+        parts = spec.split(":")
+        name = parts[0]
+        tb = int(parts[1]) if len(parts) > 1 else 512
+        tk = int(parts[2]) if len(parts) > 2 else 2048
+        label = f"{name}({tb},{tk})"
+        try:
+            go, compat_dev, macs = make_variant(
+                name, masks, length, tile_b=tb, tile_k=tk
+            )
+            rate, times, full = rate_of(go, compat_dev, length, codes)
+            results[label] = rate
+            fulls[label] = (full, compat_dev)
+            tops = 2.0 * macs * rate / 1e12
+            print(f"{label:28s} {rate:12.1f} reads/s  {tops:7.2f} TOPS  times={['%.4f' % t for t in times]}")
+        except Exception as e:
+            print(f"{label:28s} FAILED: {type(e).__name__}: {str(e)[:300]}")
+        sys.stdout.flush()
+
+    # correctness spot-check of exact variants vs v0 on one batch
+    if "v0_colmerge(512,2048)" in fulls:
+        import jax.numpy as jnp  # noqa: F401
+
+        rng = np.random.default_rng(7)
+        obs_codes = codes[rng.integers(0, k, size=4096)].copy()
+        mut = rng.integers(0, 2, size=4096) == 0
+        obs_codes[mut, rng.integers(0, length, size=4096)[mut]] = rng.integers(
+            0, 4, size=int(mut.sum())
+        )
+        packed = jax.device_put(pack_bit2(obs_codes))
+        f0, c0 = fulls["v0_colmerge(512,2048)"]
+        ref = [np.asarray(x) for x in f0(packed, c0)]
+        ref_best, ref_idx, ref_next = ref[0], ref[1], ref[2]
+        w_clamp = 4
+        for label, (fv, cv) in fulls.items():
+            if not label.startswith("v3"):
+                continue
+            got_idx, got_best, got_next = (np.asarray(x) for x in fv(packed, cv))
+            ok_ref = (ref_best <= 1) & (ref_next - ref_best >= 2)
+            ok_got = (got_best <= 1) & (got_next - got_best >= 2)
+            same_gate = (ok_ref == ok_got).all()
+            same_idx = (got_idx[ok_got] == ref_idx[ok_ref]).all() if same_gate else False
+            same_clamp = (
+                (np.minimum(ref_best, w_clamp) == got_best).all()
+                and (np.minimum(ref_next, w_clamp) == got_next).all()
+            )
+            print(
+                f"check {label}: gate={'OK' if same_gate else 'MISMATCH'} "
+                f"idx={'OK' if same_idx else 'MISMATCH'} "
+                f"clampcounts={'OK' if same_clamp else 'MISMATCH'}"
+            )
+
+
+if __name__ == "__main__":
+    main()
