@@ -106,10 +106,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--matcher",
         choices=["auto", "host", "device"],
         default="auto",
-        help="Assignment placement: auto keeps tiny whitelists on the host "
-        "(the per-batch device round-trip would dominate; threshold "
-        "FQTK_HOST_MATCHER_MAX_K) and uses the device paths otherwise "
-        "(engine extension).",
+        help="Assignment placement: auto measures one host window against "
+        "one device round-trip at the production batch and picks the "
+        "faster side (decision cached on disk; FQTK_HOST_MATCHER_MAX_K "
+        "pins a static whitelist-size crossover instead), huge whitelists "
+        "use the host pigeonhole matcher (engine extension).",
     )
     # per-subcommand --version, as clap's #[command(version)] provides
     demux.add_argument(

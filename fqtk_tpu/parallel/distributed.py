@@ -136,7 +136,32 @@ def run_demux_multihost(
 
     shard_out = Path(cfg.output) / f"shard-{pid}"
     local_cfg = dataclasses.replace(cfg, inputs=inputs, output=shard_out)
+
+    # Warm the cross-host collective CONCURRENTLY with the streaming
+    # pipeline: the first process_allgather pays a one-time program
+    # build/compile (~300 ms measured on the CPU backend), which showed up
+    # as pure end-of-run latency on short jobs (scripts/scaling_bench.py
+    # measured 0.65 coordination efficiency at 1M reads before this).
+    # Every process issues the warmup gather first and the real merge
+    # after the join, so the collective ordering stays consistent.
+    import threading
+
+    k_probe = len(SampleGroup.from_file(cfg.sample_metadata).samples)
+    warm_exc = []
+
+    def _warm():
+        try:
+            merge_host_counts(np.zeros(k_probe + 1, dtype=np.int64))
+        except Exception as e:  # pragma: no cover - surfaced at join
+            warm_exc.append(e)
+
+    warm_thread = threading.Thread(target=_warm, daemon=True)
+    warm_thread.start()
+
     result = run_demux(local_cfg)
+    warm_thread.join()
+    if warm_exc:
+        raise warm_exc[0]
 
     sample_group = SampleGroup.from_file(cfg.sample_metadata)
     k = len(sample_group.samples)

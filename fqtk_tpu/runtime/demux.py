@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging
 import os
 import stat
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -248,18 +249,327 @@ def _too_few_bases_allowed(cfg: DemuxConfig) -> bool:
 PALLAS_K_THRESHOLD = 65536
 
 
-def _host_matcher_max_k() -> int:
-    """Whitelist size at or below which the auto policy keeps assignment on
-    the host (brute-force ``SmallKMatcher``) instead of paying the per-batch
-    device round-trip.  The default is the measured crossover on this
-    environment (device leg ~25 ms dispatch + ~40 MB/s relay transfer per
-    128K-read window vs the K*L host scan; see DESIGN.md).  Hosts with
-    directly-attached TPUs should lower it (``FQTK_HOST_MATCHER_MAX_K=0``
-    routes every whitelist to the device paths)."""
+def _host_matcher_max_k():
+    """Optional explicit whitelist-size cap at or below which the auto
+    policy keeps assignment on the host (brute-force ``SmallKMatcher``)
+    instead of paying the per-batch device round-trip.
+
+    Returns ``None`` when ``FQTK_HOST_MATCHER_MAX_K`` is unset — the auto
+    policy then MEASURES the placement (one host-matcher window and, when
+    the device round-trip floor doesn't already lose, one real device
+    round-trip at the production batch; see :func:`_measured_placement`)
+    instead of trusting a constant tuned for any one host.  Set the env var
+    to pin the crossover (``FQTK_HOST_MATCHER_MAX_K=0`` routes every
+    whitelist to the device paths; ``=4096`` reproduces the round-3 static
+    default, which matched this relay environment's ~25 ms dispatch +
+    ~40 MB/s transfer floor)."""
+    v = os.environ.get("FQTK_HOST_MATCHER_MAX_K")
+    if v is None:
+        return None
     try:
-        return int(os.environ.get("FQTK_HOST_MATCHER_MAX_K", "4096"))
+        return int(v)
     except ValueError:
         return 4096
+
+
+#: disk cache of measured placement decisions, keyed per environment/shape
+#: (a decision survives across processes; delete the file to re-measure, or
+#: set FQTK_MEASURE_CROSSOVER=1 to force a fresh probe)
+_CROSSOVER_CACHE_PATH = os.path.join(
+    os.path.expanduser(os.environ.get("FQTK_CACHE_DIR", "~/.cache/fqtk")),
+    "crossover.json",
+)
+
+
+def _time_host_window(matcher, win_nib4, reps=2) -> float:
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        matcher.assign(win_nib4)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _device_floor_seconds(batch: int, width: int, reps=2) -> float:
+    """Lower bound for ANY per-window device call at this batch: transfer a
+    [batch, width] uint8 array in and fetch a scalar reduction back (the
+    fetch forces completion — some transports ack ``block_until_ready``
+    before remote execution finishes)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x.astype(jnp.int32))
+
+    rng = np.random.default_rng(0xF100)
+    # distinct inputs: some transports memoize identical executions
+    ins = [
+        rng.integers(0, 255, size=(batch, width), dtype=np.uint8)
+        for _ in range(reps + 1)
+    ]
+    int(f(ins[-1]))  # compile + warm
+    best = None
+    for i in range(reps):
+        t0 = time.perf_counter()
+        int(f(ins[i]))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _time_device_window(assign, windows) -> float:
+    """Time the real device matcher on pre-packed windows (last = warmup)."""
+    np.asarray(assign(windows[-1]))  # compile + warm
+    best = None
+    for w in windows[:-1]:
+        t0 = time.perf_counter()
+        np.asarray(assign(w))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _crossover_cache_key(cfg: DemuxConfig, expected: ExpectedSet) -> str:
+    return "|".join(
+        str(x)
+        for x in (
+            os.environ.get("JAX_PLATFORMS", ""),
+            expected.count,
+            expected.length,
+            min(cfg.batch_size, 1 << 17),
+            cfg.max_mismatches,
+            cfg.min_mismatch_delta,
+        )
+    )
+
+
+def _crossover_cache_get(key: str):
+    if os.environ.get("FQTK_MEASURE_CROSSOVER") == "1":
+        return None
+    try:
+        import json
+
+        with open(_CROSSOVER_CACHE_PATH) as fh:
+            return json.load(fh).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _crossover_cache_put(key: str, entry: dict) -> None:
+    try:
+        import json
+
+        os.makedirs(os.path.dirname(_CROSSOVER_CACHE_PATH), exist_ok=True)
+        data = {}
+        try:
+            with open(_CROSSOVER_CACHE_PATH) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        data[key] = entry
+        tmp = _CROSSOVER_CACHE_PATH + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, _CROSSOVER_CACHE_PATH)
+    except OSError:
+        pass
+
+
+def _probe_allowed() -> bool:
+    """Measured placement makes sense only when a real accelerator backend
+    is present; on CPU-only JAX (tests, jax-less fallbacks) the static cap
+    applies.  Separated for test monkeypatching."""
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return False
+    try:
+        import jax
+    except ImportError:
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def _host_assign_wrapper(matcher):
+    """Closure over the host matcher (keeps it alive, attribute-friendly)."""
+
+    def assign(obs_packed):
+        return matcher.assign(obs_packed)
+
+    return assign
+
+
+def _measured_placement(cfg, expected, barcodes, host_builder):
+    """Measure host-vs-device matcher placement at the production batch.
+
+    Returns the chosen ``(assign, pack_mode, host_matcher)`` tuple, or
+    ``None`` to let the caller fall through to the device paths.  The probe:
+
+    1. time the host ``SmallKMatcher`` on a synthetic window (distinct
+       random reads — the memo cache must not turn the probe into a cache
+       benchmark);
+    2. time the *device round-trip floor* (transfer + dispatch + fetch of a
+       trivial program) — if the host already beats a bound no device call
+       can beat, pick host without ever building/compiling the matcher;
+    3. otherwise build the real device matcher, time it on the same window
+       shape, and pick the faster side (10% hysteresis toward the host,
+       which needs no device runtime).
+
+    Decisions persist in a small disk cache so repeat runs skip the probe
+    entirely — in particular, a cached "host" decision keeps JAX out of the
+    process, preserving the round-3 cold-start property.
+
+    On CPU-only JAX backends the probe is skipped and the round-3 static
+    cap (4096) applies: an XLA-CPU "device" shares the silicon with the
+    native SIMD matcher (which wins it — 11M reads/s cache-off, DESIGN.md),
+    so an A/B there would just pay a compile to compare two host paths."""
+    if not _probe_allowed():
+        if expected.count <= 4096:
+            matcher = host_builder()
+            if matcher is not None:
+                logger.info(
+                    "small-K brute-force host matcher selected (K=%d; CPU "
+                    "backend, static crossover)",
+                    expected.count,
+                )
+                return _host_assign_wrapper(matcher), "nib4", True
+        return None
+    key = _crossover_cache_key(cfg, expected)
+    cached = _crossover_cache_get(key)
+    if cached is not None and cached.get("choice") == "host":
+        matcher = host_builder()
+        if matcher is not None:
+            logger.info(
+                "matcher placement (cached): host (host %.3fms vs device "
+                "%.3fms per %d-read window)",
+                cached.get("host_s", 0) * 1e3,
+                cached.get("device_s", cached.get("floor_s", 0)) * 1e3,
+                cached.get("batch", 0),
+            )
+            fn = _host_assign_wrapper(matcher)
+            _attach_crossover(fn, cached, "host")
+            return fn, "nib4", True
+        return None
+    if cached is not None and cached.get("choice") == "device":
+        out = _build_device_side(cfg, expected)
+        logger.info(
+            "matcher placement (cached): device (host %.3fms vs device "
+            "%.3fms per %d-read window)",
+            cached.get("host_s", 0) * 1e3,
+            cached.get("device_s", 0) * 1e3,
+            cached.get("batch", 0),
+        )
+        _attach_crossover(out[0], cached, "device")
+        return out
+
+    matcher = host_builder()
+    if matcher is None:
+        return None  # no host side to compare: device paths decide
+
+    batch = min(cfg.batch_size, 1 << 17)
+    length = expected.length
+    rng = np.random.default_rng(0xF0CC)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    obs_list = [
+        letters[rng.integers(0, 4, size=(batch, length))] for _ in range(3)
+    ]
+    from ..core.encoding import ENCODE_LUT
+
+    def nib4(obs):
+        m = ENCODE_LUT[obs]
+        if length % 2:
+            m = np.concatenate(
+                [m, np.ones((batch, 1), dtype=np.uint8)], axis=1
+            )
+        return (m[:, 0::2] | (m[:, 1::2] << 4)).astype(np.uint8)
+
+    host_s = _time_host_window(matcher, nib4(obs_list[0]))
+    entry = {"host_s": host_s, "batch": batch}
+    try:
+        floor_s = _device_floor_seconds(batch, (length + 3) // 4)
+    except Exception as exc:  # no usable device runtime: host by default
+        logger.info(
+            "matcher placement measured: host (device runtime unavailable: "
+            "%s; host window %.3fms)",
+            exc,
+            host_s * 1e3,
+        )
+        entry.update(choice="host", floor_s=1e9)
+        _crossover_cache_put(key, entry)
+        fn = _host_assign_wrapper(matcher)
+        _attach_crossover(fn, entry, "host")
+        return fn, "nib4", True
+    entry["floor_s"] = floor_s
+    if host_s <= floor_s:
+        logger.info(
+            "matcher placement measured: host %.3fms <= device floor %.3fms "
+            "per %d-read window — host matcher selected (K=%d)",
+            host_s * 1e3,
+            floor_s * 1e3,
+            batch,
+            expected.count,
+        )
+        entry["choice"] = "host"
+        _crossover_cache_put(key, entry)
+        fn = _host_assign_wrapper(matcher)
+        _attach_crossover(fn, entry, "host")
+        return fn, "nib4", True
+
+    # the device floor beats the host: measure the real matcher round-trip
+    assign_dev, pack_mode, host_flag = _build_device_side(cfg, expected)
+    code_lut = np.zeros(256, dtype=np.uint8)
+    for c, ch in zip((0, 1, 2, 3), b"ACGT"):
+        code_lut[ch] = c
+
+    def bit2(obs):
+        codes = code_lut[obs]
+        w = -(-length // 4) * 4
+        padded = np.zeros((batch, w), dtype=np.uint8)
+        padded[:, :length] = codes
+        return (
+            padded[:, 0::4]
+            | (padded[:, 1::4] << 2)
+            | (padded[:, 2::4] << 4)
+            | (padded[:, 3::4] << 6)
+        ).astype(np.uint8)
+
+    pack = bit2 if pack_mode == "bit2" else nib4
+    device_s = _time_device_window(assign_dev, [pack(o) for o in obs_list])
+    entry["device_s"] = device_s
+    choice = "device" if device_s * 1.1 < host_s else "host"
+    logger.info(
+        "matcher placement measured: host %.3fms vs device %.3fms (floor "
+        "%.3fms) per %d-read window — %s matcher selected (K=%d)",
+        host_s * 1e3,
+        device_s * 1e3,
+        floor_s * 1e3,
+        batch,
+        choice,
+        expected.count,
+    )
+    entry["choice"] = choice
+    _crossover_cache_put(key, entry)
+    if choice == "host":
+        fn = _host_assign_wrapper(matcher)
+        _attach_crossover(fn, entry, "host")
+        return fn, "nib4", True
+    _attach_crossover(assign_dev, entry, "device")
+    return assign_dev, pack_mode, host_flag
+
+
+def _attach_crossover(fn, entry: dict, choice: str) -> None:
+    """Expose the placement decision for DemuxResult.timings (floats only)."""
+    info = {"crossover_device_chosen": 1.0 if choice == "device" else 0.0}
+    for k in ("host_s", "floor_s", "device_s"):
+        if k in entry and np.isfinite(entry[k]):
+            info[f"crossover_{k}"] = float(entry[k])
+    try:
+        fn.crossover = info
+    except AttributeError:
+        pass
 
 #: process-level memo of device assign fns: repeated runs over the same
 #: whitelist/params reuse the traced+compiled program (and, for the
@@ -353,37 +663,70 @@ def _build_device_assign_fn(
             except native_io.NativeDemuxError:
                 pass  # ineligible whitelist: fall through
 
-    small_k_host = policy == "host" or (
-        policy == "auto"
-        and cfg.devices in (None, 1)
-        and expected.count <= _host_matcher_max_k()
-    )
-    if small_k_host and barcodes is not None:
+    def _host_small_k():
+        """Build the host SmallKMatcher; None if unavailable/ineligible."""
         from ..io import native as native_io
 
-        if native_io.available():
-            try:
-                matcher = native_io.NativeSmallKMatcher(
-                    barcodes,
-                    cfg.max_mismatches,
-                    cfg.min_mismatch_delta,
-                    threads=host_threads,
+        if not native_io.available():
+            if policy == "host":
+                logger.warning(
+                    "matcher=host requested but the native library is "
+                    "unavailable; using the device paths"
                 )
-                logger.info(
-                    "small-K brute-force host matcher selected (K=%d, "
-                    "%d threads; device round-trip would dominate)",
-                    expected.count,
-                    host_threads,
-                )
-                return matcher.assign, "nib4", True
-            except native_io.NativeDemuxError:
-                pass  # ineligible whitelist: fall through to device paths
-        elif policy == "host":
-            logger.warning(
-                "matcher=host requested but the native library is "
-                "unavailable; using the device paths"
+            return None
+        try:
+            return native_io.NativeSmallKMatcher(
+                barcodes,
+                cfg.max_mismatches,
+                cfg.min_mismatch_delta,
+                threads=host_threads,
             )
+        except native_io.NativeDemuxError:
+            return None  # ineligible whitelist: fall through to device paths
 
+    cap = _host_matcher_max_k()
+    if barcodes is not None and (
+        policy == "host"
+        or (
+            policy == "auto"
+            and cfg.devices in (None, 1)
+            and cap is not None
+            and expected.count <= cap
+        )
+    ):
+        matcher = _host_small_k()
+        if matcher is not None:
+            logger.info(
+                "small-K brute-force host matcher selected (K=%d, "
+                "%d threads; device round-trip would dominate)",
+                expected.count,
+                host_threads,
+            )
+            return matcher.assign, "nib4", True
+    elif (
+        barcodes is not None
+        and policy == "auto"
+        and cfg.devices in (None, 1)
+        and cap is None
+    ):
+        # No explicit cap: MEASURE the placement instead of guessing.  One
+        # host-matcher timing and (when the device floor doesn't already
+        # lose) one real device round-trip at the production batch decide;
+        # the decision is disk-cached per environment/shape so repeat runs
+        # skip the probe (and, for host decisions, skip JAX entirely).
+        out = _measured_placement(cfg, expected, barcodes, _host_small_k)
+        if out is not None:
+            return out
+
+    return _build_device_side(cfg, expected)
+
+
+def _build_device_side(cfg: DemuxConfig, expected: ExpectedSet):
+    """Device-path construction for the native engine: mesh sharding when
+    multiple devices are requested/visible, the fused Pallas kernel on TPU
+    backends, the XLA contraction otherwise, and a NumPy host fallback when
+    jax is absent.  Returns ``(assign, pack_mode, host_matcher)``."""
+    big_k = expected.count >= PALLAS_K_THRESHOLD and expected.length <= 255
     try:
         import jax
     except ImportError:
@@ -763,7 +1106,13 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
         metrics=metrics,
         skip_counts=skip_counts,
         total_templates=int(counts.sum()),
-        timings={**timers.summary(), **native_stats},
+        timings={
+            **timers.summary(),
+            **native_stats,
+            # measured matcher-placement decision, when the auto policy
+            # probed one (see _measured_placement)
+            **getattr(assign, "crossover", {}),
+        },
     )
 
 

@@ -107,6 +107,60 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
 
         return go, compat_dev, plan.macs_per_row
 
+    if name == "v4_int4":
+        # int4 MXU probe: one-hot and compat are 0/1, so int4 x int4 -> i32
+        # is exact; if v5e runs int4 at 2x the int8 rate the matmul wall
+        # (v2_matmul, 51% int8 MFU at the 64-deep bit2 contraction) doubles.
+        compat_host = compat_classmajor4(masks, k_padded)
+
+        def kern(obs_ref, cls_ref, compat_ref, out_ref, acc):
+            kb = pl.program_id(1)
+
+            @pl.when(kb == 0)
+            def _init():
+                acc[:] = jnp.zeros((tile_b, 8), jnp.int32)
+
+            rep = pltpu.repeat(obs_ref[:], repeats=onehot_width, axis=0)
+            onehot = (rep == cls_ref[:]).astype(jnp.int4)
+            counts = jax.lax.dot_general(
+                onehot, compat_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc[:, 0:1] = counts[:, 0:1]
+
+            @pl.when(kb == n_k_tiles - 1)
+            def _emit():
+                out_ref[0, :, :] = acc[:]
+
+        def go_raw(vals_t, compat):
+            b = vals_t.shape[1]
+            cls_col = jnp.asarray(
+                (np.arange(wl, dtype=np.int32) // length)[:, None]
+            )
+            out = pl.pallas_call(
+                kern,
+                grid=(b // tile_b, n_k_tiles),
+                in_specs=[
+                    pl.BlockSpec((length, tile_b), lambda i, j: (0, i)),
+                    pl.BlockSpec((wl, 1), lambda i, j: (0, 0)),
+                    pl.BlockSpec((wl, tile_k), lambda i, j: (0, j)),
+                ],
+                out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (b // tile_b, tile_b, 8), jnp.int32
+                ),
+                scratch_shapes=[pltpu.VMEM((tile_b, 8), jnp.int32)],
+            )(vals_t, cls_col, compat)
+            return (out[:, :, 0].reshape(b),)
+
+        # int4 arrays can't transfer through every transport: ship int8 and
+        # convert on device once
+        compat_dev = jax.jit(lambda c: c.astype(jnp.int4))(
+            jax.device_put(compat_host)
+        )
+        return jax.jit(go_raw), compat_dev, k_padded * wl
+
     if name in ("v1_m1only", "v2_matmul"):
         ck = 1 << max(1, (n_k_tiles - 1).bit_length())
         ck_s1 = 1 << ((ck.bit_length() - 1 + 1) // 2)
@@ -318,12 +372,11 @@ def main():
 
     specs = sys.argv[1:] or [
         "v0_colmerge:512:2048",
-        "v2_matmul:512:2048",
-        "v1_m1only:512:2048",
-        "v3_clamp8:512:2048",
-        "v3w_clamp8:512:2048",
-        "v3w_clamp8:512:4096",
-        "v3w_clamp8:256:4096",
+        "v2_matmul:512:4096",
+        "v4_int4:512:2048",
+        "v1_m1only:512:4096",
+        "v3_clamp8:256:4096",
+        "v3_clamp8:512:4096",
     ]
     print(f"backend={jax.default_backend()} K={k} L={length}")
     fulls = {}
