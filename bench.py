@@ -53,8 +53,10 @@ BATCH = 1 << 17
 #: big-K pallas tile sizes (best of the measured sweep with the
 #: column-merge top-2; see DESIGN.md — the 2x[TB,TK] running-key scratch
 #: bounds the tile area under the 16MB scoped-VMEM limit on v5e)
-PALLAS_TILE_B = 512
-PALLAS_TILE_K = 2048
+# measured-best big-K tiles (r4: 4096-wide K tiles halve grid steps, +10%
+# at K=737K; 256-deep B tiles keep the accumulators inside scoped VMEM)
+PALLAS_TILE_B = 256
+PALLAS_TILE_K = 4096
 
 
 def rust_baseline() -> tuple:
@@ -678,6 +680,24 @@ def _bench_bigk_pallas(barcodes, obs):
     )
     peak, kind = _peak_ops("int8")
     ops = 2.0 * fn.macs_per_row * rate
+
+    # clustered single-cell distribution through the production dedup
+    # front-end (_wrap_window_dedup): thousands of reads per cell barcode
+    # shrink the device batch by the duplication factor — call-level rate
+    # including the np.unique + scatter host work
+    from fqtk_tpu.runtime.demux import _wrap_window_dedup
+
+    b_c = 1 << 17
+    cells = rng.integers(0, packed.shape[0], size=8192)
+    ded = _wrap_window_dedup(lambda o: fn(o)[0])
+    for _ in range(2):  # warm (compile the bucket shape)
+        ded(packed[cells[rng.integers(0, 8192, size=b_c)]])
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        _ = np.asarray(ded(packed[cells[rng.integers(0, 8192, size=b_c)]]))
+    clustered_rate = b_c * iters / (time.perf_counter() - t0)
+
     return {
         "kind": kind,
         "mode": "int8 MXU, bit2-packed obs, "
@@ -685,6 +705,11 @@ def _bench_bigk_pallas(barcodes, obs):
         "device_only_reads_per_sec": round(rate, 1),
         "achieved_tops": round(ops / 1e12, 2),
         "device_mfu": round(ops / peak, 4) if peak else None,
+        "clustered_8k_cells_dedup_reads_per_sec": round(clustered_rate, 1),
+        "note_dedup": "call-level rate on the clustered distribution "
+        "through the window-dedup front-end (unique rows -> pow2 bucket "
+        "-> device -> scatter); uniform-draw device_only rate above is "
+        "the dedup-free worst case",
     }
 
 

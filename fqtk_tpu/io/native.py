@@ -120,7 +120,9 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int,
     ]
     lib.fqtk_demux_pipe_start.restype = ctypes.c_int
-    lib.fqtk_demux_pipe_start.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.fqtk_demux_pipe_start.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+    ]
     lib.fqtk_demux_pipe_acquire.restype = ctypes.c_int64
     lib.fqtk_demux_pipe_acquire.argtypes = [
         ctypes.c_void_p,
@@ -324,13 +326,20 @@ class NativeDemuxEngine:
             pack_mode,
         )
 
-    def pipe_start(self, batch: int, row_stride: int) -> None:
+    def pipe_start(
+        self, batch: int, row_stride: int, ramp: bool = False
+    ) -> None:
         """Start the fully-native pipeline: persistent parse threads + route
         thread inside the engine.  ``row_stride`` is the packed barcode row
-        width so acquire() can shape its zero-copy view."""
+        width so acquire() can shape its zero-copy view.  ``ramp`` makes the
+        first three windows fractional (1/8, 1/4, 1/2) so the route and
+        compressor stages start within milliseconds — use for host-matcher
+        runs only (device matchers compile per window shape)."""
         self._pipe_batch = batch
         self._row_stride = row_stride
-        self._check(self._lib.fqtk_demux_pipe_start(self._h, batch))
+        self._check(
+            self._lib.fqtk_demux_pipe_start(self._h, batch, 1 if ramp else 0)
+        )
 
     def pipe_acquire(self) -> Tuple[int, int, Optional[np.ndarray], int]:
         """Block (GIL released) until a parsed window is ready.

@@ -94,8 +94,8 @@ def make_sharded_assign_fn(
     compact_output: bool = False,
     with_counts: bool = True,
     use_pallas: Optional[bool] = None,
-    tile_b: int = 512,
-    tile_k: int = 2048,
+    tile_b: Optional[int] = None,
+    tile_k: Optional[int] = None,
     interpret: bool = False,
 ):
     """Build the sharded demux step: ``obs[B, L] -> (assigned[B], counts[K+1])``.
@@ -184,6 +184,14 @@ def make_sharded_assign_fn(
             plan_local_kernel,
         )
 
+        # measured-best tiles by local column count (see DESIGN.md r4):
+        # big shards want 4096-wide K tiles (half the grid steps), smaller
+        # ones the deeper B tile
+        if tile_b is None or tile_k is None:
+            if k_per_shard >= 65536:
+                tile_b, tile_k = tile_b or 256, tile_k or 4096
+            else:
+                tile_b, tile_k = tile_b or 512, tile_k or 2048
         # one plan for every shard (shard_map runs a single program)
         plan = plan_local_kernel(
             k_per_shard,

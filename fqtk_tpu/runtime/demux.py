@@ -797,7 +797,11 @@ def _build_device_side(cfg: DemuxConfig, expected: ExpectedSet):
             with_counts=False,
             use_pallas=mesh_pallas,
         )
-        return fn, ("bit2" if mesh_pallas else "nib4"), False
+        return (
+            _wrap_window_dedup(fn),
+            ("bit2" if mesh_pallas else "nib4"),
+            False,
+        )
 
     # The fused Pallas kernel requires an actual TPU backend (pltpu lowering)
     # and barcode lengths <= 255 (combined-key exactness bound); anything
@@ -812,16 +816,20 @@ def _build_device_side(cfg: DemuxConfig, expected: ExpectedSet):
         # Single chip, any K above the host-matcher cap: int8 MXU + bit2-
         # packed observations (ambiguous rows flagged by the engine and
         # resolved host-side, same as the XLA bit2 path) at the measured-
-        # best tiles.  The column-merge top-2 reduction (see pallas_matcher)
-        # measured 1.7x the per-step lane-reduce scheme at K=737K (itself
-        # 2.07x the round-2 bf16/nib4 kernel) and 4-6x the XLA [B, K]
-        # contraction at mid-K (K=8192) on v5e; see DESIGN.md.
+        # best tiles: (256, 4096) at big K (4096-wide K tiles halve grid
+        # steps, +10% at K=737K same-window) and (512, 2048) at mid K
+        # (fewer B tiles win when the K loop is short); see DESIGN.md.
+        # The column-merge top-2 reduction (see pallas_matcher) measured
+        # 1.7x the per-step lane-reduce scheme at K=737K (itself 2.07x the
+        # round-2 bf16/nib4 kernel) and 4-6x the XLA [B, K] contraction at
+        # mid-K (K=8192) on v5e.
+        tile_b, tile_k = (256, 4096) if big_k else (512, 2048)
         fn = make_pallas_assign_fn(
             expected,
             cfg.max_mismatches,
             cfg.min_mismatch_delta,
-            tile_b=512,
-            tile_k=2048,
+            tile_b=tile_b,
+            tile_k=tile_k,
             packed2=True,
             compact_output=True,
             mxu_dtype="int8",
@@ -845,7 +853,71 @@ def _build_device_side(cfg: DemuxConfig, expected: ExpectedSet):
         idx, _, _ = fn(obs_packed)
         return idx
 
-    return assign, pack_mode, False
+    return _wrap_window_dedup(assign), pack_mode, False
+
+
+def _wrap_window_dedup(call):
+    """Per-window dedup in front of a device matcher.
+
+    The reference memoizes (read -> match) in a hash map
+    (``barcode_matching.rs:173-182``); the host matchers rebuild that as
+    direct-mapped per-worker tables.  This is the DEVICE path's analog:
+    real single-cell windows carry thousands of reads per cell barcode, so
+    ``np.unique`` over the packed observation keys shrinks the device batch
+    by the duplication factor (measured 2.4x host-side on the clustered
+    distribution; the device call cost scales ~linearly in rows).  Unique
+    rows are padded to a power-of-two bucket so the jitted program count
+    stays logarithmic, and results scatter back through the inverse map —
+    bit-exact, because identical packed rows always score identically.
+
+    Engages only when it pays: windows >= 4096 rows, packed width <= 8
+    bytes (one u64 key — the universal <=32bp-bit2 / <=16bp-nib4 case),
+    and at least 2x duplication.  ``FQTK_DEVICE_DEDUP=0`` disables."""
+    if os.environ.get("FQTK_DEVICE_DEDUP", "1") == "0":
+        return call
+
+    stats = {"windows": 0, "dedup_windows": 0, "rows": 0, "unique": 0}
+
+    def assign(obs_packed):
+        obs = np.asarray(obs_packed)
+        b, w = obs.shape
+        stats["windows"] += 1
+        if b >= 4096 and w <= 8:
+            obs = np.ascontiguousarray(obs)
+            if w in (1, 2, 4, 8):
+                keys = obs.view(f"u{w}").reshape(b)
+            else:
+                full = np.zeros((b, 8), dtype=np.uint8)
+                full[:, :w] = obs
+                keys = full.view(np.uint64).reshape(b)
+            uniq, first_idx, inv = np.unique(
+                keys, return_index=True, return_inverse=True
+            )
+            nu = len(uniq)
+            bucket = max(4096, 1 << max(0, (nu - 1).bit_length()))
+            if nu <= b // 2 and bucket < b:
+                rows = obs[first_idx]
+                if bucket > nu:
+                    rows = np.concatenate(
+                        [rows, np.broadcast_to(rows[:1], (bucket - nu, w))]
+                    )
+                if stats["dedup_windows"] == 0:
+                    logger.info(
+                        "device window dedup engaged: %d unique of %d rows "
+                        "(bucket %d)",
+                        nu,
+                        b,
+                        bucket,
+                    )
+                stats["dedup_windows"] += 1
+                stats["rows"] += b
+                stats["unique"] += nu
+                idx_u = np.asarray(call(np.ascontiguousarray(rows)))
+                return idx_u[:nu][inv]
+        return call(obs_packed)
+
+    assign.dedup_stats = stats
+    return assign
 
 
 def _make_assigner(cfg: DemuxConfig, expected: ExpectedSet, engine_override=None):
@@ -1018,7 +1090,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
         # feeding the BGZF compressor pool); this thread only services
         # device-matcher calls between acquire and submit.  All native calls
         # release the GIL.
-        engine.pipe_start(batch, packed_len)
+        engine.pipe_start(batch, packed_len, ramp=host_matcher)
         first = True
         with maybe_device_trace():
             while True:

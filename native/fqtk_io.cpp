@@ -765,6 +765,35 @@ class CompressorPool {
     workers_.clear();
   }
 
+  // Run the worker loop on the CALLING thread until `quit` is set (or the
+  // pool stops) and the queue is empty.  Lets pipeline threads whose own
+  // stage has finished (parse threads at EOF) help drain the compress
+  // queue instead of idling — the end-of-run drain otherwise runs on
+  // n_compressor threads while the rest of the host sits parked
+  // (measured ~0.8-1.0 core-s of idle per run; see DESIGN.md r4).
+  void assist(const std::atomic<bool>& quit) {
+    for (;;) {
+      CompressJob job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        not_empty_.wait(lk, [&] {
+          return !queue_.empty() || stopping_ || quit.load();
+        });
+        if (queue_.empty()) {
+          if (stopping_ || quit.load()) return;
+          continue;
+        }
+        job = std::move(queue_.front());
+        queue_.pop_front();
+        not_full_.notify_one();
+      }
+      run_job(job);
+    }
+  }
+
+  // wake threads parked in assist() after their quit flag is raised
+  void wake_assist() { not_empty_.notify_all(); }
+
   static std::vector<uint8_t> compress_block(const std::vector<uint8_t>& in,
                                              int level) {
     // raw deflate with headroom; BGZF framing around it.  libdeflate when
@@ -851,15 +880,18 @@ class CompressorPool {
         queue_.pop_front();
         not_full_.notify_one();
       }
-      uint64_t t0 = thread_cpu_ns();
-      size_t in_bytes = job.data.size();
-      auto compressed =
-          compress_block(job.data, job.writer->level());
-      busy_ns += thread_cpu_ns() - t0;
-      bytes_in += in_bytes;
-      bytes_out += compressed.size();
-      job.writer->deliver(job.seq, std::move(compressed));
+      run_job(job);
     }
+  }
+
+  void run_job(CompressJob& job) {
+    uint64_t t0 = thread_cpu_ns();
+    size_t in_bytes = job.data.size();
+    auto compressed = compress_block(job.data, job.writer->level());
+    busy_ns += thread_cpu_ns() - t0;
+    bytes_in += in_bytes;
+    bytes_out += compressed.size();
+    job.writer->deliver(job.seq, std::move(compressed));
   }
 
  public:
@@ -1689,6 +1721,19 @@ class DemuxEngine {
   // 4 absorbs normal jitter; FQTK_PIPE_SLOTS widens it for experiments
   // (deeper rings buffer compress-queue bursts at small windows).
   int pipe_slots_ = 4;
+  //: releases parse threads from compressor drain-assist at shutdown
+  std::atomic<bool> drain_quit_{false};
+  //: fractional first windows (host-matcher runs): route/compress start
+  //: within milliseconds instead of waiting a full window's parse+gate.
+  //: Off for device-matcher runs, whose jitted programs are per-shape.
+  bool pipe_ramp_ = false;
+
+  int64_t pipe_window_target(int64_t w) const {
+    if (!pipe_ramp_ || w >= 3) return pipe_batch_;
+    // never above pipe_batch_: the slot buffers are sized for it
+    return std::min<int64_t>(
+        pipe_batch_, std::max<int64_t>(1024, pipe_batch_ >> (3 - w)));
+  }
 
   struct PipeSlot {
     BatchSlot batch;
@@ -1705,10 +1750,11 @@ class DemuxEngine {
     int inputs_done = 0;
   };
 
-  bool pipe_start(int64_t batch) {
+  bool pipe_start(int64_t batch, bool ramp) {
     if (err.failed || pipe_started_) return false;
     pipe_started_ = true;
     pipe_batch_ = batch;
+    pipe_ramp_ = ramp;
     if (const char* ps_env = getenv("FQTK_PIPE_SLOTS")) {
       int v = atoi(ps_env);
       if (v >= 2 && v <= 64) pipe_slots_ = v;
@@ -1738,6 +1784,15 @@ class DemuxEngine {
     return true;
   }
 
+  // After a parse thread's own stage ends (true EOF, not an error stop),
+  // it joins the compressor pool until the run finishes: the end-of-run
+  // drain + writer-close flush otherwise runs on the compressor threads
+  // alone while parse cores idle (a fixed ~0.8-1.0 core-s bubble per run
+  // on this 4-core host; DESIGN.md r4).
+  void pipe_parse_drain_assist() {
+    if (pool_ && !err.failed) pool_->assist(drain_quit_);
+  }
+
   void pipe_parse_worker(size_t i) {
     const size_t n_in = parse_states_.size();
     for (int64_t w = 0;; w++) {
@@ -1747,10 +1802,15 @@ class DemuxEngine {
         slot_cv_.wait(lk, [&] {
           return pipe_stop_ || pipe_done_ || ps->ready_for == w;
         });
-        if (pipe_stop_ || pipe_done_) return;
+        if (pipe_stop_) return;
+        if (pipe_done_) {
+          lk.unlock();
+          pipe_parse_drain_assist();
+          return;
+        }
       }
       uint64_t t0 = thread_cpu_ns();
-      parse_input_window(i, ps->batch.per_input[i], pipe_batch_);
+      parse_input_window(i, ps->batch.per_input[i], pipe_window_target(w));
       parse_ns_ += thread_cpu_ns() - t0;
       bool last = false;
       {
@@ -1770,7 +1830,7 @@ class DemuxEngine {
                               ps->rmap, &sk, &mx, &ps->exc_rows,
                               &ps->exc_bytes);
         gate_ns_ += thread_cpu_ns() - g0;
-        std::lock_guard<std::mutex> lk(pmu_);
+        std::unique_lock<std::mutex> lk(pmu_);
         if (n < 0) {
           pipe_stop_ = true;
           pipe_notify_all();
@@ -1784,6 +1844,8 @@ class DemuxEngine {
         ready_cv_.notify_all();
         if (pipe_done_) {
           slot_cv_.notify_all();
+          lk.unlock();
+          pipe_parse_drain_assist();
           return;
         }
       }
@@ -1938,11 +2000,21 @@ class DemuxEngine {
       pipe_stop_ = pipe_stop_ || err.failed;
       pipe_notify_all();
     }
-    pipe_join();
-    return finish();
+    if (route_thread_.joinable()) route_thread_.join();
+    // Parse threads may be drain-assisting the compressor pool — close
+    // the writers (which submits every final partial block) and stop the
+    // pool FIRST so the assistance covers the flush, then reap them.
+    bool ok = finish();
+    drain_quit_.store(true);
+    if (pool_) pool_->wake_assist();
+    for (auto& t : parse_threads_) t.join();
+    parse_threads_.clear();
+    return ok;
   }
 
   void pipe_join() {
+    drain_quit_.store(true);
+    if (pool_) pool_->wake_assist();
     for (auto& t : parse_threads_) t.join();
     parse_threads_.clear();
     if (route_thread_.joinable()) route_thread_.join();
@@ -3654,8 +3726,9 @@ FQTK_API void fqtk_demux_configure(DemuxEngine* e, int bc_len,
 
 // ---- pipelined mode ----
 
-FQTK_API int fqtk_demux_pipe_start(DemuxEngine* e, int64_t batch) {
-  return e->pipe_start(batch) ? 0 : -1;
+FQTK_API int fqtk_demux_pipe_start(DemuxEngine* e, int64_t batch,
+                                   int ramp) {
+  return e->pipe_start(batch, ramp != 0) ? 0 : -1;
 }
 
 FQTK_API int64_t fqtk_demux_pipe_acquire(DemuxEngine* e, int32_t* slot_out,

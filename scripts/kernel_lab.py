@@ -25,7 +25,6 @@ Variants (all int8 MXU, bit2 obs, tiles parametrized):
 Run on the real chip:  python scripts/kernel_lab.py [variants...]
 """
 
-import functools
 import sys
 import time
 
@@ -87,7 +86,6 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
     k_padded = n_k_tiles * tile_k
 
     if name == "v0_colmerge":
-        from fqtk_tpu.ops.matcher import ExpectedSet
         from fqtk_tpu.ops.pallas_matcher import (
             compat_for_plan,
             make_kernel_runner,
@@ -161,12 +159,15 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
         )
         return jax.jit(go_raw), compat_dev, k_padded * wl
 
-    if name in ("v1_m1only", "v2_matmul"):
+    if name in (
+        "v1_m1only", "v2_matmul", "v2b_store", "p_i8min", "p_i8minmax",
+    ):
         ck = 1 << max(1, (n_k_tiles - 1).bit_length())
         ck_s1 = 1 << ((ck.bit_length() - 1 + 1) // 2)
         ck_s2 = ck // ck_s1
         compat_host = compat_classmajor4(masks, k_padded, scale=ck_s2)
-        m1_only = name == "v1_m1only"
+        i8 = name.startswith("p_i8")
+        acc_dtype = jnp.int8 if i8 else jnp.int32
 
         def kern(obs_ref, cls_ref, compat_ref, out_ref, m1s):
             kb = pl.program_id(1)
@@ -174,7 +175,10 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
 
             @pl.when(kb == 0)
             def _init():
-                m1s[:] = jnp.full((tile_b, tile_k), init, jnp.int32)
+                if i8:
+                    m1s[:] = jnp.full((tile_b, tile_k), 127, jnp.int8)
+                else:
+                    m1s[:] = jnp.full((tile_b, tile_k), init, jnp.int32)
 
             rep = pltpu.repeat(obs_ref[:], repeats=onehot_width, axis=0)
             onehot = jnp.where(rep == cls_ref[:], ck_s1, 0).astype(jnp.int8)
@@ -183,15 +187,28 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            if m1_only:
+            if name == "v1_m1only":
                 m1s[:] = jnp.minimum(m1s[:], counts_ck + kb)
+            elif name == "v2b_store":
+                m1s[:] = counts_ck  # full store: no elementwise read-merge
+            elif name == "p_i8min":
+                # clamp rides the cast bound: counts*ck <= 16*512 needs the
+                # min BEFORE the int8 cast
+                c8 = jnp.minimum(counts_ck, 96).astype(jnp.int8)
+                m1s[:] = jnp.minimum(m1s[:], c8)
+            elif name == "p_i8minmax":
+                c8 = jnp.minimum(counts_ck, 96).astype(jnp.int8)
+                prev = m1s[:]
+                m1s[:] = jnp.minimum(prev, c8)
+                # second int8 stream (stand-in for an m2s accumulator cost)
+                m1s[:] = jnp.minimum(m1s[:], jnp.maximum(prev, c8))
             else:
                 m1s[:, 0:1] = counts_ck[:, 0:1]  # touch output, no merge
 
             @pl.when(kb == n_k_tiles - 1)
             def _emit():
                 colid = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
-                ext1 = m1s[:] * tile_k + colid
+                ext1 = m1s[:].astype(jnp.int32) * tile_k + colid
                 g1 = jnp.min(ext1, axis=1, keepdims=True)
                 cid8 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 8), 1)
                 out_ref[0, :, :] = jnp.where(cid8 == 0, g1 >> 8, g1 & 255)
@@ -222,7 +239,7 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
 
         compat_dev = jax.device_put(compat_host)
         return (
-            build(kern, [pltpu.VMEM((tile_b, tile_k), jnp.int32)]),
+            build(kern, [pltpu.VMEM((tile_b, tile_k), acc_dtype)]),
             compat_dev,
             k_padded * wl,
         )
@@ -363,7 +380,9 @@ def main():
     from fqtk_tpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
-    k, length = 737280, 16
+    import os
+    k = int(os.environ.get("FQTK_LAB_K", "737280"))
+    length = int(os.environ.get("FQTK_LAB_L", "16"))
     codes = unique_barcodes(k, length)
     letters = np.frombuffer(b"ACGT", dtype=np.uint8)
     from fqtk_tpu.core.encoding import ENCODE_LUT

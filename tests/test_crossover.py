@@ -176,3 +176,47 @@ def test_cpu_backend_uses_static_cap(monkeypatch, tmp_path):
     )
     assert host_matcher and pack_mode == "nib4"
     assert not (tmp_path / "crossover.json").exists()
+
+
+def test_window_dedup_wrapper_exact_and_bucketed(monkeypatch):
+    """_wrap_window_dedup: clustered windows shrink to a power-of-two
+    bucket of unique rows and scatter back exactly; low-duplication and
+    small windows bypass."""
+    monkeypatch.delenv("FQTK_DEVICE_DEDUP", raising=False)
+    calls = []
+
+    def fake_call(obs):
+        obs = np.asarray(obs)
+        calls.append(obs.shape[0])
+        # fake matcher: "assignment" = first byte of the row
+        return obs[:, 0].astype(np.int32)
+
+    assign = demux_mod._wrap_window_dedup(fake_call)
+    rng = np.random.default_rng(0)
+    # 8192 rows drawn from 100 distinct 4-byte keys -> bucket 4096... no:
+    # 100 unique -> bucket max(4096, 128) = 4096 < 8192, engages
+    uniq = rng.integers(0, 255, size=(100, 4), dtype=np.uint8)
+    rows = uniq[rng.integers(0, 100, size=8192)]
+    out = assign(rows)
+    np.testing.assert_array_equal(out, rows[:, 0].astype(np.int32))
+    assert calls == [4096], calls
+    assert assign.dedup_stats["dedup_windows"] == 1
+
+    # low duplication: bypasses (unique > half)
+    calls.clear()
+    rows2 = rng.integers(0, 255, size=(4096, 8), dtype=np.uint8)
+    out2 = assign(rows2)
+    np.testing.assert_array_equal(out2, rows2[:, 0].astype(np.int32))
+    assert calls == [4096]  # full window, no dedup call shrink
+
+    # small windows: bypass entirely
+    calls.clear()
+    rows3 = uniq[rng.integers(0, 100, size=512)]
+    out3 = assign(rows3)
+    np.testing.assert_array_equal(out3, rows3[:, 0].astype(np.int32))
+    assert calls == [512]
+
+    # env kill switch
+    monkeypatch.setenv("FQTK_DEVICE_DEDUP", "0")
+    plain = demux_mod._wrap_window_dedup(fake_call)
+    assert plain is fake_call
