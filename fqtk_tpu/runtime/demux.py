@@ -1090,7 +1090,14 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
         # feeding the BGZF compressor pool); this thread only services
         # device-matcher calls between acquire and submit.  All native calls
         # release the GIL.
-        engine.pipe_start(batch, packed_len, ramp=host_matcher)
+        # Fractional ramp-up windows are OFF by default: interleaved A/B on
+        # the 4-core bench host measured them a consistent ~5% LOSS on the
+        # single-end config (3.46M vs 3.61M median reads/s) and a wash on
+        # dual-index — the 3 extra window handoffs cost more than the
+        # earlier route/compress start saves.  FQTK_PIPE_RAMP=1 re-enables
+        # (host-matcher runs only; device matchers compile per shape).
+        ramp = os.environ.get("FQTK_PIPE_RAMP") == "1" and host_matcher
+        engine.pipe_start(batch, packed_len, ramp=ramp)
         first = True
         with maybe_device_trace():
             while True:

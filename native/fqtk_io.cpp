@@ -791,8 +791,17 @@ class CompressorPool {
     }
   }
 
-  // wake threads parked in assist() after their quit flag is raised
-  void wake_assist() { not_empty_.notify_all(); }
+  // Wake threads parked in assist() after their quit flag is raised.  The
+  // quit store happens outside mu_, so take the lock (empty critical
+  // section) before notifying: a waiter that read quit==false under mu_
+  // has either blocked by the time we acquire it (the notify reaches it)
+  // or will re-evaluate after our release and see the store — without the
+  // lock, a notify landing between its predicate check and its block is
+  // lost and the thread parks forever.
+  void wake_assist() {
+    { std::lock_guard<std::mutex> lk(mu_); }
+    not_empty_.notify_all();
+  }
 
   static std::vector<uint8_t> compress_block(const std::vector<uint8_t>& in,
                                              int level) {
@@ -1759,12 +1768,18 @@ class DemuxEngine {
       int v = atoi(ps_env);
       if (v >= 2 && v <= 64) pipe_slots_ = v;
     }
-    // block-parallel BGZF inflate when cores outnumber parse threads
-    // (e.g. single-input demux): up to 3 decode workers per input
-    int hw = static_cast<int>(std::thread::hardware_concurrency());
-    int dec = std::max(
-        1, std::min(3, hw / std::max(1, static_cast<int>(
-                                            parse_states_.size()) + 1)));
+    // Block-parallel BGZF inflate is OFF by default: interleaved A/B on the
+    // 4-core bench host measured it 10-20% SLOWER end-to-end (dec=2: 3.70M
+    // vs dec=1: 4.19M median reads/s single-end; same ordering on a level-9
+    // recompressed input where inflate is 5x costlier) — the out-of-order
+    // done-map copy + cv round-trips exceed libdeflate's member inflate
+    // cost at any level tried.  FQTK_DECODE_THREADS=N re-enables it for
+    // hosts where inflate genuinely starves a lone parse thread.
+    int dec = 1;
+    if (const char* de = getenv("FQTK_DECODE_THREADS")) {
+      int v = atoi(de);
+      if (v >= 1 && v <= 8) dec = v;
+    }
     if (dec > 1)
       for (auto& st : parse_states_) st->in->set_decode_threads(dec);
     counts_.assign(writers_.size(), 0);
@@ -1790,6 +1805,8 @@ class DemuxEngine {
   // alone while parse cores idle (a fixed ~0.8-1.0 core-s bubble per run
   // on this 4-core host; DESIGN.md r4).
   void pipe_parse_drain_assist() {
+    if (const char* env = getenv("FQTK_DRAIN_ASSIST"))
+      if (env[0] == '0') return;  // A/B kill switch
     if (pool_ && !err.failed) pool_->assist(drain_quit_);
   }
 
@@ -2145,13 +2162,14 @@ class SubsampleEngine {
   void configure(bool check_names, bool parallel) {
     check_names_ = check_names && scanners_.size() > 1;
     parallel_ = parallel && scanners_.size() > 1;
-    const int n_in = static_cast<int>(scanners_.size());
-    int hw = static_cast<int>(std::thread::hardware_concurrency());
-    // decode-ahead workers per input when cores allow (in parallel mode the
-    // per-input threads already claim one core each)
-    int claimed = parallel_ ? n_in + 1 : 1;
-    int dec = std::max(
-        1, std::min(3, (hw - claimed + 1) / std::max(1, n_in)));
+    // Decode-ahead is opt-in here for the same reason as the demux
+    // pipeline (see pipe_start): measured SLOWER on the 4-core bench host
+    // at every compression level tried.
+    int dec = 1;
+    if (const char* de = getenv("FQTK_DECODE_THREADS")) {
+      int v = atoi(de);
+      if (v >= 1 && v <= 8) dec = v;
+    }
     if (dec > 1)
       for (auto& sc : scanners_) sc->stream()->set_decode_threads(dec);
   }

@@ -1,0 +1,120 @@
+"""Interleaved A/B of one e2e demux config over env-knob arms.
+
+Generalizes ab_single_end: picks a config (single|dualindex|varlen|iupac),
+builds its inputs once, then alternates trials across the given env arms so
+a VM noise phase hits every arm.
+
+Run: python scripts/ab_e2e.py <config> <trials> KEY=V[,KEY=V] KEY=V ...
+e.g. python scripts/ab_e2e.py dualindex 4 FQTK_PIPE_RAMP=0 FQTK_PIPE_RAMP=1
+     python scripts/ab_e2e.py single 4 \
+         FQTK_PIPE_RAMP=0,FQTK_DRAIN_ASSIST=0 FQTK_PIPE_RAMP=0
+"""
+
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+
+N = 1_000_000
+
+
+def build(tmp, config):
+    """Returns (inputs, structures, meta, warm_inputs, max_mm, delta)."""
+    if config == "single":
+        bcs = bench.make_whitelist(16, 17, seed=21)
+        meta = bench.write_metadata(tmp, bcs, "meta.tsv")
+        p, _ = bench.write_single_end_inputs(tmp, bcs, N, "se")
+        w, _ = bench.write_single_end_inputs(tmp, bcs, 200_000, "w")
+        return [p], ["17B+T"], meta, [w], 0, 2
+    if config == "iupac":
+        bcs = bench.make_whitelist(16, 17, seed=23)
+        bcs = [
+            b[:4] + "N" + b[5:10] + "RY"[i % 2] + b[11:]
+            for i, b in enumerate(bcs)
+        ]
+        meta = bench.write_metadata(tmp, bcs, "meta.tsv")
+        reads = [b.replace("N", "A").replace("R", "G").replace("Y", "C")
+                 for b in bcs]
+        p, _ = bench.write_single_end_inputs(tmp, reads, N, "iu")
+        w, _ = bench.write_single_end_inputs(tmp, reads, 200_000, "w")
+        return [p], ["17B+T"], meta, [w], 1, 2
+    if config == "dualindex":
+        bcs = bench.make_whitelist(bench.K, bench.L, seed=7)
+        paths, meta = bench.write_inputs(tmp, bcs, N, "di_")
+        wpaths, _ = bench.write_inputs(tmp, bcs, 200_000, "w_")
+        order = ["i1", "r1", "r2", "i2"]
+        return ([paths[n] for n in order], ["8B", "100T", "100T", "9B"],
+                meta, [wpaths[n] for n in order], 1, 2)
+    if config == "varlen":
+        bcs = bench.make_whitelist(bench.K, bench.L, seed=7)
+        meta = bench.write_metadata(tmp, bcs, "meta.tsv")
+        v1, _ = bench.write_single_end_inputs(
+            tmp, [b[:bench.BC1] for b in bcs], N, "v1", var_template=True)
+        v2, _ = bench.write_single_end_inputs(
+            tmp, [b[bench.BC1:] for b in bcs], N, "v2", var_template=True)
+        w1, _ = bench.write_single_end_inputs(
+            tmp, [b[:bench.BC1] for b in bcs], 200_000, "w1",
+            var_template=True)
+        w2, _ = bench.write_single_end_inputs(
+            tmp, [b[bench.BC1:] for b in bcs], 200_000, "w2",
+            var_template=True)
+        return [v1, v2], ["8B+T", "9B+T"], meta, [w1, w2], 1, 2
+    raise SystemExit(f"unknown config {config}")
+
+
+def main():
+    config = sys.argv[1]
+    trials = int(sys.argv[2])
+    arms = sys.argv[3:]
+    from fqtk_tpu.runtime.demux import run_demux
+
+    def set_arm(arm):
+        for kv in arm.split(","):
+            k, v = kv.split("=")
+            os.environ[k] = v
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        inputs, structs, meta, warm, mm, delta = build(tmp, config)
+        for arm in arms:
+            set_arm(arm)
+            run_demux(bench._demux_cfg(
+                warm, structs, meta, tmp / f"warm_{arms.index(arm)}",
+                max_mm=mm, delta=delta))
+
+        results = {a: [] for a in arms}
+        timings = {a: {} for a in arms}
+        for t in range(trials):
+            for arm in arms:
+                set_arm(arm)
+                t0 = time.perf_counter()
+                res = run_demux(bench._demux_cfg(
+                    inputs, structs, meta, tmp / f"o{arms.index(arm)}_{t}",
+                    max_mm=mm, delta=delta))
+                dt = time.perf_counter() - t0
+                assert res.total_templates == N
+                rps = N / dt
+                results[arm].append(rps)
+                if rps >= max(results[arm]):
+                    timings[arm] = {
+                        k: round(v, 3) for k, v in res.timings.items()}
+                print(f"trial {t} [{arm}]: {rps/1e6:.3f}M")
+
+        for arm in arms:
+            best = max(results[arm])
+            sol = bench.host_speed_of_light(best, N, timings[arm])
+            med = sorted(results[arm])[len(results[arm]) // 2]
+            print(
+                f"[{arm}] best {best/1e6:.3f}M median {med/1e6:.3f}M "
+                f"frac {sol['frac_of_ceiling'] if sol else '?'} "
+                f"io_core_s {sol['io_core_seconds'] if sol else '?'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -173,15 +173,17 @@ def test_bgzf_input_fast_path_demux(tmp_path):
         assert gzip.open(f).read() == gzip.open(tmp_path / "out_gz" / f.name).read()
 
 
-def test_bgzf_decode_ahead_parallel_inflate(tmp_path):
-    """A multi-block BGZF input through the single-input demux path (which
-    enables block-parallel decode-ahead when cores allow) must produce
-    byte-identical output to the python engine's streaming read."""
+def test_bgzf_decode_ahead_parallel_inflate(tmp_path, monkeypatch):
+    """A multi-block BGZF input through the single-input demux path with
+    block-parallel decode-ahead forced on (opt-in since the r4 A/B measured
+    it slower at 4 cores — FQTK_DECODE_THREADS) must produce byte-identical
+    output to the python engine's streaming read."""
     from fqtk_tpu.io import native as native_io
     from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
 
     if not native_io.available():
         pytest.skip("native library unavailable")
+    monkeypatch.setenv("FQTK_DECODE_THREADS", "3")
     p = tmp_path / "in.fq.gz"
     w = native_io.NativeBgzfWriter(p, 1, threads=2)
     n = 20_000  # ~3MB decompressed -> dozens of BGZF blocks
@@ -209,6 +211,48 @@ def test_bgzf_decode_ahead_parallel_inflate(tmp_path):
         outs[engine] = gzip.decompress((out / "sA.R1.fq.gz").read_bytes())
     assert outs["native"] == outs["numpy"]
     assert outs["native"].count(b"\n") == 4 * n
+
+
+def test_pipe_ramp_byte_identity(tmp_path, monkeypatch):
+    """FQTK_PIPE_RAMP=1 (fractional first windows — opt-in since the r4
+    A/B measured it a ~5% loss at 4 cores) must not change output bytes:
+    window boundaries are invisible to routing."""
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.runtime.demux import DemuxConfig, run_demux
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    p = tmp_path / "in.fq.gz"
+    w = native_io.NativeBgzfWriter(p, 1, threads=2)
+    n = 30_000  # > 3 ramp windows at batch_size=8192 (1024/2048/4096/8192…)
+    for i in range(n):
+        bc = b"AAAATTTT" if i % 3 else b"CCCCGGGG"
+        w.write(b"@r%d 1:N:0:0\n%sGGGGCCCC\n+\nIIIIIIIIIIIIIIII\n" % (i, bc))
+    w.close()
+    meta = tmp_path / "m.tsv"
+    meta.write_text("sample_id\tbarcode\nsA\tAAAATTTT\nsB\tCCCCGGGG\n")
+
+    outs = {}
+    for tag, ramp in (("ramp", "1"), ("plain", "0")):
+        monkeypatch.setenv("FQTK_PIPE_RAMP", ramp)
+        out = tmp_path / f"out_{tag}"
+        res = run_demux(
+            DemuxConfig(
+                inputs=[p],
+                read_structures=["8B+T"],
+                sample_metadata=meta,
+                output=out,
+                batch_size=8192,
+                engine="native",
+                devices=1,
+            )
+        )
+        assert res.total_templates == n
+        outs[tag] = tuple(
+            gzip.decompress((out / f"s{s}.R1.fq.gz").read_bytes())
+            for s in "AB"
+        )
+    assert outs["ramp"] == outs["plain"]
 
 
 def test_bgzf_writer_surfaces_short_writes():
