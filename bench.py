@@ -42,8 +42,14 @@ import numpy as np
 
 RUST_BASELINE_READS_PER_SEC_ESTIMATE = 1.5e6
 
-N_READS = 2_000_000
-N_READS_SECONDARY = 1_000_000
+# Run lengths: long enough that the fixed per-run bubbles (process setup,
+# writer opens, thread spawn, first-window fill, end-of-run flush — a
+# measured ~40ms total) amortize below ~2% of wall, so e2e rates and
+# frac_of_ceiling reflect the steady-state pipeline, not process startup.
+# Both sides of every A/B (product and reference proxy) run the same
+# lengths, so the ratios are unaffected either way.
+N_READS = 4_000_000
+N_READS_SECONDARY = 4_000_000
 WARMUP_READS = 2_000
 K = 96
 BC1, BC2 = 8, 9
@@ -719,7 +725,7 @@ def bench_subsample_config(tmp: Path, paths):
     lockstep loop with per-record draws folded in (``subsample.rs:175-304``:
     one reader thread + pooled BGZF writers).  The product path adds one
     reader thread per input (the keep mask is pre-drawn, so inputs decouple)
-    and block-parallel BGZF decode-ahead when cores allow."""
+    (decode-ahead is opt-in after the r4 A/B; see DESIGN.md)."""
     from fqtk_tpu.io import native as native_io
     from fqtk_tpu.runtime.subsample import SubsampleConfig, run_subsample
     from fqtk_tpu.utils.chacha import ChaCha8Rng

@@ -417,8 +417,8 @@ class NativeDemuxEngine:
         return out
 
     def stats(self) -> dict:
-        out = (ctypes.c_double * 6)()
-        self._lib.fqtk_demux_stats(self._h, out, 6)
+        out = (ctypes.c_double * 8)()
+        self._lib.fqtk_demux_stats(self._h, out, 8)
         return {
             "native_parse": out[0],
             "native_gate_pack": out[1],
@@ -426,6 +426,11 @@ class NativeDemuxEngine:
             "native_compress": out[3],
             "native_compress_in_bytes": out[4],
             "native_compress_out_bytes": out[5],
+            # wall-clock stalls (not CPU): parse threads waiting for a free
+            # window slot (downstream backpressure) / route thread waiting
+            # for an assigned window (upstream starvation)
+            "native_parse_stall": out[6],
+            "native_route_stall": out[7],
         }
 
     def close(self) -> None:

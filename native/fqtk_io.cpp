@@ -68,6 +68,14 @@ inline uint64_t thread_cpu_ns() {
   return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
 }
 
+// Monotonic wall clock, for stall accounting (time a pipeline stage spends
+// BLOCKED is invisible to thread-CPU counters by definition).
+inline uint64_t wall_ns() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
+}
+
 // ---------------------------------------------------------------------------
 // error plumbing
 // ---------------------------------------------------------------------------
@@ -1815,10 +1823,12 @@ class DemuxEngine {
     for (int64_t w = 0;; w++) {
       PipeSlot* ps = &pslots_[w % pipe_slots_];
       {
+        uint64_t w0 = wall_ns();
         std::unique_lock<std::mutex> lk(pmu_);
         slot_cv_.wait(lk, [&] {
           return pipe_stop_ || pipe_done_ || ps->ready_for == w;
         });
+        parse_stall_ns_ += wall_ns() - w0;
         if (pipe_stop_) return;
         if (pipe_done_) {
           lk.unlock();
@@ -1880,10 +1890,12 @@ class DemuxEngine {
     for (;;) {
       int s;
       {
+        uint64_t w0 = wall_ns();
         std::unique_lock<std::mutex> lk(pmu_);
         route_cv_.wait(lk, [&] {
           return !route_q_.empty() || pipe_stop_ || route_finishing_;
         });
+        route_stall_ns_ += wall_ns() - w0;
         if (route_q_.empty()) {
           if (pipe_stop_ || route_finishing_) return;
           continue;
@@ -2056,17 +2068,22 @@ class DemuxEngine {
   }
 
   // [parse_s (sum over input threads), gate_pack_s, route_s,
-  //  compress_s (sum over workers), compress_in_bytes, compress_out_bytes]
+  //  compress_s (sum over workers), compress_in_bytes, compress_out_bytes,
+  //  parse_stall_s (wall, sum over input threads: waiting for a free window
+  //  slot — downstream backpressure), route_stall_s (wall: route thread
+  //  waiting for an assigned window — upstream starvation)]
   void get_stats(double* out, int n) const {
-    double vals[6] = {
+    double vals[8] = {
         parse_ns_.load() * 1e-9,
         gate_ns_.load() * 1e-9,
         route_ns_.load() * 1e-9,
         pool_ ? pool_->busy_ns.load() * 1e-9 : 0.0,
         pool_ ? static_cast<double>(pool_->bytes_in.load()) : 0.0,
         pool_ ? static_cast<double>(pool_->bytes_out.load()) : 0.0,
+        parse_stall_ns_.load() * 1e-9,
+        route_stall_ns_.load() * 1e-9,
     };
-    for (int i = 0; i < n && i < 6; i++) out[i] = vals[i];
+    for (int i = 0; i < n && i < 8; i++) out[i] = vals[i];
   }
 
  private:
@@ -2106,6 +2123,7 @@ class DemuxEngine {
   int64_t submitted_ = 0, routed_ = 0;
   std::vector<int64_t> counts_;  // per-writer-set template counts
   std::atomic<uint64_t> parse_ns_{0}, gate_ns_{0}, route_ns_{0};
+  std::atomic<uint64_t> parse_stall_ns_{0}, route_stall_ns_{0};
 };
 
 // ---------------------------------------------------------------------------
