@@ -58,11 +58,12 @@ TEMPLATE_LEN = 100
 BATCH = 1 << 17
 #: big-K pallas tile sizes (best of the measured sweep with the
 #: column-merge top-2; see DESIGN.md — the 2x[TB,TK] running-key scratch
-#: bounds the tile area under the 16MB scoped-VMEM limit on v5e)
-# measured-best big-K tiles (r4: 4096-wide K tiles halve grid steps, +10%
-# at K=737K; 256-deep B tiles keep the accumulators inside scoped VMEM)
-PALLAS_TILE_B = 256
-PALLAS_TILE_K = 4096
+#: bounds the tile area under the 16MB scoped-VMEM limit on v5e).  An r4
+#: (256, 4096) retune did not replicate its one-window +10% under
+#: interleaved same-window A/B (kernel_lab: 822-836K both), so the
+#: production tiling stays (512, 2048).
+PALLAS_TILE_B = 512
+PALLAS_TILE_K = 2048
 
 
 def rust_baseline() -> tuple:

@@ -184,14 +184,11 @@ def make_sharded_assign_fn(
             plan_local_kernel,
         )
 
-        # measured-best tiles by local column count (see DESIGN.md r4):
-        # big shards want 4096-wide K tiles (half the grid steps), smaller
-        # ones the deeper B tile
+        # single measured-best tiling (512, 2048); a (256, 4096) big-shard
+        # variant did not replicate its one-window +10% under interleaved
+        # A/B (DESIGN.md r4), so the simpler uniform tiling is kept
         if tile_b is None or tile_k is None:
-            if k_per_shard >= 65536:
-                tile_b, tile_k = tile_b or 256, tile_k or 4096
-            else:
-                tile_b, tile_k = tile_b or 512, tile_k or 2048
+            tile_b, tile_k = tile_b or 512, tile_k or 2048
         # one plan for every shard (shard_map runs a single program)
         plan = plan_local_kernel(
             k_per_shard,

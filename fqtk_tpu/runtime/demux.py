@@ -816,20 +816,19 @@ def _build_device_side(cfg: DemuxConfig, expected: ExpectedSet):
         # Single chip, any K above the host-matcher cap: int8 MXU + bit2-
         # packed observations (ambiguous rows flagged by the engine and
         # resolved host-side, same as the XLA bit2 path) at the measured-
-        # best tiles: (256, 4096) at big K (4096-wide K tiles halve grid
-        # steps, +10% at K=737K same-window) and (512, 2048) at mid K
-        # (fewer B tiles win when the K loop is short); see DESIGN.md.
-        # The column-merge top-2 reduction (see pallas_matcher) measured
-        # 1.7x the per-step lane-reduce scheme at K=737K (itself 2.07x the
-        # round-2 bf16/nib4 kernel) and 4-6x the XLA [B, K] contraction at
-        # mid-K (K=8192) on v5e.
-        tile_b, tile_k = (256, 4096) if big_k else (512, 2048)
+        # best tiles (512, 2048).  A (256, 4096) retune looked +10% in one
+        # window but did not replicate under interleaved same-window A/B
+        # (822-836K both, scripts/kernel_lab.py; DESIGN.md r4), so the
+        # single tiling is kept.  The column-merge top-2 reduction (see
+        # pallas_matcher) measured 1.7x the per-step lane-reduce scheme at
+        # K=737K (itself 2.07x the round-2 bf16/nib4 kernel) and 4-6x the
+        # XLA [B, K] contraction at mid-K (K=8192) on v5e.
         fn = make_pallas_assign_fn(
             expected,
             cfg.max_mismatches,
             cfg.min_mismatch_delta,
-            tile_b=tile_b,
-            tile_k=tile_k,
+            tile_b=512,
+            tile_k=2048,
             packed2=True,
             compact_output=True,
             mxu_dtype="int8",
