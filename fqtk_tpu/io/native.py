@@ -200,6 +200,12 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.fqtk_smallk_free.argtypes = [ctypes.c_void_p]
     lib.fqtk_simd_level.restype = ctypes.c_int
     lib.fqtk_simd_level.argtypes = []
+    lib.fqtk_inflate_bench.restype = ctypes.c_int64
+    lib.fqtk_inflate_bench.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.fqtk_demux_error.restype = ctypes.c_char_p
     lib.fqtk_demux_error.argtypes = [ctypes.c_void_p]
     lib.fqtk_demux_free.argtypes = [ctypes.c_void_p]
@@ -241,6 +247,30 @@ def _bind(lib: ctypes.CDLL) -> None:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def inflate_bench(path) -> tuple:
+    """Stream `path` to EOF on this thread through the engine's production
+    decompressor, discarding output.  Returns ``(decompressed_bytes,
+    thread_cpu_seconds, kind)`` with kind in {"plain", "gzip",
+    "gzip-multimember", "bgzf"}.  bench.py's calibration for the
+    serial-inflate bound: a SINGLE-member gzip stream cannot be inflated
+    in parallel by ANY implementation (each deflate block's dictionary is
+    the previous output), so the slowest such input's inflate CPU caps e2e
+    throughput.  Multi-member/BGZF inputs are block-parallel decodable in
+    principle, so no serial bound is claimed for them."""
+    lib = get_lib()
+    if lib is None:
+        raise NativeDemuxError("native library unavailable")
+    cpu = ctypes.c_double(0.0)
+    kind = ctypes.c_int(0)
+    n = lib.fqtk_inflate_bench(
+        str(path).encode(), ctypes.byref(cpu), ctypes.byref(kind)
+    )
+    if n < 0:
+        raise NativeDemuxError(f"inflate_bench failed for {path}")
+    kinds = {0: "plain", 1: "gzip", 2: "gzip-multimember", 3: "bgzf"}
+    return int(n), float(cpu.value), kinds.get(kind.value, "unknown")
 
 
 def simd_level() -> int:
@@ -417,8 +447,8 @@ class NativeDemuxEngine:
         return out
 
     def stats(self) -> dict:
-        out = (ctypes.c_double * 8)()
-        self._lib.fqtk_demux_stats(self._h, out, 8)
+        out = (ctypes.c_double * 9)()
+        self._lib.fqtk_demux_stats(self._h, out, 9)
         return {
             "native_parse": out[0],
             "native_gate_pack": out[1],
@@ -428,9 +458,14 @@ class NativeDemuxEngine:
             "native_compress_out_bytes": out[5],
             # wall-clock stalls (not CPU): parse threads waiting for a free
             # window slot (downstream backpressure) / route thread waiting
-            # for an assigned window (upstream starvation)
+            # for an assigned window (upstream starvation).  With
+            # stall-assist (default on) stalled threads run compress jobs,
+            # so stall wall-time overlaps donated compression.
             "native_parse_stall": out[6],
             "native_route_stall": out[7],
+            # subset of native_compress CPU donated by stalled/stolen
+            # pipeline threads (stall-assist + queue-full steals)
+            "native_donated_compress": out[8],
         }
 
     def close(self) -> None:

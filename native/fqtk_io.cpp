@@ -220,6 +220,7 @@ class InputStream {
       total = len - strm_.avail_out;
       if (ret == Z_STREAM_END) {
         mid_member_ = false;
+        members_++;
         // concatenated member boundary (BGZF files are many members)
         if (inflateReset2(&strm_, 15 + 32) != Z_OK) {
           ok_ = false;
@@ -254,6 +255,13 @@ class InputStream {
     (void)n;
 #endif
   }
+
+  bool is_gzipped() const { return gzipped_; }
+  bool is_bgzf() const { return bgzf_; }
+  // completed deflate members seen so far (streaming-zlib path only;
+  // calibration use — distinguishes single-member gzip, whose inflate is
+  // inherently serial, from concatenated-member files)
+  uint64_t member_count() const { return members_; }
 
  private:
 #ifdef FQTK_HAVE_LIBDEFLATE
@@ -505,6 +513,7 @@ class InputStream {
   bool ok_ = true;
   bool inflate_live_ = false;   // inflateInit2 succeeded (owns a window)
   bool mid_member_ = false;     // EOF here == truncated member
+  uint64_t members_ = 0;        // completed members (streaming path)
   z_stream strm_;
   std::vector<uint8_t> in_buf_;
 #ifdef FQTK_HAVE_LIBDEFLATE
@@ -756,9 +765,57 @@ class CompressorPool {
 
   void submit(CompressJob job) {
     std::unique_lock<std::mutex> lk(mu_);
-    not_full_.wait(lk, [&] { return queue_.size() < max_queue_ || stopping_; });
+    // Producer backpressure doubles as work-stealing: a full queue means
+    // the compressors are the binding resource, so the producer (the route
+    // thread / its helpers) runs the oldest job itself instead of parking —
+    // its stall becomes compression throughput.  Out-of-order completion is
+    // fine (BgzfWriter::deliver reorders by seq).  donate_on_full is OFF for
+    // the refproxy baseline, whose pooled-writer model blocks producers.
+    if (donate_on_full.load(std::memory_order_relaxed)) {
+      while (queue_.size() >= max_queue_ && !stopping_) {
+        CompressJob steal = std::move(queue_.front());
+        queue_.pop_front();
+        not_full_.notify_one();
+        lk.unlock();
+        uint64_t dt = run_job(steal);
+        donated_ns += dt;
+        tl_donated() += dt;
+        lk.lock();
+      }
+    } else {
+      not_full_.wait(lk,
+                     [&] { return queue_.size() < max_queue_ || stopping_; });
+    }
     queue_.push_back(std::move(job));
     not_empty_.notify_one();
+  }
+
+  // Pop and run at most one queued job on the calling thread; returns false
+  // immediately when the queue is empty.  Used by pipeline threads that are
+  // stalled waiting on another stage: their idle wall time drains compress
+  // backlog instead (the donated CPU is charged to compress via run_job and
+  // excluded from the caller's own stage bucket via tl_donated()).
+  bool try_assist_one() {
+    CompressJob job;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      if (queue_.empty()) return false;
+      job = std::move(queue_.front());
+      queue_.pop_front();
+      not_full_.notify_one();
+    }
+    uint64_t dt = run_job(job);
+    donated_ns += dt;
+    tl_donated() += dt;
+    return true;
+  }
+
+  // CPU-ns of pool jobs run on the CALLING thread (steals/assists); lets a
+  // pipeline stage subtract donated compression from its own accounting
+  // (run_job already counted it in busy_ns).
+  static uint64_t& tl_donated() {
+    static thread_local uint64_t v = 0;
+    return v;
   }
 
   void stop() {
@@ -795,7 +852,9 @@ class CompressorPool {
         queue_.pop_front();
         not_full_.notify_one();
       }
-      run_job(job);
+      uint64_t dt = run_job(job);
+      donated_ns += dt;
+      tl_donated() += dt;
     }
   }
 
@@ -901,19 +960,26 @@ class CompressorPool {
     }
   }
 
-  void run_job(CompressJob& job) {
+  uint64_t run_job(CompressJob& job) {
     uint64_t t0 = thread_cpu_ns();
     size_t in_bytes = job.data.size();
     auto compressed = compress_block(job.data, job.writer->level());
-    busy_ns += thread_cpu_ns() - t0;
+    uint64_t dt = thread_cpu_ns() - t0;
+    busy_ns += dt;
     bytes_in += in_bytes;
     bytes_out += compressed.size();
     job.writer->deliver(job.seq, std::move(compressed));
+    return dt;
   }
 
  public:
-  // cumulative worker-thread stats (summed across threads)
+  // cumulative worker-thread stats (summed across threads); donated_ns is
+  // the subset of busy_ns run on non-pool threads (steals/assists)
   std::atomic<uint64_t> busy_ns{0}, bytes_in{0}, bytes_out{0};
+  std::atomic<uint64_t> donated_ns{0};
+  //: refproxy baseline runs clear this: the reference's pooled-writer
+  //: blocks producers on a full queue rather than having them compress
+  std::atomic<bool> donate_on_full{true};
 
  private:
   size_t max_queue_;
@@ -1230,6 +1296,17 @@ class DemuxEngine {
                                              std::max(8, n_threads * 50));
     level_ = compression_level;
     route_threads_ = std::max(1, std::min(4, n_threads / 2));
+    // Stall-assist (see DESIGN.md r4): stalled pipeline threads and
+    // queue-full producers run compress jobs instead of parking.  Default
+    // OFF: interleaved A/B on the 4-core bench host measured it a wash-to-
+    // loss (dual-index median 1.33M vs 1.45M off) — the pool already has
+    // >= n_threads workers, so idle cores mean an EMPTY compress queue,
+    // not missing compressors, and stealing only adds oversubscription.
+    // FQTK_STALL_ASSIST=1 opts in for hosts where compressor threads are
+    // genuinely scarce relative to cores.
+    if (const char* env = getenv("FQTK_STALL_ASSIST"))
+      stall_assist_ = env[0] == '1';
+    pool_->donate_on_full.store(stall_assist_);
     return true;
   }
 
@@ -1701,13 +1778,17 @@ class DemuxEngine {
                        const int32_t* assigned, int64_t n, int part,
                        int n_parts) {
     uint64_t cpu0 = thread_cpu_ns();
+    uint64_t don0 = CompressorPool::tl_donated();
     WriteScratch sc;
     for (int64_t r = 0; r < n; r++) {
       int32_t idx = assigned[r];
       if (idx % n_parts != part) continue;
       if (!write_template(slot.per_input, rmap[r], idx, sc)) break;
     }
-    route_ns_ += thread_cpu_ns() - cpu0;
+    // compress jobs stolen inside submit() (queue-full backpressure) are
+    // charged to the pool's busy_ns, not to routing
+    route_ns_ +=
+        thread_cpu_ns() - cpu0 - (CompressorPool::tl_donated() - don0);
 #ifdef FQTK_ROUTE_PROF
     if (sc.n_recs)
       fprintf(stderr,
@@ -1825,9 +1906,25 @@ class DemuxEngine {
       {
         uint64_t w0 = wall_ns();
         std::unique_lock<std::mutex> lk(pmu_);
-        slot_cv_.wait(lk, [&] {
+        auto ready = [&] {
           return pipe_stop_ || pipe_done_ || ps->ready_for == w;
-        });
+        };
+        // Stall-assist: a parse thread blocked on the window ring (downstream
+        // backpressure — route/compress is behind) compresses instead of
+        // parking.  Unlike the route thread, new jobs CAN appear while it
+        // waits (route is running), so the empty-queue fallback is a short
+        // timed wait rather than an unbounded one.
+        if (stall_assist_) {
+          while (!ready()) {
+            lk.unlock();
+            bool did = pool_ && pool_->try_assist_one();
+            lk.lock();
+            if (!did && !ready())
+              slot_cv_.wait_for(lk, std::chrono::microseconds(500));
+          }
+        } else {
+          slot_cv_.wait(lk, ready);
+        }
         parse_stall_ns_ += wall_ns() - w0;
         if (pipe_stop_) return;
         if (pipe_done_) {
@@ -1892,9 +1989,27 @@ class DemuxEngine {
       {
         uint64_t w0 = wall_ns();
         std::unique_lock<std::mutex> lk(pmu_);
-        route_cv_.wait(lk, [&] {
+        auto ready = [&] {
           return !route_q_.empty() || pipe_stop_ || route_finishing_;
-        });
+        };
+        // Stall-assist: while waiting for the next submitted window, drain
+        // the compress backlog this thread produced routing the previous
+        // one.  Mid-run the route side is the only job producer, so once
+        // the queue is empty a plain blocking wait is safe (no new jobs
+        // can appear until route runs again).
+        if (stall_assist_) {
+          while (!ready()) {
+            lk.unlock();
+            bool did = pool_ && pool_->try_assist_one();
+            lk.lock();
+            if (!did) {
+              route_cv_.wait(lk, ready);
+              break;
+            }
+          }
+        } else {
+          route_cv_.wait(lk, ready);
+        }
         route_stall_ns_ += wall_ns() - w0;
         if (route_q_.empty()) {
           if (pipe_stop_ || route_finishing_) return;
@@ -1970,7 +2085,22 @@ class DemuxEngine {
       int s;
       {
         std::unique_lock<std::mutex> lk(pmu_);
-        ready_cv_.wait(lk, [&] { return !ready_q_.empty() || pipe_stop_; });
+        auto ready = [&] { return !ready_q_.empty() || pipe_stop_; };
+        // Stall-assist: the caller (the Python driver thread, GIL released)
+        // spends most of its wall time here waiting for parse+gate; donate
+        // it to the compress backlog.  Timed fallback: route produces jobs
+        // concurrently, so an empty queue can refill while we park.
+        if (stall_assist_) {
+          while (!ready()) {
+            lk.unlock();
+            bool did = pool_ && pool_->try_assist_one();
+            lk.lock();
+            if (!did && !ready())
+              ready_cv_.wait_for(lk, std::chrono::microseconds(500));
+          }
+        } else {
+          ready_cv_.wait(lk, ready);
+        }
         if (ready_q_.empty()) {
           *skipped_out = skips;
           return -1;  // error path
@@ -2073,7 +2203,7 @@ class DemuxEngine {
   //  slot — downstream backpressure), route_stall_s (wall: route thread
   //  waiting for an assigned window — upstream starvation)]
   void get_stats(double* out, int n) const {
-    double vals[8] = {
+    double vals[9] = {
         parse_ns_.load() * 1e-9,
         gate_ns_.load() * 1e-9,
         route_ns_.load() * 1e-9,
@@ -2082,8 +2212,10 @@ class DemuxEngine {
         pool_ ? static_cast<double>(pool_->bytes_out.load()) : 0.0,
         parse_stall_ns_.load() * 1e-9,
         route_stall_ns_.load() * 1e-9,
+        // subset of compress_s donated by stalled/stolen pipeline threads
+        pool_ ? pool_->donated_ns.load() * 1e-9 : 0.0,
     };
-    for (int i = 0; i < n && i < 8; i++) out[i] = vals[i];
+    for (int i = 0; i < n && i < 9; i++) out[i] = vals[i];
   }
 
  private:
@@ -2097,6 +2229,7 @@ class DemuxEngine {
   std::vector<std::vector<std::unique_ptr<BgzfWriter>>> writers_;
   int bc_len_ = 0;
   int route_threads_ = 1;
+  bool stall_assist_ = false;
   int row_stride_ = 0;
   int pack_mode_ = 0;
   int nocall_budget_ = 0;
@@ -3546,6 +3679,9 @@ struct RefProxyQueue {
 int64_t DemuxEngine::refproxy_run(const uint8_t* barcodes, int k, int max_mm,
                                   int delta, int reader_chunk) {
   const size_t n_in = parse_states_.size();
+  // the reference's pooled-writer parks producers on a full queue; the
+  // baseline proxy must not inherit this engine's steal-on-full assist
+  if (pool_) pool_->donate_on_full.store(false);
   RefProxyMatcher matcher(barcodes, k, bc_len_, max_mm, delta);
   std::vector<std::unique_ptr<RefProxyQueue>> queues;
   for (size_t i = 0; i < n_in; i++)
@@ -3851,6 +3987,41 @@ FQTK_API void fqtk_smallk_free(SmallKMatcher* m) { delete m; }
 // Resolved SIMD dispatch level the candidate scans will use right now
 // (0=scalar, 1=avx2, 2=avx512), i.e. min(FQTK_SIMD cap, CPU capability).
 // Tests assert this so an FQTK_SIMD typo can't silently run the wrong scan.
+// Decompress-only calibration: stream `path` to EOF on the calling thread,
+// discarding the output.  Returns decompressed bytes (-1 on open/stream
+// error), writes the thread-CPU seconds to *cpu_s and the stream kind to
+// *kind (0 = plain, 1 = single-member gzip, 2 = multi-member gzip,
+// 3 = BGZF).  bench.py uses it to measure the SERIAL-inflate bound of an
+// input: inflate within ONE deflate member cannot be parallelized by any
+// implementation (each block's dictionary is the previous output), so for
+// kind==1 inputs n_reads / max_input(inflate_cpu_s) caps e2e throughput.
+// Multi-member/BGZF inputs (kind 2/3) are block-parallel decodable in
+// principle, so no serial bound is claimed for them.
+FQTK_API int64_t fqtk_inflate_bench(const char* path, double* cpu_s,
+                                    int* kind) {
+  InputStream in(path);
+  if (!in.ok()) return -1;
+  std::vector<uint8_t> buf(1 << 20);
+  uint64_t t0 = thread_cpu_ns();
+  int64_t total = 0;
+  for (;;) {
+    size_t n = in.read(buf.data(), buf.size());
+    if (n == 0) break;
+    total += n;
+  }
+  if (!in.ok()) return -1;
+  *cpu_s = (thread_cpu_ns() - t0) * 1e-9;
+  if (kind) {
+    if (in.is_bgzf())
+      *kind = 3;
+    else if (in.is_gzipped())
+      *kind = in.member_count() > 1 ? 2 : 1;
+    else
+      *kind = 0;
+  }
+  return total;
+}
+
 FQTK_API int fqtk_simd_level(void) {
 #ifdef FQTK_X86_SIMD
   const int cap = simd_level_cap();
