@@ -331,13 +331,29 @@ def _time_device_window(assign, windows) -> float:
     return best
 
 
+#: bump when the placement-relevant engine selection logic changes, so stale
+#: cached decisions made under older auto-path thresholds are not reused
+_CROSSOVER_KEY_VERSION = 2
+
+
 def _crossover_cache_key(cfg: DemuxConfig, expected: ExpectedSet) -> str:
+    import hashlib
+
+    # Host-matcher timing is content-dependent (IUPAC-heavy whitelists take a
+    # different SIMD path; memo-cache hit rates differ), so two whitelists of
+    # identical shape must never share a placement decision: key on a digest
+    # of the encoded masks, not just (K, L).
+    digest = hashlib.blake2b(
+        np.ascontiguousarray(expected.masks).tobytes(), digest_size=16
+    ).hexdigest()
     return "|".join(
         str(x)
         for x in (
+            _CROSSOVER_KEY_VERSION,
             os.environ.get("JAX_PLATFORMS", ""),
             expected.count,
             expected.length,
+            digest,
             min(cfg.batch_size, 1 << 17),
             cfg.max_mismatches,
             cfg.min_mismatch_delta,

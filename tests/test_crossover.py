@@ -178,6 +178,40 @@ def test_cpu_backend_uses_static_cap(monkeypatch, tmp_path):
     assert not (tmp_path / "crossover.json").exists()
 
 
+def test_cache_key_distinguishes_same_shape_whitelists(monkeypatch, tmp_path):
+    """VERDICT r4 item 7: two different whitelists with identical
+    (K, L, batch, mm, delta) must NOT share a cached placement decision —
+    host-matcher timing is content-dependent (IUPAC-heavy whitelists)."""
+    _arm(monkeypatch, tmp_path, host_s=0.003, floor_s=0.025, device_s=None)
+    from fqtk_tpu.ops.matcher import ExpectedSet
+
+    barcodes_a = _barcodes(24, 9, seed=10)
+    barcodes_b = _barcodes(24, 9, seed=11)
+    assert barcodes_a != barcodes_b
+    es_a = ExpectedSet.from_barcodes(barcodes_a)
+    es_b = ExpectedSet.from_barcodes(barcodes_b)
+    cfg_a = _cfg(tmp_path, barcodes_a)
+    key_a = demux_mod._crossover_cache_key(cfg_a, es_a)
+    key_b = demux_mod._crossover_cache_key(cfg_a, es_b)
+    assert key_a != key_b, "same-shape whitelists must have independent keys"
+    # same whitelist -> stable key (the disk cache still works at all)
+    assert key_a == demux_mod._crossover_cache_key(
+        cfg_a, ExpectedSet.from_barcodes(list(barcodes_a))
+    )
+
+    # end-to-end: decide for whitelist A, then whitelist B must re-probe
+    demux_mod._build_device_assign_fn(cfg_a, es_a, barcodes=barcodes_a)
+    probes = []
+    monkeypatch.setattr(
+        demux_mod,
+        "_time_host_window",
+        lambda m, w, reps=2: probes.append(1) or 0.003,
+    )
+    demux_mod._ASSIGN_FN_CACHE.clear()
+    demux_mod._build_device_assign_fn(cfg_a, es_b, barcodes=barcodes_b)
+    assert probes, "different whitelist content must trigger a fresh probe"
+
+
 def test_window_dedup_wrapper_exact_and_bucketed(monkeypatch):
     """_wrap_window_dedup: clustered windows shrink to a power-of-two
     bucket of unique rows and scatter back exactly; low-duplication and
