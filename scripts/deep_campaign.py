@@ -20,8 +20,18 @@ Four legs, each comparing an independent implementation pair:
    mismatches, truncations, gzip bit-flips, out-of-sync pairs, benign
    CRLF) — both engines must agree on outcome kind and contract phrase.
 
+5. dedup windows: the device window-dedup front-end
+   (``_wrap_window_dedup``) vs the unwrapped call — bit-exact across
+   window sizes, packed widths, and duplication factors.
+
+Round-5 additions: clustered (duplicate-heavy) read distributions are a
+first-class demux scenario class; the window-dedup front-end is rotated
+ON/OFF across scenarios; and a quarter of non-bigk demux scenarios force
+the measured-placement probe to the DEVICE side so the XLA matcher (and
+its dedup wrapper) runs through the full e2e loop differentially.
+
 Usage: python scripts/deep_campaign.py [n_demux] [n_matcher] [n_subsample]
-       [n_malformed] [seed_offset]
+       [n_malformed] [n_dedup] [seed_offset]
 
 ``seed_offset`` (also env ``FQTK_CAMPAIGN_OFFSET``) shifts every leg's
 per-case seed so successive sweeps explore fresh scenarios instead of
@@ -61,10 +71,40 @@ def _pack(obs: np.ndarray) -> np.ndarray:
     return (masks[:, 0::2] | (masks[:, 1::2] << 4)).astype(np.uint8)
 
 
+def _force_device_placement(tmp: Path) -> dict:
+    """Patch the measured-placement probe so the DEVICE side wins: the
+    native engine then drives the real (XLA-on-CPU here) device matcher —
+    including the window-dedup front-end — through the full e2e loop.
+    Returns the saved attributes for _restore_placement."""
+    saved = {
+        "probe": dmx._probe_allowed,
+        "host": dmx._time_host_window,
+        "floor": dmx._device_floor_seconds,
+        "dev": dmx._time_device_window,
+        "cache": dmx._CROSSOVER_CACHE_PATH,
+    }
+    dmx._probe_allowed = lambda: True
+    dmx._time_host_window = lambda m, w, reps=2: 1.0
+    dmx._device_floor_seconds = lambda b, w, reps=2: 1e-6
+    dmx._time_device_window = lambda fn, ws: 1e-6
+    dmx._CROSSOVER_CACHE_PATH = str(tmp / "crossover.json")
+    return saved
+
+
+def _restore_placement(saved: dict) -> None:
+    dmx._probe_allowed = saved["probe"]
+    dmx._time_host_window = saved["host"]
+    dmx._device_floor_seconds = saved["floor"]
+    dmx._time_device_window = saved["dev"]
+    dmx._CROSSOVER_CACHE_PATH = saved["cache"]
+
+
 def demux_leg(n: int) -> int:
     fails = 0
     ok_count = 0
+    device_forced = 0
     default_threshold = dmx.PALLAS_K_THRESHOLD
+    dedup_env_default = os.environ.get("FQTK_DEVICE_DEDUP")
     try:
         for sid in range(n):
             rng = random.Random(31337 + OFFSET + sid)
@@ -75,30 +115,44 @@ def demux_leg(n: int) -> int:
                 delta = rng.choice([0, 1, 2])
                 batch = rng.choice([5, 64, 131072])
                 force_bigk = sid % 3 == 0
+                # r5: exercise the measured-placement probe in BOTH
+                # directions (host is the CPU default) and rotate the
+                # window-dedup front-end ON/OFF across device scenarios
+                force_device = not force_bigk and sid % 4 == 1
+                os.environ["FQTK_DEVICE_DEDUP"] = "01"[sid % 2]
+                placement_saved = (
+                    _force_device_placement(tmp) if force_device else None
+                )
+                if force_device:
+                    device_forced += 1
                 dmx.PALLAS_K_THRESHOLD = 1 if force_bigk else default_threshold
                 dmx._ASSIGN_FN_CACHE.clear()
                 res = {}
-                for engine in ("native", "numpy"):
-                    try:
-                        res[engine] = (
-                            "ok",
-                            run_demux(
-                                DemuxConfig(
-                                    inputs=inputs,
-                                    read_structures=structures,
-                                    sample_metadata=meta,
-                                    output=tmp / f"o_{engine}",
-                                    output_types=["T", "B", "M", "C"],
-                                    max_mismatches=max_mm,
-                                    min_mismatch_delta=delta,
-                                    skip_reasons=["too-few-bases"],
-                                    batch_size=batch,
-                                    engine=engine,
-                                )
-                            ),
-                        )
-                    except Exception as e:  # compared, not suppressed
-                        res[engine] = ("err", f"{type(e).__name__}: {e}")
+                try:
+                    for engine in ("native", "numpy"):
+                        try:
+                            res[engine] = (
+                                "ok",
+                                run_demux(
+                                    DemuxConfig(
+                                        inputs=inputs,
+                                        read_structures=structures,
+                                        sample_metadata=meta,
+                                        output=tmp / f"o_{engine}",
+                                        output_types=["T", "B", "M", "C"],
+                                        max_mismatches=max_mm,
+                                        min_mismatch_delta=delta,
+                                        skip_reasons=["too-few-bases"],
+                                        batch_size=batch,
+                                        engine=engine,
+                                    )
+                                ),
+                            )
+                        except Exception as e:  # compared, not suppressed
+                            res[engine] = ("err", f"{type(e).__name__}: {e}")
+                finally:
+                    if placement_saved is not None:
+                        _restore_placement(placement_saved)
                 if res["native"][0] != res["numpy"][0]:
                     print(f"FAIL demux {sid}: outcome mismatch {res}")
                     fails += 1
@@ -135,12 +189,60 @@ def demux_leg(n: int) -> int:
                         fails += 1
     finally:
         # a crashed scenario must not leave the module-global threshold
-        # forced for subsequent callers
+        # (or the dedup env toggle) forced for subsequent callers
         dmx.PALLAS_K_THRESHOLD = default_threshold
+        if dedup_env_default is None:
+            os.environ.pop("FQTK_DEVICE_DEDUP", None)
+        else:
+            os.environ["FQTK_DEVICE_DEDUP"] = dedup_env_default
     if n > 0 and ok_count == 0:
         print("FAIL demux leg: no scenario completed successfully")
         fails += 1
-    print(f"demux leg: {n} scenarios ({ok_count} ran ok), {fails} failures")
+    print(
+        f"demux leg: {n} scenarios ({ok_count} ran ok, {device_forced} "
+        f"device-placed, dedup rotated on/off), {fails} failures"
+    )
+    return fails
+
+
+def dedup_leg(n: int) -> int:
+    """Window-dedup front-end differential: ``_wrap_window_dedup(call)``
+    must be bit-exact vs the unwrapped call for ANY per-row-deterministic
+    matcher, across window sizes, packed widths (>8 bytes must bypass),
+    and duplication factors including the clustered single-cell shape."""
+    from fqtk_tpu.runtime.demux import _wrap_window_dedup
+
+    fails = 0
+    engaged = 0
+    for case in range(n):
+        rng = np.random.default_rng(424000 + OFFSET + case)
+        b = int(rng.integers(64, 20000))
+        w = int(rng.integers(1, 11))  # widths >8 must bypass
+        n_uniq = int(rng.integers(1, max(2, b)))
+        pool = rng.integers(0, 256, size=(n_uniq, w), dtype=np.uint8)
+        rows = pool[rng.integers(0, n_uniq, size=b)]
+
+        def call(obs):
+            obs = np.asarray(obs, dtype=np.uint8)
+            # deterministic per-row function of contents (stand-in matcher:
+            # identical packed rows must always score identically)
+            h = obs.astype(np.uint64)
+            acc = np.zeros(obs.shape[0], dtype=np.uint64)
+            for j in range(obs.shape[1]):
+                acc = acc * np.uint64(1099511628211) + h[:, j]
+            return (acc % np.uint64(977)).astype(np.int32)
+
+        wrapped = _wrap_window_dedup(call)
+        got = np.asarray(wrapped(rows))
+        want = call(rows)
+        if not np.array_equal(got, want):
+            print(f"FAIL dedup {case}: b={b} w={w} uniq={n_uniq}")
+            fails += 1
+        engaged += wrapped.dedup_stats["dedup_windows"]
+    if n > 0 and engaged == 0:
+        print("FAIL dedup leg: the dedup path never engaged")
+        fails += 1
+    print(f"dedup leg: {n} windows ({engaged} engaged dedup), {fails} failures")
     return fails
 
 
@@ -434,9 +536,10 @@ def main() -> int:
     n_matcher = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     n_subsample = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     n_malformed = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    n_dedup = int(sys.argv[5]) if len(sys.argv) > 5 else 200
     global OFFSET
-    if len(sys.argv) > 5:
-        OFFSET = int(sys.argv[5])
+    if len(sys.argv) > 6:
+        OFFSET = int(sys.argv[6])
     if OFFSET:
         print(f"seed offset: {OFFSET}")
     fails = (
@@ -444,6 +547,7 @@ def main() -> int:
         + matcher_leg(n_matcher)
         + subsample_leg(n_subsample)
         + malformed_leg(n_malformed)
+        + dedup_leg(n_dedup)
     )
     print(f"deep_campaign: {'CLEAN' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0

@@ -71,12 +71,22 @@ def _random_scenario(rng: random.Random, tmp_path, scenario_id: int):
     # mismatch any expected base (reference bitenc.rs:441 with a zero
     # observed nibble) — covers the matchers' wildcard/full-scan paths
     read_alpha = BASES + "N" + "acgtn" + "RY" + "X-"
+    # clustered scenario class: duplicate-heavy reads drawn from a small
+    # pool (the single-cell shape that engages the window-dedup front-end,
+    # runtime/demux.py _wrap_window_dedup) — r5 first-class per VERDICT r4
+    clustered = rng.random() < 0.25
     for i in range(n_inputs):
         ml = min_len(structures[i])
+        pool = [
+            "".join(rng.choice(read_alpha) for _ in range(ml + rng.randint(0, 8)))
+            for _ in range(rng.randint(2, max(3, n_reads // 8)))
+        ]
         lines = []
         for r in range(n_reads):
             if rng.random() < 0.05:
                 seq = "".join(rng.choice(BASES) for _ in range(max(0, ml - 1)))
+            elif clustered and rng.random() < 0.9:
+                seq = rng.choice(pool)
             else:
                 seq = "".join(
                     rng.choice(read_alpha) for _ in range(ml + rng.randint(0, 8))
