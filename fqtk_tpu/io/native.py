@@ -139,6 +139,17 @@ def _bind(lib: ctypes.CDLL) -> None:
     ]
     lib.fqtk_demux_pipe_finish.restype = ctypes.c_int
     lib.fqtk_demux_pipe_finish.argtypes = [ctypes.c_void_p]
+    lib.fqtk_demux_pipe_fuse_host_matcher.restype = ctypes.c_int
+    lib.fqtk_demux_pipe_fuse_host_matcher.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.fqtk_demux_pipe_fused_poll.restype = ctypes.c_int
+    lib.fqtk_demux_pipe_fused_poll.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.fqtk_demux_pipe_exceptional.restype = ctypes.c_int64
     lib.fqtk_demux_pipe_exceptional.argtypes = [
         ctypes.c_void_p,
@@ -371,6 +382,31 @@ class NativeDemuxEngine:
             self._lib.fqtk_demux_pipe_start(self._h, batch, 1 if ramp else 0)
         )
 
+    def pipe_fuse_host_matcher(self, matcher) -> bool:
+        """Fuse a host matcher (NativeSmallKMatcher / NativeBigKMatcher)
+        into the engine: a dedicated engine thread assigns each gated
+        window between gate_pack and route, and the Python driver only
+        polls progress (``pipe_fused_poll``) — no per-window acquire/
+        submit round trips.  Must be called before ``pipe_start``; the
+        caller must keep ``matcher`` alive until the engine is closed."""
+        kind = 1 if isinstance(matcher, NativeBigKMatcher) else 0
+        return bool(
+            self._lib.fqtk_demux_pipe_fuse_host_matcher(
+                self._h, matcher._h, kind, matcher._threads
+            )
+        )
+
+    def pipe_fused_poll(self, timeout_ms: int = 50) -> Tuple[int, int, int]:
+        """Wait up to ``timeout_ms`` for fused-pipeline progress.  Returns
+        ``(state, total_templates, total_skipped)`` with state 1 = drained,
+        0 = still running, -1 = error (raise via pipe_finish)."""
+        total = ctypes.c_int64(0)
+        skipped = ctypes.c_int64(0)
+        state = self._lib.fqtk_demux_pipe_fused_poll(
+            self._h, timeout_ms, ctypes.byref(total), ctypes.byref(skipped)
+        )
+        return int(state), int(total.value), int(skipped.value)
+
     def pipe_acquire(self) -> Tuple[int, int, Optional[np.ndarray], int]:
         """Block (GIL released) until a parsed window is ready.
 
@@ -447,8 +483,8 @@ class NativeDemuxEngine:
         return out
 
     def stats(self) -> dict:
-        out = (ctypes.c_double * 9)()
-        self._lib.fqtk_demux_stats(self._h, out, 9)
+        out = (ctypes.c_double * 10)()
+        self._lib.fqtk_demux_stats(self._h, out, 10)
         return {
             "native_parse": out[0],
             "native_gate_pack": out[1],
@@ -466,6 +502,10 @@ class NativeDemuxEngine:
             # subset of native_compress CPU donated by stalled/stolen
             # pipeline threads (stall-assist + queue-full steals)
             "native_donated_compress": out[8],
+            # fused host-matcher CPU on the engine assign thread (real
+            # matcher work — deliberately NOT part of the assign-free IO
+            # ceiling keys)
+            "native_host_assign": out[9],
         }
 
     def close(self) -> None:

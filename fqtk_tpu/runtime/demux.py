@@ -410,11 +410,16 @@ def _probe_allowed() -> bool:
 
 
 def _host_assign_wrapper(matcher):
-    """Closure over the host matcher (keeps it alive, attribute-friendly)."""
+    """Closure over the host matcher (keeps it alive, attribute-friendly).
+
+    ``assign.native_matcher`` exposes the underlying native matcher so the
+    native engine can FUSE it (engine-side assign thread, no per-window
+    Python round trips; see ``NativeDemuxEngine.pipe_fuse_host_matcher``)."""
 
     def assign(obs_packed):
         return matcher.assign(obs_packed)
 
+    assign.native_matcher = matcher
     return assign
 
 
@@ -675,7 +680,7 @@ def _build_device_assign_fn(
                     cfg.max_mismatches + max(cfg.min_mismatch_delta, 1),
                     host_threads,
                 )
-                return matcher.assign, "nib4", True
+                return _host_assign_wrapper(matcher), "nib4", True
             except native_io.NativeDemuxError:
                 pass  # ineligible whitelist: fall through
 
@@ -718,7 +723,7 @@ def _build_device_assign_fn(
                 expected.count,
                 host_threads,
             )
-            return matcher.assign, "nib4", True
+            return _host_assign_wrapper(matcher), "nib4", True
     elif (
         barcodes is not None
         and policy == "auto"
@@ -1112,10 +1117,32 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
         # earlier route/compress start saves.  FQTK_PIPE_RAMP=1 re-enables
         # (host-matcher runs only; device matchers compile per shape).
         ramp = os.environ.get("FQTK_PIPE_RAMP") == "1" and host_matcher
+        # Fused host-matcher mode (default when placement picked a host
+        # matcher): the engine's own assign thread scores each gated window
+        # between gate_pack and route, so this thread never round-trips
+        # through ctypes per window — it only polls progress counters.
+        # FQTK_FUSED_ASSIGN=0 restores the per-window relay (A/B switch).
+        fused = (
+            host_matcher
+            and os.environ.get("FQTK_FUSED_ASSIGN", "1") != "0"
+            and getattr(assign, "native_matcher", None) is not None
+            and engine.pipe_fuse_host_matcher(assign.native_matcher)
+        )
         engine.pipe_start(batch, packed_len, ramp=ramp)
         first = True
         with maybe_device_trace():
-            while True:
+            while fused:
+                state, total, skipped_total = engine.pipe_fused_poll(50)
+                while total >= next_log:
+                    logger.info(
+                        "fqtk: %s records demultiplexed", f"{next_log:,}"
+                    )
+                    next_log += 1_000_000
+                if state != 0:
+                    # drained (1) or error (-1; pipe_finish raises with the
+                    # engine's message)
+                    break
+            while not fused:
                 with timers.time("acquire_wait"):
                     n, slot, bc_view, sk = engine.pipe_acquire()
                 skipped_total += sk

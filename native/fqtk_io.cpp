@@ -1342,18 +1342,55 @@ class DemuxEngine {
   }
 
   bool add_sample_writer(const char* path) {
-    auto w = std::make_unique<BgzfWriter>(path, level_, pool_.get(), &err);
-    if (!w->ok()) {
-      err.set(str_printf("Error opening output file for writing: %s", path));
-      return false;
-    }
-    current_sample_.push_back(std::move(w));
+    // Opens are deferred to open_writers(): creating a production run's
+    // worth of writers (96 samples x 2 segments x {sample, unmatched} ~ 200
+    // fopens) serially here cost ~50ms of 4-core idle at startup; the
+    // opener now overlaps the pipeline fill (pipe_start) or runs multi-
+    // threaded (refproxy).  Directory writability is still validated up
+    // front by the driver, so the rare per-file failure surfaces with the
+    // same message, just at first poll instead of at add time.
+    current_paths_.push_back(path);
     return true;
   }
 
   void end_sample() {
-    writers_.push_back(std::move(current_sample_));
-    current_sample_.clear();
+    writer_paths_.push_back(std::move(current_paths_));
+    current_paths_.clear();
+  }
+
+  // Build every sample's BgzfWriter set from the recorded paths, fanning
+  // the fopens over up to 4 threads.  Idempotent; returns false with err
+  // set if any open failed.
+  bool open_writers() {
+    if (writers_opened_) return !err.failed;
+    writers_opened_ = true;
+    const size_t n = writer_paths_.size();
+    writers_.resize(n);
+    std::atomic<size_t> next{0};
+    auto work = [&] {
+      for (;;) {
+        size_t s = next.fetch_add(1);
+        if (s >= n || err.failed) return;
+        auto& dst = writers_[s];
+        dst.reserve(writer_paths_[s].size());
+        for (const auto& p : writer_paths_[s]) {
+          auto w = std::make_unique<BgzfWriter>(p, level_, pool_.get(), &err);
+          if (!w->ok()) {
+            err.set(str_printf("Error opening output file for writing: %s",
+                               p.c_str()));
+            return;
+          }
+          dst.push_back(std::move(w));
+        }
+      }
+    };
+    int nt = static_cast<int>(
+        std::min<size_t>(4, std::max<size_t>(1, n / 16)));
+    std::vector<std::thread> ts;
+    for (int t = 0; t + 1 < nt; t++) ts.emplace_back(work);
+    work();
+    for (auto& t : ts) t.join();
+    return !err.failed;
   }
 
   void configure(int bc_len, int nocall_budget, int skip_too_few,
@@ -1871,7 +1908,7 @@ class DemuxEngine {
     }
     if (dec > 1)
       for (auto& st : parse_states_) st->in->set_decode_threads(dec);
-    counts_.assign(writers_.size(), 0);
+    counts_.assign(writer_paths_.size(), 0);
     pslots_.reset(new PipeSlot[pipe_slots_]);
     for (int s = 0; s < pipe_slots_; s++) {
       pslots_[s].batch.per_input.resize(parse_states_.size());
@@ -1882,7 +1919,19 @@ class DemuxEngine {
       pslots_[s].assigned.assign(batch, 0);
       pslots_[s].ready_for = s;
     }
+    // writer opens overlap the pipeline fill: the route worker waits for
+    // writers_ready_ before touching writers_ (first window needs ~50ms of
+    // parse anyway, which covers ~200 fopens on 4 threads)
+    opener_thread_ = std::thread([this] {
+      bool ok = open_writers();
+      std::lock_guard<std::mutex> lk(pmu_);
+      writers_ready_ = true;
+      if (!ok) pipe_stop_ = true;
+      pipe_notify_all();
+    });
     route_thread_ = std::thread([this] { pipe_route_worker(); });
+    if (fused_matcher_)
+      assign_thread_ = std::thread([this] { pipe_assign_worker(); });
     for (size_t i = 0; i < parse_states_.size(); i++)
       parse_threads_.emplace_back([this, i] { pipe_parse_worker(i); });
     return true;
@@ -1963,6 +2012,30 @@ class DemuxEngine {
         ps->n = n;
         ps->skipped = sk;
         ps->max_count = mx;
+        if (fused_matcher_) {
+          // fused mode: no Python acquire — route gated windows through the
+          // engine's own assign thread.  Gate completions are strictly
+          // window-ordered (each input parses windows in order and the gate
+          // runs on the last finisher), so assign_q_ preserves output order.
+          fused_skipped_ += sk;
+          if (mx == 0) {
+            pipe_done_ = true;  // true EOF window: nothing to assign/route
+          } else if (n > 0) {
+            fused_gated_++;
+            assign_q_.push_back(static_cast<int>(w % pipe_slots_));
+            assign_cv_.notify_one();
+          } else {
+            pipe_release_slot(ps);  // all templates skipped: recycle
+          }
+          routed_cv_.notify_all();  // progress/skip totals moved
+          if (pipe_done_) {
+            slot_cv_.notify_all();
+            lk.unlock();
+            pipe_parse_drain_assist();
+            return;
+          }
+          continue;
+        }
         ready_q_.push_back(static_cast<int>(w % pipe_slots_));
         if (mx == 0) pipe_done_ = true;  // true EOF window
         ready_cv_.notify_all();
@@ -1983,7 +2056,81 @@ class DemuxEngine {
     slot_cv_.notify_all();
   }
 
+  // Fused host-matcher mode: when the placement policy picks a HOST
+  // matcher, the Python driver's per-window acquire -> ctypes assign ->
+  // submit relay is pure overhead (~245 GIL round-trips per 4M-read run).
+  // Registering the matcher here moves assignment into a dedicated engine
+  // thread between gate_pack and route: gated windows flow through
+  // assign_q_ in window order and Python only polls progress counters.
+  // Must be called before pipe_start; `call` is a trampoline set by the C
+  // API (SmallKMatcher/BigKMatcher are defined below this class).
+  bool pipe_fuse_host_matcher(void* matcher,
+                              void (*call)(void*, const uint8_t*, int64_t,
+                                           int64_t, int32_t*, int),
+                              int n_threads) {
+    if (pipe_started_ || !matcher || !call) return false;
+    fused_matcher_ = matcher;
+    fused_call_ = call;
+    fused_threads_ = std::max(1, n_threads);
+    return true;
+  }
+
+  void pipe_assign_worker() {
+    for (;;) {
+      int s;
+      {
+        std::unique_lock<std::mutex> lk(pmu_);
+        assign_cv_.wait(lk, [&] {
+          return !assign_q_.empty() || pipe_stop_ || assign_finishing_;
+        });
+        if (assign_q_.empty()) {
+          if (pipe_stop_ || assign_finishing_) return;
+          continue;
+        }
+        s = assign_q_.front();
+        assign_q_.pop_front();
+      }
+      PipeSlot* ps = &pslots_[s];
+      uint64_t t0 = thread_cpu_ns();
+      fused_call_(fused_matcher_, ps->bc.data(), ps->n, row_stride_,
+                  ps->assigned.data(), fused_threads_);
+      host_assign_ns_ += thread_cpu_ns() - t0;
+      std::lock_guard<std::mutex> lk(pmu_);
+      submitted_++;
+      fused_total_ += ps->n;
+      route_q_.push_back(s);
+      route_cv_.notify_one();
+      routed_cv_.notify_all();  // progress for pipe_fused_poll
+    }
+  }
+
+  // True when the fused pipeline has fully drained: EOF gate published,
+  // every gated window assigned (submitted) and routed.  Caller holds pmu_.
+  bool fused_drained() const {
+    return pipe_done_ && fused_gated_ == submitted_ && submitted_ == routed_;
+  }
+
+  // Blocks up to timeout_ms for fused-pipeline progress.  Returns 1 when
+  // drained, 0 on timeout (more work pending), -1 on error/stop; writes the
+  // running template/skip totals either way.
+  int pipe_fused_poll(int timeout_ms, int64_t* total, int64_t* skipped) {
+    std::unique_lock<std::mutex> lk(pmu_);
+    auto done = [&] { return pipe_stop_ || err.failed || fused_drained(); };
+    if (!done())
+      routed_cv_.wait_for(lk, std::chrono::milliseconds(timeout_ms), done);
+    *total = fused_total_;
+    *skipped = fused_skipped_;
+    if (err.failed || pipe_stop_) return -1;
+    return fused_drained() ? 1 : 0;
+  }
+
   void pipe_route_worker() {
+    {
+      // writers open concurrently with the pipeline fill (see pipe_start)
+      std::unique_lock<std::mutex> lk(pmu_);
+      routed_cv_.wait(lk, [&] { return writers_ready_ || pipe_stop_; });
+      if (pipe_stop_) return;
+    }
     for (;;) {
       int s;
       {
@@ -2067,6 +2214,7 @@ class DemuxEngine {
     ready_cv_.notify_all();
     route_cv_.notify_all();
     routed_cv_.notify_all();
+    assign_cv_.notify_all();
   }
 
   // Reference-architecture measurement mode; defined after the RefProxy
@@ -2152,13 +2300,21 @@ class DemuxEngine {
 
   bool pipe_finish() {
     {
-      // wait for all submitted windows to be routed
+      // wait for all submitted windows to be routed (fused mode: also for
+      // every gated window to clear the assign queue first)
       std::unique_lock<std::mutex> lk(pmu_);
-      routed_cv_.wait(lk, [&] { return routed_ == submitted_ || pipe_stop_; });
+      routed_cv_.wait(lk, [&] {
+        if (pipe_stop_ || err.failed) return true;
+        if (fused_matcher_) return fused_drained();
+        return routed_ == submitted_;
+      });
       route_finishing_ = true;
+      assign_finishing_ = true;
       pipe_stop_ = pipe_stop_ || err.failed;
       pipe_notify_all();
     }
+    if (opener_thread_.joinable()) opener_thread_.join();
+    if (assign_thread_.joinable()) assign_thread_.join();
     if (route_thread_.joinable()) route_thread_.join();
     // Parse threads may be drain-assisting the compressor pool — close
     // the writers (which submits every final partial block) and stop the
@@ -2176,6 +2332,8 @@ class DemuxEngine {
     if (pool_) pool_->wake_assist();
     for (auto& t : parse_threads_) t.join();
     parse_threads_.clear();
+    if (opener_thread_.joinable()) opener_thread_.join();
+    if (assign_thread_.joinable()) assign_thread_.join();
     if (route_thread_.joinable()) route_thread_.join();
   }
 
@@ -2203,7 +2361,7 @@ class DemuxEngine {
   //  slot — downstream backpressure), route_stall_s (wall: route thread
   //  waiting for an assigned window — upstream starvation)]
   void get_stats(double* out, int n) const {
-    double vals[9] = {
+    double vals[10] = {
         parse_ns_.load() * 1e-9,
         gate_ns_.load() * 1e-9,
         route_ns_.load() * 1e-9,
@@ -2214,8 +2372,11 @@ class DemuxEngine {
         route_stall_ns_.load() * 1e-9,
         // subset of compress_s donated by stalled/stolen pipeline threads
         pool_ ? pool_->donated_ns.load() * 1e-9 : 0.0,
+        // fused host-matcher CPU (the engine assign thread; NOT part of
+        // the assign-free IO ceiling)
+        host_assign_ns_.load() * 1e-9,
     };
-    for (int i = 0; i < n && i < 9; i++) out[i] = vals[i];
+    for (int i = 0; i < n && i < 10; i++) out[i] = vals[i];
   }
 
  private:
@@ -2225,7 +2386,11 @@ class DemuxEngine {
   // destroyed after them (writers submit their final blocks on close).
   std::unique_ptr<CompressorPool> pool_;
   int level_ = 5;
-  std::vector<std::unique_ptr<BgzfWriter>> current_sample_;
+  std::vector<std::string> current_paths_;
+  std::vector<std::vector<std::string>> writer_paths_;
+  bool writers_opened_ = false;
+  bool writers_ready_ = false;  // guarded by pmu_ in pipelined mode
+  std::thread opener_thread_;
   std::vector<std::vector<std::unique_ptr<BgzfWriter>>> writers_;
   int bc_len_ = 0;
   int route_threads_ = 1;
@@ -2243,6 +2408,17 @@ class DemuxEngine {
   std::unique_ptr<PipeSlot[]> pslots_;
   std::vector<std::thread> parse_threads_;
   std::thread route_thread_;
+  // ---- fused host-matcher state (see pipe_fuse_host_matcher) ----
+  void* fused_matcher_ = nullptr;
+  void (*fused_call_)(void*, const uint8_t*, int64_t, int64_t, int32_t*,
+                      int) = nullptr;
+  int fused_threads_ = 1;
+  std::thread assign_thread_;
+  std::deque<int> assign_q_;
+  std::condition_variable assign_cv_;
+  bool assign_finishing_ = false;
+  int64_t fused_gated_ = 0, fused_total_ = 0, fused_skipped_ = 0;
+  std::atomic<uint64_t> host_assign_ns_{0};
   std::mutex pmu_;
   std::condition_variable slot_cv_;    // a slot became free for its next window
   std::condition_variable ready_cv_;   // a window became ready for acquire
@@ -3678,6 +3854,7 @@ struct RefProxyQueue {
 
 int64_t DemuxEngine::refproxy_run(const uint8_t* barcodes, int k, int max_mm,
                                   int delta, int reader_chunk) {
+  if (!open_writers()) return -1;  // writers are deferred-open now
   const size_t n_in = parse_states_.size();
   // the reference's pooled-writer parks producers on a full queue; the
   // baseline proxy must not inherit this engine's steal-on-full assist
@@ -3983,6 +4160,35 @@ FQTK_API void fqtk_smallk_assign(SmallKMatcher* m, const uint8_t* obs_packed,
 }
 
 FQTK_API void fqtk_smallk_free(SmallKMatcher* m) { delete m; }
+
+// ---- fused host-matcher pipeline (engine-side assignment) ----
+
+static void fused_smallk_call(void* m, const uint8_t* obs, int64_t n,
+                              int64_t stride, int32_t* out, int n_threads) {
+  static_cast<SmallKMatcher*>(m)->assign_batch(obs, n, stride, out,
+                                               n_threads);
+}
+
+static void fused_bigk_call(void* m, const uint8_t* obs, int64_t n,
+                            int64_t stride, int32_t* out, int n_threads) {
+  static_cast<BigKMatcher*>(m)->assign_batch(obs, n, stride, out, n_threads);
+}
+
+// kind: 0 = SmallKMatcher, 1 = BigKMatcher.  Caller keeps the matcher alive
+// until the engine is freed.  Must precede fqtk_demux_pipe_start.
+FQTK_API int fqtk_demux_pipe_fuse_host_matcher(DemuxEngine* e, void* matcher,
+                                               int kind, int n_threads) {
+  return e->pipe_fuse_host_matcher(
+             matcher, kind == 1 ? fused_bigk_call : fused_smallk_call,
+             n_threads)
+             ? 1
+             : 0;
+}
+
+FQTK_API int fqtk_demux_pipe_fused_poll(DemuxEngine* e, int timeout_ms,
+                                        int64_t* total, int64_t* skipped) {
+  return e->pipe_fused_poll(timeout_ms, total, skipped);
+}
 
 // Resolved SIMD dispatch level the candidate scans will use right now
 // (0=scalar, 1=avx2, 2=avx512), i.e. min(FQTK_SIMD cap, CPU capability).

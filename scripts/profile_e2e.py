@@ -36,12 +36,22 @@ def make_barcodes(n, length, seed=3):
     return out
 
 
+def _open_writer(path):
+    """BGZF when the native library is present (matches bench.py inputs —
+    the reference's documented ``... | bgzip -c`` workflow), gzip fallback."""
+    from fqtk_tpu.io import native as native_io
+
+    if native_io.available():
+        return native_io.NativeBgzfWriter(path, 1, threads=3)
+    return gzip.open(path, "wb", compresslevel=1)
+
+
 def write_input(tmp, barcodes, n_reads, name, var_template):
     rng = np.random.default_rng(13)
     choices = rng.integers(0, len(barcodes), size=n_reads)
     path = tmp / f"{name}.fq.gz"
     tmpl_full = ("ACGT" * 40).encode()
-    with gzip.open(path, "wb", compresslevel=1) as fh:
+    with _open_writer(path) as fh:
         chunk = 100_000
         for lo in range(0, n_reads, chunk):
             hi = min(lo + chunk, n_reads)
@@ -78,6 +88,36 @@ def main():
             i1 = write_input(tmp, bcs1, n_reads, "d1", var_template=False)
             i2 = write_input(tmp, bcs2, n_reads, "d2", var_template=False)
             inputs, structures = [i1, i2], ["8B+T", "9B+T"]
+        elif config == "headline":
+            # the bench headline shape: I1 + R1 + R2 + I2 (8B, 100T, 100T, 9B)
+            def write_plain(tmp, seqs, name):
+                path = tmp / f"{name}.fq.gz"
+                with _open_writer(path) as fh:
+                    chunk = 100_000
+                    for lo in range(0, n_reads, chunk):
+                        hi = min(lo + chunk, n_reads)
+                        fh.write(
+                            b"".join(
+                                b"@inst:1:AB:1:2:%d:3 1:N:0:0\n%s\n+\n%s\n"
+                                % (i, seqs[i], b"I" * len(seqs[i]))
+                                for i in range(lo, hi)
+                            )
+                        )
+                return path
+
+            rng = np.random.default_rng(13)
+            choices = rng.integers(0, len(barcodes), size=n_reads)
+            tmpl = ("ACGT" * 25).encode()
+            i1 = write_plain(
+                tmp, [barcodes[c][:8].encode() for c in choices], "h_i1"
+            )
+            i2 = write_plain(
+                tmp, [barcodes[c][8:].encode() for c in choices], "h_i2"
+            )
+            r1 = write_plain(tmp, [tmpl] * n_reads, "h_r1")
+            r2 = write_plain(tmp, [tmpl] * n_reads, "h_r2")
+            inputs = [i1, r1, r2, i2]
+            structures = ["8B", "100T", "100T", "9B"]
         else:
             i1 = write_input(tmp, barcodes, n_reads, "s1", var_template=False)
             inputs, structures = [i1], ["17B+T"]
