@@ -243,6 +243,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.fqtk_subsample_finish.argtypes = [ctypes.c_void_p]
     lib.fqtk_subsample_error.restype = ctypes.c_char_p
     lib.fqtk_subsample_error.argtypes = [ctypes.c_void_p]
+    lib.fqtk_subsample_stats.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
     lib.fqtk_subsample_free.argtypes = [ctypes.c_void_p]
 
     lib.fqtk_bgzf_open.restype = ctypes.c_void_p
@@ -566,6 +571,18 @@ class NativeSubsampleEngine:
 
     def finish(self) -> None:
         self._check(self._lib.fqtk_subsample_finish(self._h))
+
+    def stats(self) -> dict:
+        """Per-stage thread-CPU accounting for host-ceiling math (the
+        subsample analog of the demux engine's stage stats)."""
+        buf = (ctypes.c_double * 4)()
+        self._lib.fqtk_subsample_stats(self._h, buf, 4)
+        return {
+            "native_work": buf[0],  # inflate+scan+name-check+record-copy CPU
+            "native_compress": buf[1],  # BGZF pool busy thread-CPU
+            "native_compress_in_bytes": buf[2],
+            "native_compress_out_bytes": buf[3],
+        }
 
     def close(self) -> None:
         if self._h:

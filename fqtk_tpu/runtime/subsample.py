@@ -70,6 +70,9 @@ class SubsampleResult:
     total_read: int
     total_kept: int
     seed: int
+    # native engines only: per-stage thread-CPU seconds + pool byte counts,
+    # consumed by bench.py's host-ceiling accounting (None on the Python path)
+    stage_seconds: Optional[dict] = None
 
 
 def effective_seed(cfg: SubsampleConfig) -> int:
@@ -159,6 +162,7 @@ def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResu
                 break
         logger.info("Finished reading input FASTQs.")
         engine.finish()
+        stage_seconds = engine.stats()
     except native_io.NativeDemuxError as e:
         raise SubsampleError(str(e)) from None
     finally:
@@ -171,7 +175,12 @@ def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResu
         fmt_count(total_kept),
         pct,
     )
-    return SubsampleResult(total_read=total_read, total_kept=total_kept, seed=seed)
+    return SubsampleResult(
+        total_read=total_read,
+        total_kept=total_kept,
+        seed=seed,
+        stage_seconds=stage_seconds,
+    )
 
 
 class _RawFastqReader:

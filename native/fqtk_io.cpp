@@ -2507,6 +2507,14 @@ class SubsampleEngine {
                         int64_t* kept_out) {
     if (err.failed) return -1;
     if (parallel_) return process_chunk_parallel(keep_mask, n, kept_out);
+    uint64_t t0 = thread_cpu_ns();
+    int64_t r = process_chunk_serial(keep_mask, n, kept_out);
+    work_ns_ += thread_cpu_ns() - t0;
+    return r;
+  }
+
+  int64_t process_chunk_serial(const uint8_t* keep_mask, int64_t n,
+                               int64_t* kept_out) {
     const size_t n_in = scanners_.size();
     std::vector<RecordView> recs(n_in);
     int64_t consumed = 0;
@@ -2597,6 +2605,7 @@ class SubsampleEngine {
     };
     std::vector<PerInput> st(n_in);
     auto work = [&](size_t i) {
+      uint64_t t0 = thread_cpu_ns();
       auto& s = st[i];
       RecordView rec;
       std::vector<uint8_t> rec_buf;
@@ -2604,6 +2613,7 @@ class SubsampleEngine {
         int rc = scanners_[i]->next(&rec);
         if (rc < 0) {
           s.error = scanners_[i]->error_msg();
+          work_ns_ += thread_cpu_ns() - t0;
           return;
         }
         if (rc == 0) break;
@@ -2626,6 +2636,7 @@ class SubsampleEngine {
         rec_buf.push_back('\n');
         writers_[i]->write(rec_buf.data(), rec_buf.size());
       }
+      work_ns_ += thread_cpu_ns() - t0;
     };
     std::vector<std::thread> ts;
     ts.reserve(n_in - 1);
@@ -2700,6 +2711,19 @@ class SubsampleEngine {
     return !err.failed;
   }
 
+  // [work_s (inflate+scan+name-collect+record-copy thread-CPU, summed over
+  //  worker threads), compress_s (pool busy), bytes_in, bytes_out] — the
+  //  subsample analog of the demux stage stats, for host-ceiling accounting
+  void get_stats(double* out, int n) const {
+    double vals[4] = {
+        work_ns_.load() * 1e-9,
+        pool_ ? pool_->busy_ns.load() * 1e-9 : 0.0,
+        pool_ ? static_cast<double>(pool_->bytes_in.load()) : 0.0,
+        pool_ ? static_cast<double>(pool_->bytes_out.load()) : 0.0,
+    };
+    for (int i = 0; i < n && i < 4; i++) out[i] = vals[i];
+  }
+
  private:
   // NB: pool_ must be declared BEFORE writers_ so it is destroyed AFTER
   // them — BgzfWriter::close() submits its final block to the pool and
@@ -2712,6 +2736,7 @@ class SubsampleEngine {
   bool check_names_ = false;
   bool parallel_ = false;
   int64_t total_read_ = 0;
+  std::atomic<uint64_t> work_ns_{0};
 };
 
 // ---------------------------------------------------------------------------
@@ -4326,6 +4351,10 @@ FQTK_API int fqtk_subsample_finish(SubsampleEngine* e) {
 
 FQTK_API const char* fqtk_subsample_error(SubsampleEngine* e) {
   return e->err.failed.load() ? e->err.msg.c_str() : "";
+}
+
+FQTK_API void fqtk_subsample_stats(SubsampleEngine* e, double* out, int n) {
+  e->get_stats(out, n);
 }
 
 FQTK_API void fqtk_subsample_free(SubsampleEngine* e) { delete e; }

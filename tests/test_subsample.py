@@ -213,6 +213,43 @@ def test_native_matches_python(tmp_path):
         assert a == b and len(a) > 0
 
 
+def test_native_stage_stats_exposed(tmp_path):
+    """The native engine reports per-stage thread-CPU + pool byte counts
+    (bench.py's host-ceiling accounting depends on this surface)."""
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    n = 400
+    fq1 = fastq_file(tmp_path, "r1", "q", ["ACGTACGT"] * n)
+    fq2 = fastq_file(tmp_path, "r2", "q", ["CCCCGGGG"] * n)
+    cfg = SubsampleConfig(
+        inputs=[fq1, fq2],
+        output=tmp_path / "out",
+        fraction=0.5,
+        threads=2,
+        seed=7,
+    )
+    res = run_subsample(cfg, use_native=True)
+    st = res.stage_seconds
+    assert st is not None
+    assert st["native_work"] > 0  # inflate+scan+copy CPU was accounted
+    assert st["native_compress"] > 0  # BGZF pool busy time was accounted
+    assert st["native_compress_out_bytes"] > 0
+    # Python path reports no native stage stats
+    res_py = run_subsample(
+        SubsampleConfig(
+            inputs=[fq1, fq2],
+            output=tmp_path / "outpy",
+            fraction=0.5,
+            threads=2,
+            seed=7,
+        ),
+        use_native=False,
+    )
+    assert res_py.stage_seconds is None
+
+
 def test_native_huge_record_verbatim(tmp_path):
     """Records larger than one BGZF block (65,280B input cap) drive the
     writer's multi-block split; kept records must survive verbatim and
