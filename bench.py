@@ -292,6 +292,8 @@ def _demux_cfg(inputs, structures, meta, out_dir, max_mm=1, delta=2):
         min_mismatch_delta=delta,
         batch_size=BATCH,
         engine="auto",
+        # experiment knob for scripts/ab_e2e.py arms (pool size = threads-2)
+        threads=int(os.environ.get("FQTK_BENCH_THREADS", "8")),
     )
 
 
@@ -325,6 +327,16 @@ def host_speed_of_light(e2e_rps, n_reads, stage_timings, inputs=None):
         "(paid by ANY implementation at this gzip level) spread over all "
         "cores with a free matcher",
     }
+    # Hypervisor steal during the measured run: stolen vCPU time stretches
+    # wall without adding thread-CPU, so it depresses frac_of_ceiling
+    # through no fault of the pipeline.  Report the frac against the cores
+    # the VM actually got (the honest pipeline-quality number; raw frac
+    # above stays the conservative headline).
+    steal = stage_timings.get("steal_frac", 0.0)
+    if steal > 0:
+        avail_ceiling = n_reads * cores * (1.0 - steal) / io_core_s
+        out["steal_frac_during_run"] = steal
+        out["frac_of_available_ceiling"] = round(e2e_rps / avail_ceiling, 3)
     if inputs:
         try:
             from fqtk_tpu.io import native as native_io
@@ -359,6 +371,19 @@ def host_speed_of_light(e2e_rps, n_reads, stage_timings, inputs=None):
     return out
 
 
+def _read_steal_ticks():
+    """(steal_ticks, wall_s) from /proc/stat — field 8 of the aggregate cpu
+    line is core-ticks stolen by the hypervisor (other tenants running on
+    our vCPUs).  Stolen cores stretch wall time without adding thread-CPU,
+    so they depress frac_of_ceiling through no fault of the pipeline."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]), time.perf_counter()
+    except Exception:
+        return 0, time.perf_counter()
+
+
 def run_e2e(tmp, inputs, structures, meta, n_reads, tag, trials=2,
             max_mm=1, delta=2, warm_inputs=None):
     """Best-of-N e2e run; returns (reads_per_sec, timings of best)."""
@@ -373,6 +398,7 @@ def run_e2e(tmp, inputs, structures, meta, n_reads, tag, trials=2,
         )
     best, best_t = 0.0, {}
     for trial in range(trials):
+        s0, w0 = _read_steal_ticks()
         t0 = time.perf_counter()
         result = run_demux(
             _demux_cfg(
@@ -381,10 +407,14 @@ def run_e2e(tmp, inputs, structures, meta, n_reads, tag, trials=2,
             )
         )
         dt = time.perf_counter() - t0
+        s1, w1 = _read_steal_ticks()
         assert result.total_templates == n_reads, (result.total_templates, n_reads)
         if n_reads / dt > best:
             best = n_reads / dt
             best_t = {k: round(v, 3) for k, v in result.timings.items()}
+            # USER_HZ=100; steal is summed over all vCPUs already
+            avail = (os.cpu_count() or 1) * (w1 - w0) * 100.0
+            best_t["steal_frac"] = round((s1 - s0) / avail, 4) if avail else 0.0
     return best, best_t
 
 
