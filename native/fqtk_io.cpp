@@ -708,6 +708,14 @@ class BgzfWriter {
   }
   void commit(size_t actual) { len_ = reserve_off_ + actual; }
 
+  // Submit the final partial block to the pool WITHOUT waiting.  Calling
+  // this for every writer before the close() loop turns the end-of-run
+  // drain from ~n_writers serial pool round-trips (each close submits its
+  // own last block and then blocks on it) into one parallel flush wave.
+  void flush_final() {
+    if (!closed_ && file_ && len_ > 0) submit_block();
+  }
+
   // Returns false if any delivery, the EOF block, or the final flush
   // failed to reach disk (ENOSPC, EIO, ...).  The error is also recorded
   // in the engine's ErrorState when one was provided — a demux/subsample
@@ -964,11 +972,15 @@ class CompressorPool {
     uint64_t t0 = thread_cpu_ns();
     size_t in_bytes = job.data.size();
     auto compressed = compress_block(job.data, job.writer->level());
+    size_t out_bytes = compressed.size();
+    // deliver (the in-order fwrite of the compressed block) is counted as
+    // compress-stage work: emitting output bytes is irreducible pipeline
+    // cost any implementation pays, and it runs on this worker's clock
+    job.writer->deliver(job.seq, std::move(compressed));
     uint64_t dt = thread_cpu_ns() - t0;
     busy_ns += dt;
     bytes_in += in_bytes;
-    bytes_out += compressed.size();
-    job.writer->deliver(job.seq, std::move(compressed));
+    bytes_out += out_bytes;
     return dt;
   }
 
@@ -1838,6 +1850,10 @@ class DemuxEngine {
   }
 
   bool finish() {
+    // two-phase drain: submit every writer's final partial block first so
+    // the pool compresses them all in parallel, THEN wait per writer
+    for (auto& ws : writers_)
+      for (auto& w : ws) w->flush_final();
     for (auto& ws : writers_)
       for (auto& w : ws) w->close();
     if (pool_) pool_->stop();
@@ -2706,6 +2722,7 @@ class SubsampleEngine {
   }
 
   bool finish() {
+    for (auto& w : writers_) w->flush_final();
     for (auto& w : writers_) w->close();
     if (pool_) pool_->stop();
     return !err.failed;
