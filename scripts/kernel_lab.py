@@ -244,6 +244,203 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
             k_padded * wl,
         )
 
+    if name == "v5_clamp16":
+        # r5 (VERDICT r4 item 3a+b): int16 accumulators carrying CLAMPED
+        # (count, tile) keys.  Counts clamp at W+1 = max_mm + max(delta,1)
+        # + 1 without changing any gate decision or the winning index
+        # (DESIGN.md r4), so key = min(count, W+1) * nt_pow2 + tile fits
+        # comfortably in int16 (<= 4*512 + 511 = 2559 at K=737K/TK=2048) —
+        # BOTH top-2 accumulator streams halve vs the production int32
+        # colmerge.  Exactness: keys embed (count, tile); the emit extends
+        # with the column id, so the final min is the reference's
+        # first-index lexicographic order; m2 = min(cross-column second,
+        # per-column second) is the exact second-best count.
+        w_clamp = max_mm + max(delta, 1) + 1
+        nt_pow2 = 1 << max(1, (n_k_tiles - 1).bit_length())
+        assert (w_clamp * nt_pow2 + nt_pow2 - 1) < (1 << 15), "int16 keys"
+        compat_host = compat_classmajor4(masks, k_padded)
+
+        def kern(obs_ref, cls_ref, compat_ref, out_ref, m1s, m2s):
+            kb = pl.program_id(1)
+            kinit = jnp.int16(w_clamp * nt_pow2 + nt_pow2 - 1)
+
+            @pl.when(kb == 0)
+            def _init():
+                m1s[:] = jnp.full((tile_b, tile_k), kinit, jnp.int16)
+                m2s[:] = jnp.full((tile_b, tile_k), kinit, jnp.int16)
+
+            rep = pltpu.repeat(obs_ref[:], repeats=onehot_width, axis=0)
+            onehot = (rep == cls_ref[:]).astype(jnp.int8)
+            counts = jax.lax.dot_general(
+                onehot, compat_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            key16 = (
+                jnp.minimum(counts, w_clamp) * nt_pow2 + kb
+            ).astype(jnp.int16)
+            prev1 = m1s[:]
+            m1s[:] = jnp.minimum(prev1, key16)
+            m2s[:] = jnp.minimum(m2s[:], jnp.maximum(prev1, key16))
+
+            @pl.when(kb == n_k_tiles - 1)
+            def _emit():
+                colid = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
+                # lex key (count, tile, column) == (count, index) order
+                ext1 = m1s[:].astype(jnp.int32) * tile_k + colid
+                g1 = jnp.min(ext1, axis=1, keepdims=True)
+                masked = jnp.where(ext1 == g1, jnp.int32(2**30), ext1)
+                other = jnp.min(masked, axis=1, keepdims=True) // (
+                    nt_pow2 * tile_k
+                )
+                m2min = jnp.min(
+                    m2s[:].astype(jnp.int32), axis=1, keepdims=True
+                ) // nt_pow2
+                nxt = jnp.minimum(other, m2min)
+                best = g1 // (nt_pow2 * tile_k)
+                idx_t = (g1 // tile_k) & (nt_pow2 - 1)
+                idx = idx_t * tile_k + (g1 & (tile_k - 1))
+                cid8 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 8), 1)
+                out_ref[0, :, :] = jnp.where(
+                    cid8 == 0, best,
+                    jnp.where(cid8 == 1, idx, jnp.where(cid8 == 2, nxt, 0)),
+                )
+
+        def go_raw(vals_t, compat):
+            b = vals_t.shape[1]
+            cls_col = jnp.asarray(
+                (np.arange(wl, dtype=np.int32) // length)[:, None]
+            )
+            out = pl.pallas_call(
+                kern,
+                grid=(b // tile_b, n_k_tiles),
+                in_specs=[
+                    pl.BlockSpec((length, tile_b), lambda i, j: (0, i)),
+                    pl.BlockSpec((wl, 1), lambda i, j: (0, 0)),
+                    pl.BlockSpec((wl, tile_k), lambda i, j: (0, j)),
+                ],
+                out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (b // tile_b, tile_b, 8), jnp.int32
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((tile_b, tile_k), jnp.int16),
+                    pltpu.VMEM((tile_b, tile_k), jnp.int16),
+                ],
+            )(vals_t, cls_col, compat)
+            return (
+                out[:, :, 1].reshape(b),
+                out[:, :, 0].reshape(b),
+                out[:, :, 2].reshape(b),
+            )
+
+        compat_dev = jax.device_put(compat_host)
+        return jax.jit(go_raw), compat_dev, k_padded * wl
+
+    if name.startswith("v6_group"):
+        # r5 (VERDICT r4 item 3, new escape): register GROUP pre-merge.
+        # r4's v2b probe showed accumulator RMW streams dominate the gap
+        # (2.14M matmul-only -> 1.23M with ONE store stream), and narrow
+        # scratch (int8 r4, int16 r5) crashes Mosaic.  So instead of
+        # narrowing the accumulators, touch them LESS: process P k-tiles
+        # per grid step, reduce their P keys to a register top-2 (min/max
+        # ladder, exact), and hit the two scratch streams once per P tiles
+        # — RMW traffic / P at identical MXU work.  Keys stay int32
+        # (count, tile) lex pairs; emit identical to the production
+        # colmerge.  Exactness: same (count, tile, column) lexicographic
+        # order as v0; the register ladder is an associative top-2 monoid.
+        P = int(name[len("v6_group"):] or "4")
+        assert n_k_tiles % P == 0, (n_k_tiles, P)
+        n_groups = n_k_tiles // P
+        nt_pow2 = 1 << max(1, (n_k_tiles - 1).bit_length())
+        compat_host = compat_classmajor4(masks, k_padded)
+        KINIT = 2**30  # plain int: jnp scalars would be captured constants
+
+        def kern(obs_ref, cls_ref, compat_ref, out_ref, m1s, m2s):
+            jb = pl.program_id(1)
+
+            @pl.when(jb == 0)
+            def _init():
+                m1s[:] = jnp.full((tile_b, tile_k), KINIT, jnp.int32)
+                m2s[:] = jnp.full((tile_b, tile_k), KINIT, jnp.int32)
+
+            rep = pltpu.repeat(obs_ref[:], repeats=onehot_width, axis=0)
+            onehot = (rep == cls_ref[:]).astype(jnp.int8)
+
+            def key_of(p):
+                counts = jax.lax.dot_general(
+                    onehot, compat_ref[:, p * tile_k:(p + 1) * tile_k],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return counts * nt_pow2 + (jb * P + p)
+
+            lo1 = key_of(0)
+            lo2 = key_of(1)
+            lo1, lo2 = jnp.minimum(lo1, lo2), jnp.maximum(lo1, lo2)
+            for p in range(2, P):
+                key = key_of(p)
+                t = jnp.maximum(lo1, key)
+                lo1 = jnp.minimum(lo1, key)
+                lo2 = jnp.minimum(lo2, t)
+            prev1 = m1s[:]
+            m1s[:] = jnp.minimum(prev1, lo1)
+            m2s[:] = jnp.minimum(
+                m2s[:], jnp.minimum(jnp.maximum(prev1, lo1), lo2)
+            )
+
+            @pl.when(jb == n_groups - 1)
+            def _emit():
+                colid = jax.lax.broadcasted_iota(jnp.int32, (tile_b, tile_k), 1)
+                # lex key (count, tile, column) == (count, index) order
+                ext1 = m1s[:] * tile_k + colid
+                g1 = jnp.min(ext1, axis=1, keepdims=True)
+                masked = jnp.where(ext1 == g1, jnp.int32(2**30), ext1)
+                other = jnp.min(masked, axis=1, keepdims=True) // (
+                    nt_pow2 * tile_k
+                )
+                m2min = jnp.min(m2s[:], axis=1, keepdims=True) // nt_pow2
+                nxt = jnp.minimum(other, m2min)
+                best = g1 // (nt_pow2 * tile_k)
+                idx_t = (g1 // tile_k) & (nt_pow2 - 1)
+                idx = idx_t * tile_k + (g1 & (tile_k - 1))
+                cid8 = jax.lax.broadcasted_iota(jnp.int32, (tile_b, 8), 1)
+                out_ref[0, :, :] = jnp.where(
+                    cid8 == 0, best,
+                    jnp.where(cid8 == 1, idx, jnp.where(cid8 == 2, nxt, 0)),
+                )
+
+        def go_raw(vals_t, compat):
+            b = vals_t.shape[1]
+            cls_col = jnp.asarray(
+                (np.arange(wl, dtype=np.int32) // length)[:, None]
+            )
+            out = pl.pallas_call(
+                kern,
+                grid=(b // tile_b, n_groups),
+                in_specs=[
+                    pl.BlockSpec((length, tile_b), lambda i, j: (0, i)),
+                    pl.BlockSpec((wl, 1), lambda i, j: (0, 0)),
+                    pl.BlockSpec((wl, P * tile_k), lambda i, j: (0, j)),
+                ],
+                out_specs=pl.BlockSpec((1, tile_b, 8), lambda i, j: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (b // tile_b, tile_b, 8), jnp.int32
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((tile_b, tile_k), jnp.int32),
+                    pltpu.VMEM((tile_b, tile_k), jnp.int32),
+                ],
+            )(vals_t, cls_col, compat)
+            return (
+                out[:, :, 1].reshape(b),
+                out[:, :, 0].reshape(b),
+                out[:, :, 2].reshape(b),
+            )
+
+        compat_dev = jax.device_put(compat_host)
+        return jax.jit(go_raw), compat_dev, k_padded * wl
+
     if name in ("v3_clamp8", "v3w_clamp8"):
         # clamp at W+1 (W = max_mm + max(delta,1)); int8 accumulators
         w_clamp = max_mm + max(delta, 1) + 1  # 4 for (1,2)
@@ -435,7 +632,19 @@ def main():
         ref_best, ref_idx, ref_next = ref[0], ref[1], ref[2]
         w_clamp = 4
         for label, (fv, cv) in fulls.items():
-            if not label.startswith("v3"):
+            if label.startswith("v6"):
+                # exact variant: full count + index equality vs v0
+                got_idx, got_best, got_next = (
+                    np.asarray(x) for x in fv(packed, cv)
+                )
+                same = (
+                    (got_best == ref_best).all()
+                    and (got_next == ref_next).all()
+                    and (got_idx == ref_idx).all()
+                )
+                print(f"check {label}: exact={'OK' if same else 'MISMATCH'}")
+                continue
+            if not (label.startswith("v3") or label.startswith("v5")):
                 continue
             got_idx, got_best, got_next = (np.asarray(x) for x in fv(packed, cv))
             ok_ref = (ref_best <= 1) & (ref_next - ref_best >= 2)
