@@ -1142,11 +1142,55 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                     # drained (1) or error (-1; pipe_finish raises with the
                     # engine's message)
                     break
+            # Device-placement runs keep ONE window's device call in flight:
+            # window N+1's transfer+execute is dispatched before window N's
+            # result is fetched, hiding the relay's fixed per-call cost
+            # behind the fetch/route of the previous window.  Safe because a
+            # slot's bc buffer stays valid until ITS pipe_submit, and the
+            # pending window is always fetched before being submitted.
+            overlap = not host_matcher and os.environ.get(
+                "FQTK_DEVICE_OVERLAP", "1"
+            ) != "0"
+            pending = None  # (slot, n, in-flight device result)
+
+            def finish_pending():
+                nonlocal pending, total, next_log, first
+                p_slot, p_n, fut = pending
+                pending = None
+                with timers.time("assign"):
+                    assigned = np.asarray(fut)[:p_n].astype(np.int32)
+                if first:
+                    first = False
+                    logger.info("device matcher ready.")
+                if pack_mode == "bit2":
+                    exc_idx, exc_raw = engine.pipe_exceptional(p_slot)
+                    if exc_idx is not None:
+                        with timers.time("exceptional"):
+                            eidx, _, _ = assign_batch_np(
+                                exc_raw,
+                                expected,
+                                cfg.max_mismatches,
+                                cfg.min_mismatch_delta,
+                            )
+                            assigned[exc_idx] = np.where(
+                                eidx < 0, k, eidx
+                            ).astype(np.int32)
+                with timers.time("submit"):
+                    engine.pipe_submit(p_slot, assigned)
+                total += p_n
+                while total >= next_log:
+                    logger.info(
+                        "fqtk: %s records demultiplexed", f"{next_log:,}"
+                    )
+                    next_log += 1_000_000
+
             while not fused:
                 with timers.time("acquire_wait"):
                     n, slot, bc_view, sk = engine.pipe_acquire()
                 skipped_total += sk
                 if n == 0:
+                    if pending is not None:
+                        finish_pending()
                     break
                 if first and not host_matcher:
                     logger.info(
@@ -1154,6 +1198,13 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                         "samples/length/batch configuration can take minutes; "
                         "subsequent runs hit the persistent cache)..."
                     )
+                if overlap:
+                    with timers.time("dispatch"):
+                        fut = assign(bc_view)
+                    if pending is not None:
+                        finish_pending()
+                    pending = (slot, n, fut)
+                    continue
                 with timers.time("assign"):
                     if host_matcher:
                         # host matchers have no fixed-shape compilation

@@ -51,6 +51,22 @@ def build(tmp, config):
         order = ["i1", "r1", "r2", "i2"]
         return ([paths[n] for n in order], ["8B", "100T", "100T", "9B"],
                 meta, [wpaths[n] for n in order], 1, 2)
+    if config == "midk":
+        # 8,192 16bp samples: auto-placement picks the pallas device branch
+        # (4096 < K < 65536), so this is the e2e leg for device-call A/Bs
+        # (e.g. FQTK_DEVICE_OVERLAP).  fd preflight: ~8,193 writers, fine
+        # under the 20,000 limit here.
+        rng = __import__("numpy").random.default_rng(11)
+        vals = rng.choice(1 << 28, size=8192 + 64, replace=False)[:8192]
+        letters = "ACGT"
+        bcs = []
+        for v in vals:
+            v = int(v)
+            bcs.append("".join(letters[(v >> (2 * j)) & 3] for j in range(16)))
+        meta = bench.write_metadata(tmp, bcs, "meta.tsv")
+        p, _ = bench.write_single_end_inputs(tmp, bcs, N, "mk")
+        w, _ = bench.write_single_end_inputs(tmp, bcs, 200_000, "w")
+        return [p], ["16B+T"], meta, [w], 1, 2
     if config == "varlen":
         bcs = bench.make_whitelist(bench.K, bench.L, seed=7)
         meta = bench.write_metadata(tmp, bcs, "meta.tsv")

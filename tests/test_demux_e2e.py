@@ -1118,3 +1118,48 @@ def test_jax_engine_variable_length_barcode_override(tmp_path):
     matched = _gzip.decompress((tmp_path / "out" / "Sample0000.R1.fq.gz").read_bytes())
     unmatched = _gzip.decompress((tmp_path / "out" / "unmatched.R1.fq.gz").read_bytes())
     assert matched.count(b"@") == 1 and unmatched.count(b"@") == 1
+
+
+def test_device_overlap_byte_identical(tmp_path, monkeypatch):
+    """The double-buffered device dispatch (one window's device call in
+    flight while the previous fetches/routes) must be byte-identical to
+    the serial acquire->assign->submit loop, across multiple windows
+    including exceptional (non-ACGT) rows."""
+    import gzip
+
+    from fqtk_tpu.io import native as native_io
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("FQTK_HOST_MATCHER_MAX_K", "0")  # force device branch
+    monkeypatch.setenv("FQTK_DEVICE_DEDUP", "0")  # full windows to device
+    barcodes = [
+        "".join("ACGT"[(7 * i + 3 * j) % 4] for j in range(12))
+        for i in range(13)
+    ]
+    barcodes = sorted(set(barcodes))
+    reads = []
+    for i in range(530):  # several 64-row windows
+        bc = barcodes[i % len(barcodes)]
+        if i % 17 == 0:
+            bc = bc[:5] + "N" + bc[6:]  # exceptional row (numpy-spec path)
+        reads.append(bc + "ACGTAC")
+    meta = metadata_file(tmp_path, barcodes)
+    fq = fastq_file(tmp_path, "r1", "q", reads)
+    outs = {}
+    for arm in ("1", "0"):
+        monkeypatch.setenv("FQTK_DEVICE_OVERLAP", arm)
+        out = tmp_path / f"out_{arm}"
+        run_demux(
+            _cfg(
+                tmp_path, [fq], ["12B+T"], meta, out, "native",
+                batch_size=64,
+            )
+        )
+        blob = {}
+        for p in sorted(out.glob("*.fq.gz")):
+            blob[p.name] = gzip.open(p).read()
+        blob["metrics"] = (out / "demux-metrics.txt").read_bytes()
+        outs[arm] = blob
+    assert outs["1"] == outs["0"]
+    assert any(len(v) for v in outs["1"].values())
