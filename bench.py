@@ -872,6 +872,24 @@ def bench_subsample_config(tmp: Path, paths):
                 "BGZF deflate thread-CPU (paid by ANY implementation at this "
                 "gzip level) spread over all cores",
             }
+            # The flat spread is unattainable for n_inputs < cores: record
+            # framing within one FASTQ stream is inherently sequential, so
+            # the slowest input's scan thread-CPU is a serial floor ANY
+            # implementation pays (DESIGN.md round-5 subsample section).
+            work = best_stats["native_work"]
+            if work > 0 and len(inputs) < cores:
+                serial_bound = n_subsample_reads * len(inputs) / work
+                achievable = min(ceiling, serial_bound)
+                entry["host_speed_of_light"].update(
+                    per_input_serial_bound_reads_per_sec=round(
+                        serial_bound, 1
+                    ),
+                    achievable_ceiling_reads_per_sec=round(achievable, 1),
+                    frac_of_achievable=round(best / achievable, 3),
+                    serial_note="per-input record framing is sequential; "
+                    "bound = n * n_inputs / scan thread-CPU (assumes "
+                    "symmetric inputs)",
+                )
     return entry
 
 

@@ -122,7 +122,20 @@ def validate(cfg: SubsampleConfig) -> None:
 def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResult:
     """Hot path: C++ reads/writes; Python supplies the ChaCha8 keep mask in
     chunks (one draw per record set, in stream order — identical to the
-    reference's draw-before-read loop)."""
+    reference's draw-before-read loop).
+
+    Mask generation (~3.4ms per 64K chunk of pure-Python ChaCha8) runs one
+    chunk AHEAD on a producer thread: ``process_chunk`` releases the GIL
+    for the whole C++ call, so drawing mask N+1 overlaps chunk N instead
+    of stalling the readers between chunks (measured ~20% of subsample
+    wall before the overlap).  The stream order is unchanged — masks are
+    drawn and applied in sequence; at EOF the one extra drawn chunk is
+    discarded, which matches the reference's draw-before-read loop
+    (``subsample.rs:231-238``) drawing for a record set that turns out
+    not to exist."""
+    import queue
+    import threading
+
     from ..io import native as native_io
 
     engine = native_io.NativeSubsampleEngine(
@@ -138,28 +151,66 @@ def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResu
             cfg.fraction,
             cfg.output,
         )
-        chunk = 1 << 16
+        chunk = 1 << 18
         log_unit = PROGRESS_LOG_UNIT
         total_read = 0
         total_kept = 0
-        while True:
-            # never straddle a progress boundary so the 5M lines carry the
-            # exact counts the reference would log
-            until_log = log_unit - (total_read % log_unit)
-            take = min(chunk, until_log)
-            mask = (rng.random_f64_batch(take) < cfg.fraction).astype("uint8")
-            consumed, kept = engine.process_chunk(mask)
-            total_read += consumed
-            total_kept += kept
-            if total_read and total_read % log_unit == 0 and consumed == take:
-                logger.info(
-                    "[fqtk subsample] Read %s record sets and wrote %s (%.1f%%).",
-                    fmt_count(total_read),
-                    fmt_count(total_kept),
-                    total_kept / total_read * 100.0,
-                )
-            if consumed < take:
-                break
+
+        masks: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
+        producer_err = []
+
+        def produce():
+            # take sizes never straddle a progress boundary so the 5M lines
+            # carry the exact counts the reference would log; the schedule
+            # is deterministic in drawn-records, so the producer can run
+            # ahead of consumption
+            drawn = 0
+            try:
+                while not stop.is_set():
+                    until_log = log_unit - (drawn % log_unit)
+                    take = min(chunk, until_log)
+                    mask = (rng.random_f64_batch(take) < cfg.fraction).astype(
+                        "uint8"
+                    )
+                    drawn += take
+                    while not stop.is_set():
+                        try:
+                            masks.put((take, mask), timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+            except Exception as e:  # pragma: no cover - numpy OOM etc.
+                producer_err.append(e)
+                masks.put((0, None))
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                take, mask = masks.get()
+                if producer_err:
+                    raise producer_err[0]
+                consumed, kept = engine.process_chunk(mask)
+                total_read += consumed
+                total_kept += kept
+                if total_read and total_read % log_unit == 0 and consumed == take:
+                    logger.info(
+                        "[fqtk subsample] Read %s record sets and wrote %s (%.1f%%).",
+                        fmt_count(total_read),
+                        fmt_count(total_kept),
+                        total_kept / total_read * 100.0,
+                    )
+                if consumed < take:
+                    break
+        finally:
+            stop.set()
+            while True:  # unblock a producer waiting on a full queue
+                try:
+                    masks.get_nowait()
+                except queue.Empty:
+                    break
+            producer.join()
         logger.info("Finished reading input FASTQs.")
         engine.finish()
         stage_seconds = engine.stats()
