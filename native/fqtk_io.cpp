@@ -40,6 +40,12 @@
 
 #include <zlib.h>
 
+#if defined(__linux__)
+#include <sys/resource.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#endif
+
 #if __has_include(<libdeflate.h>)
 #include <libdeflate.h>
 #define FQTK_HAVE_LIBDEFLATE 1
@@ -951,6 +957,19 @@ class CompressorPool {
 
  private:
   void worker() {
+#if defined(__linux__)
+    // Pool workers intentionally oversubscribe the cores (pool size >
+    // cores on small hosts) so compression can soak every idle cycle —
+    // but a compressor must never PREEMPT a parse/scan thread, whose
+    // stretch propagates through the window/chunk barriers into pipeline
+    // stall.  nice +5 keeps compressors strictly below the default-
+    // priority pipeline threads while still using all leftover CPU.
+    // (Per-thread setpriority is Linux-specific; elsewhere this is a
+    // no-op and the scheduler's fairness decides.)
+    if (getenv("FQTK_POOL_NO_NICE") == nullptr) {
+      setpriority(PRIO_PROCESS, static_cast<id_t>(syscall(SYS_gettid)), 5);
+    }
+#endif
     for (;;) {
       CompressJob job;
       {
