@@ -2659,17 +2659,41 @@ class SubsampleEngine {
           s.names.insert(s.names.end(), nm.first, nm.first + nm.second);
           s.name_end.push_back(static_cast<uint32_t>(s.names.size()));
         }
-        rec_buf.clear();
-        rec_buf.push_back('@');
-        rec_buf.insert(rec_buf.end(), rec.head, rec.head + rec.head_len);
-        rec_buf.push_back('\n');
-        rec_buf.insert(rec_buf.end(), rec.seq, rec.seq + rec.seq_len);
-        rec_buf.push_back('\n');
-        rec_buf.insert(rec_buf.end(), rec.plus, rec.plus + rec.plus_len);
-        rec_buf.push_back('\n');
-        rec_buf.insert(rec_buf.end(), rec.qual, rec.qual + rec.qual_len);
-        rec_buf.push_back('\n');
-        writers_[i]->write(rec_buf.data(), rec_buf.size());
+        const size_t sz = 1 + rec.head_len + 1 + rec.seq_len + 1 +
+                          rec.plus_len + 1 + rec.qual_len + 1;
+        if (sz < kBgzfBlockInput) {
+          // single-copy emit straight into the BGZF block buffer (same
+          // reserve/commit contract the demux route path uses)
+          uint8_t* p = writers_[i]->reserve(sz);
+          *p++ = '@';
+          memcpy(p, rec.head, rec.head_len);
+          p += rec.head_len;
+          *p++ = '\n';
+          memcpy(p, rec.seq, rec.seq_len);
+          p += rec.seq_len;
+          *p++ = '\n';
+          memcpy(p, rec.plus, rec.plus_len);
+          p += rec.plus_len;
+          *p++ = '\n';
+          memcpy(p, rec.qual, rec.qual_len);
+          p += rec.qual_len;
+          *p++ = '\n';
+          writers_[i]->commit(sz);
+        } else {
+          // records larger than one BGZF block go through the splitting
+          // write() path
+          rec_buf.clear();
+          rec_buf.push_back('@');
+          rec_buf.insert(rec_buf.end(), rec.head, rec.head + rec.head_len);
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), rec.seq, rec.seq + rec.seq_len);
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), rec.plus, rec.plus + rec.plus_len);
+          rec_buf.push_back('\n');
+          rec_buf.insert(rec_buf.end(), rec.qual, rec.qual + rec.qual_len);
+          rec_buf.push_back('\n');
+          writers_[i]->write(rec_buf.data(), rec_buf.size());
+        }
       }
       work_ns_ += thread_cpu_ns() - t0;
     };
