@@ -337,6 +337,19 @@ def host_speed_of_light(e2e_rps, n_reads, stage_timings, inputs=None):
         avail_ceiling = n_reads * cores * (1.0 - steal) / io_core_s
         out["steal_frac_during_run"] = steal
         out["frac_of_available_ceiling"] = round(e2e_rps / avail_ceiling, 3)
+    # Per-input serial floor: record framing + extraction within one FASTQ
+    # stream is sequential, so for n_inputs < cores the flat spread is
+    # optimistic and the slowest input's parse CPU caps any implementation
+    # (same accounting as the subsample entry; assumes symmetric inputs).
+    parse_s = stage_timings.get("native_parse", 0.0)
+    if inputs and parse_s > 0 and len(inputs) < cores:
+        serial_bound = n_reads * len(inputs) / parse_s
+        achievable = min(ceiling, serial_bound)
+        out.setdefault(
+            "per_input_serial_parse_bound_reads_per_sec", round(serial_bound, 1)
+        )
+        out["achievable_ceiling_reads_per_sec"] = round(achievable, 1)
+        out["frac_of_achievable"] = round(e2e_rps / achievable, 3)
     if inputs:
         try:
             from fqtk_tpu.io import native as native_io
