@@ -1152,17 +1152,18 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                 "FQTK_DEVICE_OVERLAP", "1"
             ) != "0"
             pending = None  # (slot, n, in-flight device result)
+            compile_logged = False
 
-            def finish_pending():
-                nonlocal pending, total, next_log, first
-                p_slot, p_n, fut = pending
-                pending = None
-                with timers.time("assign"):
-                    assigned = np.asarray(fut)[:p_n].astype(np.int32)
-                if first:
-                    first = False
-                    logger.info("device matcher ready.")
+            def resolve_and_submit(p_slot, p_n, assigned):
+                # shared tail for the overlap and serial arms (they must
+                # stay byte-identical; pinned by
+                # test_device_overlap_byte_identical)
+                nonlocal total, next_log
                 if pack_mode == "bit2":
+                    # rows with ambiguous/no-call bytes could not be 2-bit
+                    # encoded: resolve them with the NumPy spec (exact,
+                    # incl. IUPAC masks; the no-call gate already ran in
+                    # C++)
                     exc_idx, exc_raw = engine.pipe_exceptional(p_slot)
                     if exc_idx is not None:
                         with timers.time("exceptional"):
@@ -1184,6 +1185,17 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                     )
                     next_log += 1_000_000
 
+            def finish_pending():
+                nonlocal pending, first
+                p_slot, p_n, fut = pending
+                pending = None
+                with timers.time("assign"):
+                    assigned = np.asarray(fut)[:p_n].astype(np.int32)
+                if first:
+                    first = False
+                    logger.info("device matcher ready.")
+                resolve_and_submit(p_slot, p_n, assigned)
+
             while not fused:
                 with timers.time("acquire_wait"):
                     n, slot, bc_view, sk = engine.pipe_acquire()
@@ -1192,7 +1204,8 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                     if pending is not None:
                         finish_pending()
                     break
-                if first and not host_matcher:
+                if not host_matcher and not compile_logged:
+                    compile_logged = True
                     logger.info(
                         "compiling device matcher (first run of a new "
                         "samples/length/batch configuration can take minutes; "
@@ -1223,30 +1236,7 @@ def _run_demux_native(cfg: DemuxConfig) -> DemuxResult:
                     first = False
                     if not host_matcher:
                         logger.info("device matcher ready.")
-                if pack_mode == "bit2":
-                    # rows with ambiguous/no-call bytes could not be 2-bit
-                    # encoded: resolve them with the NumPy spec (exact, incl.
-                    # IUPAC masks; the no-call gate already ran in C++)
-                    exc_idx, exc_raw = engine.pipe_exceptional(slot)
-                    if exc_idx is not None:
-                        with timers.time("exceptional"):
-                            eidx, _, _ = assign_batch_np(
-                                exc_raw,
-                                expected,
-                                cfg.max_mismatches,
-                                cfg.min_mismatch_delta,
-                            )
-                            assigned[exc_idx] = np.where(
-                                eidx < 0, k, eidx
-                            ).astype(np.int32)
-                with timers.time("submit"):
-                    engine.pipe_submit(slot, assigned)
-                total += n
-                while total >= next_log:
-                    logger.info(
-                        "fqtk: %s records demultiplexed", f"{next_log:,}"
-                    )
-                    next_log += 1_000_000
+                resolve_and_submit(slot, n, assigned)
 
         logger.info("Finished reading input FASTQs.")
         with timers.time("finish"):

@@ -2542,9 +2542,14 @@ class SubsampleEngine {
                         int64_t* kept_out) {
     if (err.failed) return -1;
     if (parallel_) return process_chunk_parallel(keep_mask, n, kept_out);
+    // subtract compress CPU donated via queue-full steals (run_job charges
+    // it to pool busy_ns) so work/compress never double-count — same
+    // accounting as the demux route path
     uint64_t t0 = thread_cpu_ns();
+    uint64_t don0 = CompressorPool::tl_donated();
     int64_t r = process_chunk_serial(keep_mask, n, kept_out);
-    work_ns_ += thread_cpu_ns() - t0;
+    work_ns_ +=
+        thread_cpu_ns() - t0 - (CompressorPool::tl_donated() - don0);
     return r;
   }
 
@@ -2588,21 +2593,40 @@ class SubsampleEngine {
               return -1;
             }
           }
-          rec_buf.clear();
-          rec_buf.push_back('@');
-          rec_buf.insert(rec_buf.end(), recs[i].head,
-                         recs[i].head + recs[i].head_len);
-          rec_buf.push_back('\n');
-          rec_buf.insert(rec_buf.end(), recs[i].seq,
-                         recs[i].seq + recs[i].seq_len);
-          rec_buf.push_back('\n');
-          rec_buf.insert(rec_buf.end(), recs[i].plus,
-                         recs[i].plus + recs[i].plus_len);
-          rec_buf.push_back('\n');
-          rec_buf.insert(rec_buf.end(), recs[i].qual,
-                         recs[i].qual + recs[i].qual_len);
-          rec_buf.push_back('\n');
-          writers_[i]->write(rec_buf.data(), rec_buf.size());
+          const RecordView& rec = recs[i];
+          const size_t sz = 1 + rec.head_len + 1 + rec.seq_len + 1 +
+                            rec.plus_len + 1 + rec.qual_len + 1;
+          if (sz < kBgzfBlockInput) {
+            // single-copy emit straight into the BGZF block buffer (same
+            // fast path as the parallel worker)
+            uint8_t* p = writers_[i]->reserve(sz);
+            *p++ = '@';
+            memcpy(p, rec.head, rec.head_len);
+            p += rec.head_len;
+            *p++ = '\n';
+            memcpy(p, rec.seq, rec.seq_len);
+            p += rec.seq_len;
+            *p++ = '\n';
+            memcpy(p, rec.plus, rec.plus_len);
+            p += rec.plus_len;
+            *p++ = '\n';
+            memcpy(p, rec.qual, rec.qual_len);
+            p += rec.qual_len;
+            *p++ = '\n';
+            writers_[i]->commit(sz);
+          } else {
+            rec_buf.clear();
+            rec_buf.push_back('@');
+            rec_buf.insert(rec_buf.end(), rec.head, rec.head + rec.head_len);
+            rec_buf.push_back('\n');
+            rec_buf.insert(rec_buf.end(), rec.seq, rec.seq + rec.seq_len);
+            rec_buf.push_back('\n');
+            rec_buf.insert(rec_buf.end(), rec.plus, rec.plus + rec.plus_len);
+            rec_buf.push_back('\n');
+            rec_buf.insert(rec_buf.end(), rec.qual, rec.qual + rec.qual_len);
+            rec_buf.push_back('\n');
+            writers_[i]->write(rec_buf.data(), rec_buf.size());
+          }
         }
       }
       if (got == 0) break;
@@ -2641,6 +2665,7 @@ class SubsampleEngine {
     std::vector<PerInput> st(n_in);
     auto work = [&](size_t i) {
       uint64_t t0 = thread_cpu_ns();
+      uint64_t don0 = CompressorPool::tl_donated();
       auto& s = st[i];
       RecordView rec;
       std::vector<uint8_t> rec_buf;
@@ -2648,7 +2673,8 @@ class SubsampleEngine {
         int rc = scanners_[i]->next(&rec);
         if (rc < 0) {
           s.error = scanners_[i]->error_msg();
-          work_ns_ += thread_cpu_ns() - t0;
+          work_ns_ += thread_cpu_ns() - t0 -
+                      (CompressorPool::tl_donated() - don0);
           return;
         }
         if (rc == 0) break;
@@ -2695,7 +2721,8 @@ class SubsampleEngine {
           writers_[i]->write(rec_buf.data(), rec_buf.size());
         }
       }
-      work_ns_ += thread_cpu_ns() - t0;
+      work_ns_ += thread_cpu_ns() - t0 -
+                  (CompressorPool::tl_donated() - don0);
     };
     std::vector<std::thread> ts;
     ts.reserve(n_in - 1);

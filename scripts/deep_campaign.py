@@ -119,7 +119,11 @@ def demux_leg(n: int) -> int:
                 # directions (host is the CPU default) and rotate the
                 # window-dedup front-end ON/OFF across device scenarios
                 force_device = not force_bigk and sid % 4 == 1
-                os.environ["FQTK_DEVICE_DEDUP"] = "01"[sid % 2]
+                # device-forced sids are all odd (sid % 4 == 1), so the
+                # dedup rotation must NOT key on sid parity or the
+                # dedup-OFF device path would never run; alternate by
+                # device-scenario ordinal instead
+                os.environ["FQTK_DEVICE_DEDUP"] = "01"[(sid // 4) % 2]
                 placement_saved = (
                     _force_device_placement(tmp) if force_device else None
                 )

@@ -350,6 +350,7 @@ def make_variant(name, masks, length, max_mm=1, delta=2, tile_b=512, tile_k=2048
         # colmerge.  Exactness: same (count, tile, column) lexicographic
         # order as v0; the register ladder is an associative top-2 monoid.
         P = int(name[len("v6_group"):] or "4")
+        assert P >= 2, "v6_group needs P >= 2 (the ladder folds two keys)"
         assert n_k_tiles % P == 0, (n_k_tiles, P)
         n_groups = n_k_tiles // P
         nt_pow2 = 1 << max(1, (n_k_tiles - 1).bit_length())
