@@ -41,6 +41,7 @@
 #include <zlib.h>
 
 #if defined(__linux__)
+#include <sched.h>
 #include <sys/resource.h>
 #include <sys/syscall.h>
 #include <unistd.h>
@@ -1968,7 +1969,24 @@ class DemuxEngine {
     if (fused_matcher_)
       assign_thread_ = std::thread([this] { pipe_assign_worker(); });
     for (size_t i = 0; i < parse_states_.size(); i++)
-      parse_threads_.emplace_back([this, i] { pipe_parse_worker(i); });
+      parse_threads_.emplace_back([this, i] {
+#if defined(__linux__)
+        // Experimental (A/B'd; see DESIGN.md r5): pin parse thread i to
+        // core i%ncores so the per-input scan streams keep cache/core
+        // affinity across windows instead of migrating under load.
+        if (getenv("FQTK_PIN_PARSE") != nullptr) {
+          long nc = sysconf(_SC_NPROCESSORS_ONLN);
+          if (nc > 0) {
+            cpu_set_t set;
+            CPU_ZERO(&set);
+            CPU_SET(static_cast<int>(i % nc), &set);
+            sched_setaffinity(static_cast<pid_t>(syscall(SYS_gettid)),
+                              sizeof(set), &set);
+          }
+        }
+#endif
+        pipe_parse_worker(i);
+      });
     return true;
   }
 
