@@ -248,6 +248,18 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_double),
         ctypes.c_int,
     ]
+    # stateful ChaCha8 keep-mask generator (subsample mask producer); older
+    # .so builds may predate it, so bind defensively
+    if hasattr(lib, "fqtk_rng_new"):
+        lib.fqtk_rng_new.restype = ctypes.c_void_p
+        lib.fqtk_rng_new.argtypes = [ctypes.c_uint64]
+        lib.fqtk_rng_keep_mask.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_double,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.fqtk_rng_free.argtypes = [ctypes.c_void_p]
     lib.fqtk_subsample_free.argtypes = [ctypes.c_void_p]
 
     lib.fqtk_bgzf_open.restype = ctypes.c_void_p
@@ -587,6 +599,46 @@ class NativeSubsampleEngine:
     def close(self) -> None:
         if self._h:
             self._lib.fqtk_subsample_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeChaChaMask:
+    """Stateful ChaCha8 keep-mask stream, bit-identical to
+    ``fqtk_tpu.utils.chacha.ChaCha8Rng`` driven as
+    ``(rng.random_f64_batch(n) < fraction)`` (see ``fqtk_rng_keep_mask``
+    in ``native/fqtk_io.cpp``).  Used by the subsample mask producer so
+    drawing the mask costs ~5ns/record instead of ~50 and stops competing
+    with the compressor pool for cores.  Raises ``NativeDemuxError`` when
+    the loaded .so predates the export (callers fall back to the NumPy
+    rng)."""
+
+    def __init__(self, seed: int):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "fqtk_rng_new"):
+            raise NativeDemuxError("native rng unavailable")
+        self._lib = lib
+        self._h = lib.fqtk_rng_new(ctypes.c_uint64(seed & (2**64 - 1)))
+
+    def keep_mask(self, n: int, fraction: float) -> np.ndarray:
+        """Next ``n`` keep decisions (uint8 0/1), advancing the stream."""
+        out = np.empty(n, dtype=np.uint8)
+        self._lib.fqtk_rng_keep_mask(
+            self._h,
+            ctypes.c_double(fraction),
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fqtk_rng_free(self._h)
             self._h = None
 
     def __del__(self):  # pragma: no cover

@@ -160,6 +160,19 @@ def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResu
         stop = threading.Event()
         producer_err = []
 
+        # the native ChaCha8 mask stream (bit-identical to the NumPy rng,
+        # pinned by tests/test_native_io.py) costs ~5ns/draw vs ~50, so the
+        # producer thread stops competing with the compressor pool for cores
+        try:
+            native_rng = native_io.NativeChaChaMask(seed)
+        except native_io.NativeDemuxError:  # stale .so without the export
+            native_rng = None
+
+        def draw_mask(take: int):
+            if native_rng is not None:
+                return native_rng.keep_mask(take, cfg.fraction)
+            return (rng.random_f64_batch(take) < cfg.fraction).astype("uint8")
+
         def produce():
             # take sizes never straddle a progress boundary so the 5M lines
             # carry the exact counts the reference would log; the schedule
@@ -170,9 +183,7 @@ def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResu
                 while not stop.is_set():
                     until_log = log_unit - (drawn % log_unit)
                     take = min(chunk, until_log)
-                    mask = (rng.random_f64_batch(take) < cfg.fraction).astype(
-                        "uint8"
-                    )
+                    mask = draw_mask(take)
                     drawn += take
                     while not stop.is_set():
                         try:

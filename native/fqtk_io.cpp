@@ -4166,6 +4166,68 @@ FQTK_API void fqtk_chacha8_verify_f64(uint64_t seed, int64_t n, double* out) {
              (1.0 / 9007199254740992.0 /* 2^53 */);
 }
 
+// Stateful ChaCha8 keep-mask generator for the subsample hot path.  The
+// NumPy ChaCha8Rng (fqtk_tpu/utils/chacha.py) remains the spec — itself
+// pinned to rand_chacha semantics by the verify exports above and the
+// ECRYPT vectors in tests — but its ~50ns/draw mask production runs on a
+// producer thread that competes with the compressor pool for host cores
+// (~0.35 cores at the measured 6M reads/s).  This generator produces the
+// identical mask at ~5ns/draw: one u64 per record set = two consecutive
+// keystream words (lo | hi<<32), keep = ((u >> 11) * 2^-53) < fraction in
+// the same exact f64 arithmetic ((u>>11) < 2^53 is exactly representable
+// and the scale is a power of two, so native and NumPy masks are
+// bit-identical, which tests/test_native_io.py pins).  State persists
+// across calls so chunk boundaries (including odd sizes at progress-log
+// edges) continue the stream exactly like ChaCha8Rng.next_u64_batch.
+struct ChaChaMaskRng {
+  uint32_t key[8];
+  uint64_t counter = 0;
+  uint32_t words[16];
+  int wpos = 16;  // exhausted; wpos is always even (draws consume pairs)
+};
+
+FQTK_API ChaChaMaskRng* fqtk_rng_new(uint64_t seed) {
+  auto* r = new ChaChaMaskRng();
+  chacha_verify::seed_expand(seed, r->key);
+  return r;
+}
+
+FQTK_API void fqtk_rng_keep_mask(ChaChaMaskRng* r, double fraction, int64_t n,
+                                 uint8_t* out) {
+  const double scale = 1.0 / 9007199254740992.0 /* 2^-53 */;
+  int64_t i = 0;
+  // drain the partial block a previous odd-sized call left behind
+  while (i < n && r->wpos < 16) {
+    uint64_t u = static_cast<uint64_t>(r->words[r->wpos]) |
+                 (static_cast<uint64_t>(r->words[r->wpos + 1]) << 32);
+    r->wpos += 2;
+    out[i++] = static_cast<double>(u >> 11) * scale < fraction ? 1 : 0;
+  }
+  // whole blocks straight into the output (8 draws per block)
+  while (n - i >= 8) {
+    uint32_t w[16];
+    chacha_verify::block(r->key, r->counter++, w);
+    for (int j = 0; j < 16; j += 2) {
+      uint64_t u = static_cast<uint64_t>(w[j]) |
+                   (static_cast<uint64_t>(w[j + 1]) << 32);
+      out[i++] = static_cast<double>(u >> 11) * scale < fraction ? 1 : 0;
+    }
+  }
+  // tail: buffer one more block and leave the remainder for the next call
+  if (i < n) {
+    chacha_verify::block(r->key, r->counter++, r->words);
+    r->wpos = 0;
+    while (i < n) {
+      uint64_t u = static_cast<uint64_t>(r->words[r->wpos]) |
+                   (static_cast<uint64_t>(r->words[r->wpos + 1]) << 32);
+      r->wpos += 2;
+      out[i++] = static_cast<double>(u >> 11) * scale < fraction ? 1 : 0;
+    }
+  }
+}
+
+FQTK_API void fqtk_rng_free(ChaChaMaskRng* r) { delete r; }
+
 // ---------------------------------------------------------------------------
 // C API
 // ---------------------------------------------------------------------------

@@ -388,6 +388,34 @@ def test_chacha_composition_cross_validated_native():
         assert np.array_equal(got_f, expect_f), f"f64 stream diverges, seed={seed}"
 
 
+def test_native_mask_stream_bit_identical_to_numpy_rng():
+    """The production mask generator (``fqtk_rng_keep_mask``, stateful,
+    used by the subsample mask producer) emits bit-identical keep masks to
+    the NumPy ChaCha8Rng driven as ``random_f64_batch(n) < fraction`` —
+    across odd chunk sizes that leave partial blocks between calls (the
+    progress-log boundary path takes non-multiple-of-8 sizes)."""
+    from fqtk_tpu.io import native as native_io
+    from fqtk_tpu.utils.chacha import ChaCha8Rng
+
+    if not native_io.available():
+        pytest.skip("native library unavailable")
+    takes = [1, 7, 64, 3, 1 << 13, 5, 999, 2, 4096, 11]
+    for seed in (0, 7, 2**63 + 12345):
+        for fraction in (0.0, 0.3, 0.5, 1.0, 0.001):
+            try:
+                nat = native_io.NativeChaChaMask(seed)
+            except native_io.NativeDemuxError:
+                pytest.skip("native rng export unavailable (stale .so)")
+            ref = ChaCha8Rng(seed)
+            for take in takes:
+                got = nat.keep_mask(take, fraction)
+                want = (ref.random_f64_batch(take) < fraction).astype("uint8")
+                assert np.array_equal(got, want), (
+                    f"mask diverges: seed={seed} fraction={fraction} take={take}"
+                )
+            nat.close()
+
+
 def test_native_subsample_progress_lines(tmp_path, caplog, monkeypatch):
     """The native path emits the reference's 5M-interval progress lines with
     exact boundary counts (subsample.rs:224,277-285); cadence shrunk for the
