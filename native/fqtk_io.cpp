@@ -2700,6 +2700,12 @@ class SubsampleEngine {
         if (keep_mask[r] == 0) continue;
         if (check_names_) {
           auto nm = base_read_name(rec.head, rec.head_len);
+          if (s.names.capacity() == 0) {
+            // one up-front reservation instead of doubling through ~2MB of
+            // packed names per chunk; sized from the first name seen
+            s.names.reserve(static_cast<size_t>(n) * (nm.second + 2));
+            s.name_end.reserve(static_cast<size_t>(n));
+          }
           s.names.insert(s.names.end(), nm.first, nm.first + nm.second);
           s.name_end.push_back(static_cast<uint32_t>(s.names.size()));
         }
@@ -2772,6 +2778,16 @@ class SubsampleEngine {
       const auto& f0 = st[0];
       for (size_t i = 1; i < n_in; i++) {
         const auto& fi = st[i];
+        // happy path: every kept name matches <=> the packed buffers and
+        // their offset tables are identical — two whole-buffer memcmps
+        // instead of a per-record walk (the walk was ~the largest serial
+        // cost between chunks; it now runs only to locate a mismatch)
+        if (fi.name_end.size() == f0.name_end.size() &&
+            fi.names.size() == f0.names.size() &&
+            memcmp(f0.name_end.data(), fi.name_end.data(),
+                   f0.name_end.size() * sizeof(uint32_t)) == 0 &&
+            memcmp(f0.names.data(), fi.names.data(), f0.names.size()) == 0)
+          continue;
         for (size_t r = 0; r < f0.name_end.size(); r++) {
           const uint32_t a0 = r ? f0.name_end[r - 1] : 0;
           const uint32_t a1 = f0.name_end[r];
