@@ -587,13 +587,16 @@ class NativeSubsampleEngine:
     def stats(self) -> dict:
         """Per-stage thread-CPU accounting for host-ceiling math (the
         subsample analog of the demux engine's stage stats)."""
-        buf = (ctypes.c_double * 4)()
-        self._lib.fqtk_subsample_stats(self._h, buf, 4)
+        buf = (ctypes.c_double * 5)()
+        self._lib.fqtk_subsample_stats(self._h, buf, 5)
         return {
             "native_work": buf[0],  # inflate+scan+name-check+record-copy CPU
             "native_compress": buf[1],  # BGZF pool busy thread-CPU
             "native_compress_in_bytes": buf[2],
             "native_compress_out_bytes": buf[3],
+            # core-s finished readers waited at the per-chunk barrier for
+            # the slowest input (lockstep skew; see DESIGN.md r5 subsample)
+            "native_lockstep_skew": buf[4],
         }
 
     def close(self) -> None:

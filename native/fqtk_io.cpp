@@ -2676,6 +2676,7 @@ class SubsampleEngine {
     const size_t n_in = scanners_.size();
     struct PerInput {
       int64_t consumed = 0;
+      uint64_t end_wall = 0;  // when this worker finished its chunk loop
       std::string error;
       std::vector<uint8_t> names;     // kept records' base names, packed
       std::vector<uint32_t> name_end; // end offset per kept record
@@ -2747,6 +2748,7 @@ class SubsampleEngine {
       }
       work_ns_ += thread_cpu_ns() - t0 -
                   (CompressorPool::tl_donated() - don0);
+      s.end_wall = wall_ns();
     };
     std::vector<std::thread> ts;
     ts.reserve(n_in - 1);
@@ -2758,6 +2760,15 @@ class SubsampleEngine {
         err.set(st[i].error);
         return -1;
       }
+    }
+    {
+      // lockstep-skew accounting: core-seconds workers spent finished but
+      // waiting at the per-chunk barrier for the slowest input (mostly
+      // soaked by the nice+5 compressor pool, but reported so the residual
+      // ceiling gap stays attributable — DESIGN.md round-5 subsample)
+      uint64_t max_end = 0;
+      for (auto& s : st) max_end = std::max(max_end, s.end_wall);
+      for (auto& s : st) skew_ns_ += max_end - s.end_wall;
     }
     int64_t consumed = st[0].consumed;
     int64_t min_c = consumed;
@@ -2833,16 +2844,19 @@ class SubsampleEngine {
   }
 
   // [work_s (inflate+scan+name-collect+record-copy thread-CPU, summed over
-  //  worker threads), compress_s (pool busy), bytes_in, bytes_out] — the
-  //  subsample analog of the demux stage stats, for host-ceiling accounting
+  //  worker threads), compress_s (pool busy), bytes_in, bytes_out,
+  //  lockstep_skew_s (core-s finished workers waited at the chunk
+  //  barrier)] — the subsample analog of the demux stage stats, for
+  //  host-ceiling accounting
   void get_stats(double* out, int n) const {
-    double vals[4] = {
+    double vals[5] = {
         work_ns_.load() * 1e-9,
         pool_ ? pool_->busy_ns.load() * 1e-9 : 0.0,
         pool_ ? static_cast<double>(pool_->bytes_in.load()) : 0.0,
         pool_ ? static_cast<double>(pool_->bytes_out.load()) : 0.0,
+        skew_ns_.load() * 1e-9,
     };
-    for (int i = 0; i < n && i < 4; i++) out[i] = vals[i];
+    for (int i = 0; i < n && i < 5; i++) out[i] = vals[i];
   }
 
  private:
@@ -2858,6 +2872,7 @@ class SubsampleEngine {
   bool parallel_ = false;
   int64_t total_read_ = 0;
   std::atomic<uint64_t> work_ns_{0};
+  std::atomic<uint64_t> skew_ns_{0};
 };
 
 // ---------------------------------------------------------------------------
