@@ -46,6 +46,8 @@ def build_inputs(tmp: Path, n: int):
 
 def run_leg(kind: str, data_dir: Path, n: int) -> None:
     """One child-process measurement; prints reads/s on the last line."""
+    import time
+
     m = json.loads((data_dir / "manifest.json").read_text())
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
@@ -54,11 +56,52 @@ def run_leg(kind: str, data_dir: Path, n: int) -> None:
                 tmp, m["inputs"], m["structures"], m["meta"], n, "leg",
                 trials=1,
             )
-        else:
+        elif kind == "proxy":
             rps = bench.run_refproxy(
                 tmp, m["inputs"], m["structures"], m["barcodes"], n, "leg",
                 trials=1, threads=16,
             )
+        elif kind == "sub_product":
+            from fqtk_tpu.runtime.subsample import (
+                SubsampleConfig, run_subsample,
+            )
+
+            cfg = SubsampleConfig(
+                inputs=[m["inputs"][1], m["inputs"][2]],
+                output=tmp / "sub", fraction=0.3, threads=8, seed=42,
+            )
+            t0 = time.perf_counter()
+            res = run_subsample(cfg)
+            rps = res.total_read / (time.perf_counter() - t0)
+        else:  # sub_proxy: reference shape — serial lockstep loop, NumPy
+            # mask drawn between chunks (bench_subsample_config's proxy)
+            import numpy as np
+
+            from fqtk_tpu.io import native as native_io
+            from fqtk_tpu.utils.chacha import ChaCha8Rng
+
+            rng = ChaCha8Rng(42)
+            eng = native_io.NativeSubsampleEngine(
+                threads=7, compression_level=5
+            )
+            try:
+                for i, p in enumerate(m["inputs"][1:3]):
+                    eng.add_input(p, tmp / f"subproxy.R{i + 1}.fq.gz")
+                eng.configure(check_names=True, parallel=False)
+                t0 = time.perf_counter()
+                total = 0
+                while True:
+                    mask = (
+                        rng.random_f64_batch(1 << 16) < 0.3
+                    ).astype(np.uint8)
+                    c, _ = eng.process_chunk(mask)
+                    total += c
+                    if c < len(mask):
+                        break
+                eng.finish()
+            finally:
+                eng.close()
+            rps = total / (time.perf_counter() - t0)
     print(f"RPS {rps:.1f}")
 
 
@@ -85,17 +128,17 @@ def main():
             ).stdout
             return float(out.strip().splitlines()[-1].split()[1])
 
+        kinds = ("product", "proxy", "sub_product", "sub_proxy")
         # page-cache warm + thread-pool shapes compiled once, untimed
-        child("product", ncores)
-        child("proxy", ncores)
+        for kind in kinds:
+            child(kind, ncores)
 
         results = {
-            k: {c: 0.0 for c in range(1, ncores + 1)}
-            for k in ("product", "proxy")
+            k: {c: 0.0 for c in range(1, ncores + 1)} for k in kinds
         }
         for t in range(trials):
             for cores in range(1, ncores + 1):
-                for kind in ("product", "proxy"):
+                for kind in kinds:
                     rps = child(kind, cores)
                     results[kind][cores] = max(results[kind][cores], rps)
                     print(
@@ -104,7 +147,8 @@ def main():
                     )
 
         report = {
-            "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2",
+            "config": "dual-index PE, 96 samples, 8B+9B, max_mm=1, delta=2; "
+            "sub_* legs: PE subsample fraction 0.3 on the same R1/R2",
             "n_reads": n,
             "trials_best_of": trials,
             "host_cores": ncores,
@@ -116,7 +160,7 @@ def main():
                 "its core count until other limits bind)"
             ),
         }
-        for kind in ("product", "proxy"):
+        for kind in kinds:
             xs = sorted(results[kind])
             ys = [results[kind][c] for c in xs]
             slope = sum(c * r for c, r in zip(xs, ys)) / sum(
@@ -139,6 +183,11 @@ def main():
         report["product_vs_proxy_slope"] = round(
             report["product"]["slope_reads_per_sec_per_core"]
             / report["proxy"]["slope_reads_per_sec_per_core"],
+            3,
+        )
+        report["subsample_product_vs_proxy_slope"] = round(
+            report["sub_product"]["slope_reads_per_sec_per_core"]
+            / report["sub_proxy"]["slope_reads_per_sec_per_core"],
             3,
         )
         out_path = REPO / "CORE_SCALING_LOCAL.json"
