@@ -4203,7 +4203,7 @@ FQTK_API void fqtk_chacha8_verify_f64(uint64_t seed, int64_t n, double* out) {
 // ECRYPT vectors in tests — but its ~50ns/draw mask production runs on a
 // producer thread that competes with the compressor pool for host cores
 // (~0.35 cores at the measured 6M reads/s).  This generator produces the
-// identical mask at ~5ns/draw: one u64 per record set = two consecutive
+// identical mask at ~21ns/draw (measured 47M draws/s): one u64 per record set = two consecutive
 // keystream words (lo | hi<<32), keep = ((u >> 11) * 2^-53) < fraction in
 // the same exact f64 arithmetic ((u>>11) < 2^53 is exactly representable
 // and the scale is a power of two, so native and NumPy masks are
