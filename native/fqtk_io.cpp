@@ -4207,7 +4207,7 @@ FQTK_API void fqtk_chacha8_verify_f64(uint64_t seed, int64_t n, double* out) {
 // keystream words (lo | hi<<32), keep = ((u >> 11) * 2^-53) < fraction in
 // the same exact f64 arithmetic ((u>>11) < 2^53 is exactly representable
 // and the scale is a power of two, so native and NumPy masks are
-// bit-identical, which tests/test_native_io.py pins).  State persists
+// bit-identical, which tests/test_subsample.py pins).  State persists
 // across calls so chunk boundaries (including odd sizes at progress-log
 // edges) continue the stream exactly like ChaCha8Rng.next_u64_batch.
 struct ChaChaMaskRng {
