@@ -873,7 +873,18 @@ def bench_subsample_config(tmp: Path, paths):
             best_stats = res.stage_seconds
         n_subsample_reads = res.total_read
 
-        rng = ChaCha8Rng(42)
+        # generous-to-baseline: the proxy's mask stream uses the fast
+        # native ChaCha (~13ns/draw, close to Rust's inline per-record
+        # draw) rather than charging it the NumPy stream's ~50ns inside
+        # its timed serial loop
+        try:
+            rng = native_io.NativeChaChaMask(42)
+            draw = lambda m: rng.keep_mask(m, 0.3)  # noqa: E731
+        except native_io.NativeDemuxError:  # stale .so
+            rng = ChaCha8Rng(42)
+            draw = lambda m: (  # noqa: E731
+                rng.random_f64_batch(m) < 0.3
+            ).astype("uint8")
         eng = native_io.NativeSubsampleEngine(threads=7, compression_level=5)
         try:
             for i, p in enumerate(inputs):
@@ -882,7 +893,7 @@ def bench_subsample_config(tmp: Path, paths):
             t0 = time.perf_counter()
             total = 0
             while True:
-                mask = (rng.random_f64_batch(1 << 16) < 0.3).astype("uint8")
+                mask = draw(1 << 16)
                 c, _ = eng.process_chunk(mask)
                 total += c
                 if c < len(mask):

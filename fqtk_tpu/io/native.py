@@ -616,7 +616,7 @@ class NativeChaChaMask:
     ``fqtk_tpu.utils.chacha.ChaCha8Rng`` driven as
     ``(rng.random_f64_batch(n) < fraction)`` (see ``fqtk_rng_keep_mask``
     in ``native/fqtk_io.cpp``).  Used by the subsample mask producer so
-    drawing the mask costs ~21ns/record instead of ~50 and stops competing
+    drawing the mask costs ~13ns/record instead of ~50 and stops competing
     with the compressor pool for cores.  Raises ``NativeDemuxError`` when
     the loaded .so predates the export (callers fall back to the NumPy
     rng)."""

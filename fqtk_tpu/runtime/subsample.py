@@ -161,7 +161,7 @@ def _run_subsample_native(cfg: SubsampleConfig, rng, seed: int) -> SubsampleResu
         producer_err = []
 
         # the native ChaCha8 mask stream (bit-identical to the NumPy rng,
-        # pinned by tests/test_subsample.py) costs ~21ns/draw vs ~50, so the
+        # pinned by tests/test_subsample.py) costs ~13ns/draw vs ~50, so the
         # producer thread stops competing with the compressor pool for cores
         try:
             native_rng = native_io.NativeChaChaMask(seed)

