@@ -22,6 +22,7 @@ PYTESTS=(
   "tests/test_smallk.py"
   "tests/test_bigk.py"
   "tests/test_io.py"
+  "tests/test_subsample.py"
 )
 
 TSAN_RT="$(g++ -print-file-name=libtsan.so)"
